@@ -1,0 +1,742 @@
+"""Relational query surface (SURVEY.md §2B) over the star schema.
+
+Design notes for 100 TB scale:
+- Everything is declarative DataFrame API -> Catalyst handles predicate
+  pushdown, column pruning, join reordering; AQE converts to broadcast
+  joins and splits skewed partitions at runtime.
+- Dimension tables (region/nation/customer/supplier/part) are hinted
+  with F.broadcast() where they are guaranteed small relative to the
+  fact table; the lineitem/orders/events fact joins shuffle on their
+  join keys only.
+- Monetary aggregates are computed as exact DECIMAL sums (order
+  independent, unlike double summation) and cast to DOUBLE at the end
+  so results hash-match the DuckDB oracle bit-for-bit.
+- Timestamp outputs are emitted as epoch microseconds (BIGINT) or DATE
+  to avoid timezone-representation mismatches between engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..session import load_table
+from .registry import query
+
+
+def dsum(expr: str, alias: str, scale: int = 4) -> Column:
+    """Exact, order-independent sum of a double expression: cast each
+    row to DECIMAL(18,scale), sum exactly, cast the total to DOUBLE."""
+    return F.expr(f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)").alias(alias)
+
+
+def _sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (filter -> hash agg partial+final -> sort)
+# ---------------------------------------------------------------------------
+
+Q01_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity', 'sum_qty')},
+       {_sql_dsum('l_extendedprice', 'sum_base_price')},
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 6)},
+       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", Q01_ORACLE)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Partial aggregation happens
+    map-side (HashAggregate partial -> exchange on 2 low-cardinality
+    keys -> final), so shuffle volume is O(groups), not O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 6),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 6),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_qty"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+Q03_ORACLE = f"""
+SELECT l_orderkey,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 6)},
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q03_shipping_priority", Q03_ORACLE)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join + broadcast dim filter + top-k. customer is
+    broadcast (semi-join reduction before the orders<->lineitem shuffle
+    join); top-k is a TakeOrderedAndProject, not a global sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue", 6))
+        .select(
+            "l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q05_ORACLE = f"""
+SELECT n_name, {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@query("q05_region_volume", Q05_ORACLE)
+def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join. All dims broadcast; the only shuffles are the
+    lineitem<->orders equi-join and the final tiny agg. At 100 TB the
+    plan is identical — dims stay broadcast-able."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue", 6))
+    )
+
+
+Q06_ORACLE = f"""
+SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue', 6)}, COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("q06_revenue_forecast", Q06_ORACLE)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan+filter+agg: all four predicates push to the parquet
+    reader (PushedFilters), projection prunes to 4 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum("l_extendedprice * l_discount", "revenue", 6), F.count("*").alias("n_rows"))
+    )
+
+
+Q_CUST_ORDER_STATS_ORACLE = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@query("q_cust_order_stats", Q_CUST_ORDER_STATS_ORACLE)
+def q_cust_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"),
+                F.lit(0.0),
+            ).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_semi_join",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with at least one big order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_anti_join",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_correlated_above_avg",
+    """
+WITH nation_avg AS (
+  SELECT c_nationkey AS nk,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer JOIN nation_avg ON c_nationkey = nk
+WHERE c_acctbal > avg_bal
+""",
+)
+def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated subquery: customers above their nation's average
+    balance. Expressed as agg + broadcast self-join (what Catalyst's
+    decorrelation produces for the EXISTS form)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)").alias(
+            "avg_bal"
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), cust.c_nationkey == avg_bal.nk)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_distinct_agg",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed plain + distinct aggregation (expand-based two-phase)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)").alias("total"),
+    )
+
+
+@query(
+    "q_rollup",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acct_total
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)").alias(
+                "acct_total"
+            ),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two categorical dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)").alias("total"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query("q_approx_distinct")  # no exact SQL oracle: HLL sketches differ by impl
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). At 100 TB this replaces
+    exact COUNT(DISTINCT) where a ~2% error is acceptable: no expand,
+    single pass, constant memory per group. Rows-only driver check;
+    exactness vs true counts asserted in tests/test_relational.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_window_rank",
+    """
+SELECT * FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn,
+         RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS drnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rn <= 3
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (single shuffle on the
+    partition key; no global sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    """
+SELECT event_id, user_id, value,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       value - LAG(value) OVER w AS delta
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over a per-user time order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "q_window_running",
+    """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+FROM events
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running and sliding sums (DECIMAL for exactness —
+    segment-tree vs sequential accumulation would differ in fp)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(dec)
+        .over(base.rowsBetween(-2, Window.currentRow))
+        .cast("double")
+        .alias("moving_sum3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k and set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_topk_orders",
+    """
+SELECT o_orderkey, o_totalprice, STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_totalprice", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_SET_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SET_B = "SELECT c_custkey FROM customer WHERE c_acctbal > 7000"
+
+
+@query("q_set_union", f"{_SET_A} UNION {_SET_B}")
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query("q_set_union_all", f"{_SET_A} UNION ALL {_SET_B}")
+def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return a.union(b)
+
+
+@query("q_set_intersect", f"{_SET_A} INTERSECT {_SET_B}")
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return a.intersect(b)
+
+
+@query("q_set_except", f"{_SET_A} EXCEPT {_SET_B}")
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: string / date / JSON / array
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_string_funcs",
+    r"""
+SELECT p_partkey,
+       UPPER(p_name) AS up_name,
+       LENGTH(p_name) AS name_len,
+       REPLACE(p_name, ' ', '_') AS snake_name,
+       SPLIT_PART(p_name, ' ', 1) AS first_word,
+       CAST(REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+       LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type
+FROM part
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression library — all JVM-side built-ins."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    """
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS order_year,
+       QUARTER(o_orderdate) AS order_quarter,
+       MONTH(o_orderdate) AS order_month,
+       DAY(o_orderdate) AS order_day,
+       STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       STRFTIME(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time expression surface; outputs are DATE/INT (tz-safe)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.quarter(d).alias("order_quarter"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+    )
+
+
+@query(
+    "q_monthly_revenue",
+    f"""
+SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       COUNT(*) AS n_orders,
+       {_sql_dsum('o_totalprice', 'revenue')}
+FROM orders GROUP BY 1
+""",
+)
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the partition-pruning shape: at scale
+    the table is partitioned by month and this becomes per-partition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month")
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "q_json_events",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+""",
+)
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("k_total"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    """
+SELECT vec_id, label,
+       LEN(embedding) AS dim,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+       ROUND(LIST_SUM(CAST(embedding AS DOUBLE[])) / LEN(embedding), 6) AS mean_val
+FROM embeddings
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array lambda functions (transform/aggregate) over embeddings —
+    the JVM-side fast path for vector math (no Python UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    sq_sum = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    total = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(vec).alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(total / F.size(vec), 6).alias("mean_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join and range join (custom operators Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_asof_join",
+    """
+SELECT c.event_id, epoch_us(c.ts) AS click_ts_us, c.user_id,
+       (SELECT epoch_us(MAX(e.ts)) FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c.user_id AND e.ts <= c.ts)
+       AS last_error_ts_us
+FROM events c WHERE c.event_type = 'click'
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (reference semantics: for each click, the most recent
+    error at-or-before it for the same user). Spark-native formulation:
+    one shuffle on user_id, then a running `last(ignorenulls)` window —
+    no O(n^2) join, scales linearly in events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return (
+        ev.withColumn("last_error_ts", F.last(err_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("click_ts_us"),
+            "user_id",
+            F.unix_micros("last_error_ts").alias("last_error_ts_us"),
+        )
+    )
+
+
+@query(
+    "q_range_join",
+    """
+SELECT e.event_id AS error_id, COUNT(c.event_id) AS n_clicks_5m
+FROM events e LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 5 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within 5 minutes after each error.
+    The user_id equi-component makes this a shuffle hash/merge join
+    with a residual range predicate — not a cartesian product."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = err.join(
+        clk,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") > F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("error_id").agg(F.count("click_id").alias("n_clicks_5m"))

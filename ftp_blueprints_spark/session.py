@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design target (AQE on, skew-join
+handling, partition coalescing) while remaining correct on local[N]
+test runs. All settings are plain public Spark confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ftp-blueprints-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    - AQE enabled: runtime coalescing of shuffle partitions, automatic
+      broadcast-join conversion, and skew-join splitting — these are the
+      knobs that keep the same plan viable from sf0.001 to 100 TB.
+    - UTC session timezone: deterministic date/time semantics that match
+      the DuckDB oracle (naive timestamps).
+    - Arrow enabled: vectorized pandas_udf / toPandas transfer.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions) if shuffle_partitions else "32",
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = builder.master(master or f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-generated parquet tables.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which the
+    Spark vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read
+    it as a raw nanosecond LONG and truncate to microseconds with
+    exact integer division — the same ns->us truncation DuckDB applies
+    — so both engines see identical timestamps.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
