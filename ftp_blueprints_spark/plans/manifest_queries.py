@@ -1,0 +1,214 @@
+"""Oracle-checkable queries for the §2A file-dataflow operators.
+
+The manifest is derived deterministically from `part` (operators/
+manifest.build_manifest); the SQL below mirrors that construction so
+DuckDB computes the identical tree, making every filter/projection
+operator hash-checkable.
+
+Dialect notes: regex patterns use '[.]' (valid in both Java regex and
+RE2); DuckDB regexp_replace needs the 'g' flag to mean replace-all
+(Spark's default); replacements avoid backrefs entirely.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.manifest import build_manifest, match_files, with_destination, with_file_numbers
+from .registry import query
+
+
+def _sql_norm(e: str) -> str:
+    """DuckDB mirror of functions.paths.normalize_path (no '..' inputs
+    in the generated manifest, so the parent-dir passes are omitted)."""
+    x = f"regexp_replace({e}, '/+', '/', 'g')"
+    x = f"regexp_replace({x}, '/[.]/', '/', 'g')"
+    x = f"regexp_replace({x}, '/[.]/', '/', 'g')"
+    x = f"regexp_replace({x}, '^([.]/)+', '', 'g')"
+    x = f"regexp_replace({x}, '/[.]$', '', 'g')"
+    x = f"regexp_replace({x}, '/$', '', 'g')"
+    return x
+
+
+def _sql_clean_folder(e: str) -> str:
+    stripped = f"regexp_replace({e}, '^/+|/+$', '', 'g')"
+    normed = _sql_norm(stripped)
+    return (
+        f"CASE WHEN {stripped} = '' THEN '' "
+        f"WHEN {normed} = '' THEN '.' ELSE {normed} END"
+    )
+
+
+def _sql_combine(folder: str, file: str) -> str:
+    joined = f"CASE WHEN {folder} = '' THEN {file} ELSE {folder} || '/' || {file} END"
+    return _sql_norm(joined)
+
+
+_FNAME = "replace(p_name, ' ', '_') || '_' || CAST(p_partkey AS VARCHAR) || " \
+    "(CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN '.csv' WHEN 1 THEN '.csv.gz' " \
+    "WHEN 2 THEN '.txt' ELSE '' END)"
+
+_RAW_FOLDER = (
+    "CASE CAST(p_partkey % 5 AS INT) "
+    "WHEN 0 THEN '/data//' || p_brand || '/' "
+    "WHEN 1 THEN 'data/' || p_type "
+    "WHEN 2 THEN './archive/' || p_brand "
+    "WHEN 3 THEN '' "
+    "ELSE 'exports/deep/' || p_type END"
+)
+
+MANIFEST_CTE = f"""
+manifest AS (
+  SELECT {_sql_combine(_sql_clean_folder(_RAW_FOLDER), f'({_FNAME})')} AS path,
+         {_sql_clean_folder(_RAW_FOLDER)} AS folder,
+         {_FNAME} AS name,
+         FALSE AS is_dir,
+         CAST(p_size AS BIGINT) * 1000 + p_partkey AS size
+  FROM part
+  UNION ALL
+  SELECT 'data/' || r_name, 'data', r_name, TRUE, CAST(NULL AS BIGINT) FROM region
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('data/.', 'data', '.', TRUE, CAST(NULL AS BIGINT)),
+    ('data/..', 'data', '..', TRUE, CAST(NULL AS BIGINT)),
+    ('data/...', 'data', '...', TRUE, CAST(NULL AS BIGINT)))
+)
+"""
+
+_FILES = "SELECT * FROM manifest WHERE NOT is_dir AND NOT regexp_matches(name, '^[.]*$')"
+
+
+@query(
+    "mf_listing",
+    f"WITH {MANIFEST_CTE} SELECT path, folder, name, is_dir, size FROM manifest",
+)
+def mf_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-S5: the manifest scan itself (list + classify), parity-checked
+    against the mirrored SQL construction."""
+    return build_manifest(spark, sf_dir)
+
+
+@query(
+    "mf_regex_basename",
+    f"""
+WITH {MANIFEST_CTE}
+SELECT path, name, size FROM ({_FILES})
+WHERE regexp_matches(name, 'widget_.*[.]csv$')
+""",
+)
+def mf_regex_basename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: unanchored regex against the basename only."""
+    m = match_files(build_manifest(spark, sf_dir), pattern="widget_.*[.]csv$", scope="basename")
+    return m.select("path", "name", "size")
+
+
+@query(
+    "mf_regex_fullpath",
+    f"""
+WITH {MANIFEST_CTE}
+SELECT path, name, size FROM ({_FILES})
+WHERE regexp_matches(path, 'archive/.*gizmo')
+""",
+)
+def mf_regex_fullpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: the same regex machinery scoped to the FULL path — the
+    reference's intentional F1/F2 asymmetry preserved per-operator."""
+    m = match_files(build_manifest(spark, sf_dir), pattern="archive/.*gizmo", scope="fullpath")
+    return m.select("path", "name", "size")
+
+
+@query(
+    "mf_exact_match",
+    f"""
+WITH {MANIFEST_CTE}
+SELECT path, name, size FROM ({_FILES})
+WHERE path = 'data/ECONOMY/red_widget_1.csv.gz'
+""",
+)
+def mf_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: exact-path predicate (no enumeration)."""
+    m = match_files(build_manifest(spark, sf_dir), exact_path="data/ECONOMY/red_widget_1.csv.gz")
+    return m.select("path", "name", "size")
+
+
+@query(
+    "mf_dot_filter",
+    f"""
+WITH {MANIFEST_CTE}
+SELECT path, name, is_dir FROM manifest
+WHERE NOT regexp_matches(name, '^[.]*$')
+""",
+)
+def mf_dot_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: drop dot-directories ('.', '..', '...') from a listing."""
+    from ..functions.paths import is_dot_directory
+
+    return (
+        build_manifest(spark, sf_dir)
+        .filter(~is_dot_directory(F.col("name")))
+        .select("path", "name", "is_dir")
+    )
+
+
+@query(
+    "mf_file_numbering",
+    f"""
+WITH {MANIFEST_CTE}
+SELECT path, ROW_NUMBER() OVER (ORDER BY path) AS file_number
+FROM ({_FILES}) WHERE regexp_matches(name, 'bolt_.*[.]txt$')
+""",
+)
+def mf_file_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-indexed fan-out numbering (the reference's only
+    window-shaped computation, with the server-order nondeterminism
+    replaced by ORDER BY path)."""
+    m = match_files(build_manifest(spark, sf_dir), pattern="bolt_.*[.]txt$")
+    return with_file_numbers(m).select("path", "file_number")
+
+
+_P4_SQL = (
+    "CASE WHEN strpos('report.backup.csv', '.') > 0 THEN "
+    "substr('report.backup.csv', 1, strpos('report.backup.csv', '.') - 1) || '_' || "
+    "CAST(rn AS VARCHAR) || substr('report.backup.csv', strpos('report.backup.csv', '.')) "
+    "ELSE 'report.backup.csv' || '_' || CAST(rn AS VARCHAR) END"
+)
+
+
+@query(
+    "mf_dest_projection",
+    f"""
+WITH {MANIFEST_CTE},
+matches AS (
+  SELECT path, ROW_NUMBER() OVER (ORDER BY path) AS rn
+  FROM ({_FILES}) WHERE regexp_matches(name, 'widget_.*[.]csv$')
+)
+SELECT path, rn AS file_number,
+       {_sql_combine(_sql_clean_folder("'/output//reports/'"), f'({_P4_SQL})')} AS dest_path
+FROM matches
+""",
+)
+def mf_dest_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6 end-to-end: clean destination folder, enumerate the shared
+    destination file name per match (insert _N before the FIRST dot),
+    combine into the final per-row destination path."""
+    m = match_files(build_manifest(spark, sf_dir), pattern="widget_.*[.]csv$")
+    return with_destination(
+        m,
+        destination_folder_name="/output//reports/",
+        destination_file_name="report.backup.csv",
+    ).select("path", "file_number", "dest_path")
+
+
+@query(
+    "mf_match_count",
+    f"""
+WITH {MANIFEST_CTE}
+SELECT COUNT(*) AS n_matches FROM ({_FILES})
+WHERE regexp_matches(name, '[.]csv(\\.gz)?$')
+""",
+)
+def mf_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: the match-count aggregate behind the empty-result guard."""
+    m = match_files(build_manifest(spark, sf_dir), pattern="[.]csv(\\.gz)?$")
+    return m.agg(F.count("*").alias("n_matches"))

@@ -1,0 +1,175 @@
+"""Property-style differential tests: the column-expression path
+library vs a pure-Python model of the reference's semantics
+(ftp_blueprints/download_file.py:50-135 — basename / clean_folder_name /
+combine_folder_and_file_name / enumerate_destination_file_name /
+is_dot_directory). The model re-states the documented behavior (stdlib
+os.path + first-occurrence re.sub); it is not copied code."""
+
+import os
+import random
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from ftp_blueprints_spark.functions import paths as P
+
+
+# --- pure-Python semantics model (the reference's observable behavior) ---
+
+def model_basename(p):
+    return os.path.basename(p)
+
+
+def model_clean_folder(f):
+    f = f.strip("/")
+    if f != "":
+        f = os.path.normpath(f)
+    return f
+
+
+def model_combine(folder, file):
+    combined = os.path.normpath(f"{folder}{'/' if folder else ''}{file}")
+    return os.path.normpath(combined)
+
+
+def model_enumerate(name, n):
+    if re.search(r"\.", name):
+        return re.sub(r"\.", f"_{n}.", name, 1)
+    return f"{name}_{n}"
+
+
+def model_is_dot(s):
+    return all(c == "." for c in s)
+
+
+SEGMENTS = ["a", "bb", "c.d", ".", "..", "...", "data", "x_1", ".hidden", "A B"]
+random.seed(42)
+
+
+def _random_path():
+    n = random.randint(0, 5)
+    parts = [random.choice(SEGMENTS) for _ in range(n)]
+    sep = lambda: random.choice(["/", "//", "///"])  # noqa: E731
+    s = random.choice(["", "/", "//"])
+    for i, p in enumerate(parts):
+        s += p + (sep() if i < n - 1 else "")
+    s += random.choice(["", "/", "//"])
+    return s
+
+
+CORPUS = sorted({_random_path() for _ in range(400)} | {
+    "", "/", "a//b", "a/./b", "a/../b", "./a", "a/..", "a/b/../../c",
+    "data//x/", "/data//Brand#1/", "./archive/x", "a/././b", "..", ".",
+})
+FILENAMES = [
+    "report.backup.csv", "noext", "a.b.c.d", ".bashrc", "x.", "", "x_1.csv",
+    "archive.tar.gz", "...", "weird name.txt",
+]
+
+
+def _eval(spark, rows, expr):
+    df = spark.createDataFrame([(r,) for r in rows], "s string")
+    return [r[0] for r in df.select(expr.alias("out")).collect()]
+
+
+def test_basename(spark):
+    got = _eval(spark, CORPUS, P.basename(F.col("s")))
+    want = [model_basename(s) for s in CORPUS]
+    assert got == want
+
+
+def test_clean_folder_name(spark):
+    # engine contract: paths whose '..' resolution needs <= 6 passes
+    corpus = [s for s in CORPUS if s.count("..") <= 6]
+    got = _eval(spark, corpus, P.clean_folder_name(F.col("s")))
+    want = [model_clean_folder(s) for s in corpus]
+    assert got == want, [
+        (s, g, w) for s, g, w in zip(corpus, got, want) if g != w
+    ][:10]
+
+
+def test_combine_folder_and_file_name(spark):
+    folders = [model_clean_folder(s) for s in CORPUS[:80]]
+    cases = [(f, fn) for f in folders for fn in FILENAMES if fn]
+    df = spark.createDataFrame(cases, "folder string, file string")
+    got = [
+        r[0]
+        for r in df.select(
+            P.combine_folder_and_file_name(F.col("folder"), F.col("file")).alias("o")
+        ).collect()
+    ]
+    want = [model_combine(f, fn) for f, fn in cases]
+    assert got == want, [
+        (c, g, w) for c, g, w in zip(cases, got, want) if g != w
+    ][:10]
+
+
+def test_enumerate_destination_file_name(spark):
+    cases = [(fn, n) for fn in FILENAMES for n in (1, 2, 17)]
+    df = spark.createDataFrame(cases, "name string, n int")
+    got = [
+        r[0]
+        for r in df.select(
+            P.enumerate_destination_file_name(F.col("name"), F.col("n")).alias("o")
+        ).collect()
+    ]
+    want = [model_enumerate(fn, n) for fn, n in cases]
+    assert got == want, [
+        (c, g, w) for c, g, w in zip(cases, got, want) if g != w
+    ][:10]
+
+
+def test_is_dot_directory(spark):
+    rows = [".", "..", "...", "", "a", ".a", "a.", "a.b", "./."]
+    got = _eval(spark, rows, P.is_dot_directory(F.col("s")))
+    want = [model_is_dot(s) for s in rows]
+    assert got == want
+
+
+def test_determine_destination_name(spark):
+    """P5/P6: explicit-name vs basename fallback vs enumerated."""
+    rows = [
+        # (source, dest_file, n)
+        ("data/a/src.csv", "out.csv", 2),
+        ("data/a/src.csv", "out.csv", None),
+        ("data/a/src.csv", None, 3),
+        ("data/a/src.csv", "", 3),  # '' is falsy in the reference
+    ]
+    df = spark.createDataFrame(rows, "src string, dest string, n int")
+    out = df.select(
+        P.determine_destination_name(
+            F.lit("dl/dir"), F.col("dest"), F.col("src"), F.col("n")
+        ).alias("o")
+    ).collect()
+    assert [r[0] for r in out] == [
+        "dl/dir/out_2.csv",
+        "dl/dir/out.csv",
+        "dl/dir/src.csv",
+        "dl/dir/src.csv",
+    ]
+
+
+def test_manifest_guard_and_suppression(spark, sf_oracle):
+    from ftp_blueprints_spark.operators.manifest import (
+        NoMatchesFound,
+        build_manifest,
+        match_files,
+        require_matches,
+        with_destination,
+    )
+
+    man = build_manifest(spark, sf_oracle)
+    with pytest.raises(NoMatchesFound):
+        require_matches(match_files(man, pattern="no_such_file_zzz"))
+
+    one = match_files(man, exact_path="data/ECONOMY/red_widget_1.csv.gz")
+    if one.count() == 1:
+        # move_file semantics: numbering suppressed for a single match
+        row = with_destination(
+            one, "out", "final.csv", suppress_single=True
+        ).collect()[0]
+        assert row.dest_path == "out/final.csv"
+        # download semantics: always numbered
+        row = with_destination(one, "out", "final.csv").collect()[0]
+        assert row.dest_path == "out/final_1.csv"
