@@ -1,0 +1,117 @@
+"""Text-analysis expression library for the LLM-data-pipeline surface:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+Everything here is built-in Catalyst expressions (split / transform /
+aggregate / zip_with lambdas) — JVM-side, whole-stage-codegen-friendly,
+no Python in the hot path. At 100 TB these run as narrow projections:
+no shuffle, trivially parallel over input partitions.
+
+Dialect discipline (for DuckDB oracles): regex char classes avoid
+backslash-dot divergences; integer math (exact) preferred over float
+where possible; float outputs rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# token regex shared with oracles: words | numbers | single symbol
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = {
+    "en": ("the", "and", "is", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "les", "et", "est", "dans"),
+}
+
+CJK_RE = r"[\x{4e00}-\x{9fff}]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (trimmed, so no boundary empties)."""
+    return F.split(F.trim(_c(text)), r"\s+")
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish tokenization: letter runs, digit runs, single symbols."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_RE))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def _count_in_set(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = ws_tokens(F.lower(_c(text)))
+    return _count_in_set(toks, STOPWORDS[lang]) / F.size(toks)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, "[.,!?;:]", "")
+    return (F.length(t) - F.length(stripped)) / F.length(t)
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, "[A-Za-z]", "")
+    return (F.length(t) - F.length(stripped)) / F.length(t)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document-quality score in [0,1]: length signal,
+    stopword density, alphabetic density, punctuation penalty."""
+    t = _c(text)
+    n_tok = token_count(t).cast("double")
+    return F.round(
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
+        + 0.2 * alpha_ratio(t)
+        + 0.1 * (1.0 - punct_ratio(t)),
+        6,
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """n-gram/stopword-heuristic language ID over {en,de,es,fr,zh}:
+    any CJK char -> zh; otherwise argmax of per-language stopword hits
+    with deterministic tie order en > de > es > fr."""
+    toks = ws_tokens(F.lower(_c(text)))
+    counts = {k: _count_in_set(toks, v) for k, v in STOPWORDS.items()}
+    cjk = F.length(F.regexp_replace(_c(text), CJK_RE, "")) < F.length(_c(text))
+    en, de, es, fr = counts["en"], counts["de"], counts["es"], counts["fr"]
+    return (
+        F.when(cjk, "zh")
+        .when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic rolling-hash-style document fingerprint: each
+    whitespace token maps to ascii(first char)*31 + len, weighted by
+    its 1-based position, summed. Exact integer math — identical in
+    any engine, order-defined, and multiset+position sensitive."""
+    toks = ws_tokens(_c(text))
+    vals = F.transform(
+        toks,
+        lambda t: (F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t)).cast("bigint"),
+    )
+    weighted = F.zip_with(
+        vals,
+        F.sequence(F.lit(1).cast("bigint"), F.size(toks).cast("bigint")),
+        lambda v, i: v * i,
+    )
+    return F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, x: a + x)

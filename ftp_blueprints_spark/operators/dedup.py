@@ -1,0 +1,282 @@
+"""Deduplication operators for the LLM-data-pipeline surface:
+
+- exact dedup (sha256 hash-groupBy)                 -> oracle-checked
+- normalized exact dedup (lower + whitespace fold)  -> oracle-checked
+- exact n-gram Jaccard near-dup pairs               -> oracle-checked
+- MinHash + LSH banding near-dup candidates         -> rows-only (no
+  portable hash in DuckDB; validated in tests against exact Jaccard)
+- SimHash + banded Hamming near-dup candidates      -> rows-only
+
+Scale design: exact dedup is a single hash-shuffle on the digest.
+Shingle/minhash pipelines explode to (doc, shingle) rows — at 100 TB
+the band-bucket join replaces the O(n^2) pair join: candidates only
+form within equal (band, band_hash) buckets, so the shuffle key is the
+bucket, never the cross product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.registry import query
+from ..session import load_table
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, s)."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).filter(F.size("t") >= n)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+        ),
+    )
+    return toks.select("doc_id", F.explode(F.array_distinct(gram)).alias("s"))
+
+
+# --- exact dedup ----------------------------------------------------------
+
+@query(
+    "dd_exact",
+    """
+SELECT sha256(text) AS text_sha, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the 256-bit digest; keeper = min id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("text_sha")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "dd_exact_normalized",
+    r"""
+SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_sha,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+""",
+)
+def dd_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (case + whitespace folding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.groupBy(F.sha2(norm, 256).alias("norm_sha")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# --- exact n-gram Jaccard (ground truth for the probabilistic variants) ---
+
+JACCARD_THRESHOLD = 0.3
+
+_DD_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dd_ngram_jaccard", _DD_JACCARD_ORACLE)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs. The pair join is keyed on
+    the shingle (docs sharing no shingle never meet), so the shuffle is
+    O(matching shingle pairs), not O(n^2) documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, 3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+MINHASH_PERMS = 32
+LSH_BANDS = 8  # 8 bands x 4 rows
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_PERMS) -> DataFrame:
+    """K-permutation MinHash signature per doc. Permutation i is
+    xxhash64(i, shingle) — one pass over exploded shingles, K min-aggs
+    (map-side partial agg keeps shuffle at O(docs * K))."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_PERMS) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on all rows of
+    any band become candidate pairs (doc_a < doc_b, n_shared_bands)."""
+    rows = k // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(band_cols).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+@query("dd_minhash_lsh")  # probabilistic hashes: no portable SQL oracle
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with estimated Jaccard (fraction
+    of agreeing signature components). Driver runs rows-only check;
+    tests/test_dedup.py validates recall against dd_ngram_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, 3)
+    sig = minhash_signatures(sh).cache()
+    cand = lsh_candidates(sig)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)]
+    )
+    eq_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.round(eq_sum / F.lit(float(MINHASH_PERMS)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAMMING_THRESHOLD = 12
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from distinct whitespace tokens: per bit,
+    sum +1/-1 over token hashes; bit set iff the sum is positive."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sh_expr = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2**i) if i < 63 else F.lit(-(2**63))).otherwise(0)
+        sh_expr = term if sh_expr is None else sh_expr + term
+    return bit_sums.select("doc_id", sh_expr.alias("simhash"))
+
+
+@query("dd_simhash")  # rows-only: hash-dependent
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded bucket join on 4x16-bit chunks
+    (a pair within Hamming distance 12 must agree on >=1 chunk... not
+    guaranteed at 12, but standard multi-probe recall trade), then
+    exact Hamming via bit_count(xor) <= threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash(docs).cache()
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+    )
+    pairs = (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+    )

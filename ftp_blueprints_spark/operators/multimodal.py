@@ -1,0 +1,171 @@
+"""Multimodal column operators: image/audio/video as opaque BINARY
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The container has no codec libraries (PIL/ffmpeg/librosa), so the
+actual decode step is STUBBED: `decode_media` raises
+NotImplementedError unless `fake=True`, in which case a deterministic
+byte-derived fake decoder runs. The Spark-side plumbing — schema,
+partitioning, mapInPandas batch shape, column pruning — is real and
+oracle-tested (mm_decode_meta mirrors the fake formula in SQL).
+
+Scale design: mapInPandas streams Arrow batches; per-batch work is
+vectorized numpy/pandas; binary payloads never hit the driver. For
+100 TB media, partition by file-size bins (`size_bin`) so batches
+carry comparable byte volume (skew control), and push column pruning
+before the UDF (select only bytes+id into it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.registry import query
+from ..session import load_table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("byte_len", LongType()),
+        StructField("size_bin", IntegerType()),  # partitioning key at scale
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+
+def to_media_table(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Build a media table from documents: UTF-8 payload bytes stand in
+    for real media blobs (same shape: id + opaque binary + metadata)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+        (F.octet_length(payload) / 64).cast("int").alias("size_bin"),
+    )
+
+
+def _fake_decode_batch(pdf):
+    """Deterministic byte-derived 'decode': dimensions from byte length
+    (mirrored in SQL by the mm_decode_meta oracle)."""
+    import pandas as pd
+
+    byte_len = pdf["payload"].map(len).astype("int64")
+    width = (16 + byte_len % 64).astype("int32")
+    height = (8 + (byte_len * 7) % 32).astype("int32")
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "byte_len": byte_len,
+            "width": width,
+            "height": height,
+            "n_pixels": (width.astype("int64") * height).astype("int64"),
+        }
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode media payloads to typed metadata via mapInPandas.
+
+    Real codecs are not available in this container: pass fake=True for
+    the deterministic stand-in, otherwise NotImplementedError surfaces
+    at executor time with a clear message."""
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs (PIL/ffmpeg) are not installed; "
+                    "use decode_media(..., fake=True) for the deterministic stub"
+                )
+            yield _fake_decode_batch(pdf)
+
+    pruned = media.select("media_id", "payload")  # prune before the UDF
+    return pruned.mapInPandas(gen, DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 97, max_frames: int = 8) -> DataFrame:
+    """Frame sampling stand-in: take max_frames 1-byte 'frames' at a
+    fixed stride from each payload (the real video path would demux via
+    ffmpeg in the same mapInPandas shape). Returns one row per frame."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    if i >= max_frames:
+                        break
+                    rows.append((int(mid), i, off, data[off]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "offset", "value"]
+            )
+
+    schema = "media_id long, frame_no int, offset int, value int"
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
+
+
+@query(
+    "mm_decode_meta",
+    """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+       CAST(8 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 32 AS INT) AS height,
+       CAST((16 + octet_length(encode(text)) % 64) AS BIGINT)
+         * (8 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 32) AS n_pixels
+FROM documents
+""",
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode plumbing end-to-end (Arrow batches, schema
+    projection) with the fake decoder — oracle mirrors the formula."""
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)
+
+
+@query(
+    "mm_binary_stats",
+    """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS payload_sha,
+       lower(hex(encode(text)[1:8])) AS head_hex
+FROM documents
+""",
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column ops JVM-side: length, digest, head bytes.
+    (sha2 over the UTF-8 payload == DuckDB sha256 of the text.)"""
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "byte_len",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 8)"))).alias("head_hex"),
+    )
