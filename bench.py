@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric","value","unit","queries":{name: sec},"sf"}.
+
+Execution is forced with the noop datasource (full pipeline runs on
+executors, nothing funnels to the driver) so wall-times measure the
+distributed plan, not a collect. A warmup query amortizes JVM/codegen
+startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Headline set: one per major operator family (scan/agg, joins, windows,
+# time-bucketed agg, JSON, as-of join, dedup exact + MinHash-LSH, top-k
+# cosine, text quality, mapInPandas multimodal, manifest pipeline).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_volume",
+    "q_cust_order_stats",
+    "q_window_running",
+    "q_monthly_revenue",
+    "q_json_events",
+    "q_asof_join",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "sim_topk_bruteforce",
+    "tx_quality",
+    "mm_decode_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # scale factor from the directory name (sf0.1 -> 0.1); 0.0 if unparseable
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(tail.replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("ftp-blueprints-spark-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q01_pricing_summary")  # warmup (JIT, codegen, parquet footer cache)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,9 @@ def ws_tokens(text: Column | str) -> Column:
 
 def bpe_tokens(text: Column | str) -> Column:
     """BPE-ish tokenization: letter runs, digit runs, single symbols."""
-    return F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_RE))
+    # group index 0 (whole match): BPE_TOKEN_RE has no capture group, and
+    # PySpark's default idx=1 raises REGEX_GROUP_INDEX at runtime.
+    return F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_RE), 0)
 
 
 def token_count(text: Column | str) -> Column:

@@ -155,7 +155,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        sha256(text) AS payload_sha,
-       lower(hex(encode(text)[1:8])) AS head_hex
+       lower(substr(hex(encode(text)), 1, 16)) AS head_hex
 FROM documents
 """,
 )

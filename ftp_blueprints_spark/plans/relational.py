@@ -622,7 +622,7 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
