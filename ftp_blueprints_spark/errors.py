@@ -1,0 +1,58 @@
+"""Exit-code-compatible error surface (reference exit_codes.py:1-4 plus
+call-site semantics, SURVEY.md §2A D3).
+
+The reference communicates outcomes through process exit codes:
+
+    3   bad credentials        (download_file.py:227 et al.)
+    200 no regex matches       (download_file.py:266 et al.)
+    201 invalid file path      (delete_file.py:85)
+    202 move failure           (move_file.py:113)
+
+In the Spark engine these become typed exceptions raised by operators
+and sinks; the CLI boundary (`ftp_blueprints_spark.cli`) maps them back
+to the same integer codes, so a caller of the reference scripts sees an
+identical contract.
+"""
+
+from __future__ import annotations
+
+EXIT_CODE_INCORRECT_CREDENTIALS = 3
+EXIT_CODE_NO_MATCHES_FOUND = 200
+EXIT_CODE_INVALID_FILE_PATH = 201
+EXIT_CODE_FTP_MOVE_ERROR = 202
+
+
+class BlueprintError(Exception):
+    """Base class: every engine error carries the reference exit code."""
+
+    exit_code = 1
+
+
+class IncorrectCredentials(BlueprintError):
+    """Connection/login failure (reference get_client variants)."""
+
+    exit_code = EXIT_CODE_INCORRECT_CREDENTIALS
+
+
+class NoMatchesFound(BlueprintError):
+    """F7 empty-result guard (download_file.py:262-266)."""
+
+    exit_code = EXIT_CODE_NO_MATCHES_FOUND
+
+
+class InvalidFilePath(BlueprintError):
+    """Bad source path / delete failure (delete_file.py:85)."""
+
+    exit_code = EXIT_CODE_INVALID_FILE_PATH
+
+
+class MoveError(BlueprintError):
+    """Rename/move failure — fail-fast (move_file.py:113)."""
+
+    exit_code = EXIT_CODE_FTP_MOVE_ERROR
+
+
+class UploadError(BlueprintError):
+    """Upload failure — fail-fast (upload_file.py:190 raises)."""
+
+    exit_code = 1

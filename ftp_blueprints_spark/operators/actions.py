@@ -1,0 +1,171 @@
+"""Action sinks — the reference's act phase (SURVEY.md §2A S6-S11,
+D1-D3) as ``foreachPartition`` sinks over a destination-projected
+manifest (columns ``path`` and, where applicable, ``dest_path``).
+
+Execution model: the manifest is repartitioned to
+``spec.max_connections`` (FTP servers throttle sessions), each
+partition opens ONE client (connector.ClientSpec.connect) and streams
+its rows; bytes flow executor<->server and never touch the driver.
+
+Reference error-semantic asymmetries preserved (behavioral parity):
+- download skips failed rows and keeps going, removing the partial
+  file (D1, download_file.py:280-281; cleanup :202) — here hardened to
+  write-to-temp + atomic rename;
+- upload raises on first failure (D2, upload_file.py:190) but silently
+  skips non-file sources (upload_file.py:181-183);
+- move fails the job with exit code 202 on first failure
+  (move_file.py:113);
+- delete fails with exit code 201 on first failure (delete_file.py:85
+  — the reference exits inside the callee, making its caller's
+  per-file try/except dead code; we keep the observable fail-fast);
+- destination folders are created idempotently before any transfer
+  (S8 upload_file.py:159-171 remote, S11 download_file.py:242-245
+  local true mkdir -p).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..errors import InvalidFilePath, MoveError, UploadError
+from ..sources.connector import ClientSpec
+
+_TYPED = {e.__name__: e for e in (InvalidFilePath, MoveError, UploadError)}
+
+
+def _bounded(df: DataFrame, spec: ClientSpec) -> DataFrame:
+    """Bound sink fan-out by the connection budget."""
+    n = max(1, spec.max_connections)
+    return df.repartition(n) if df.rdd.getNumPartitions() > n else df
+
+
+def _rethrow_typed(err: Exception) -> None:
+    """Executor exceptions surface as Py4J strings; map back to the
+    typed error (and its exit code) at the driver boundary."""
+    msg = str(err)
+    for name, cls in _TYPED.items():
+        if name in msg:
+            raise cls(msg.split(name, 1)[-1].strip(": ").split("\n")[0]) from err
+    raise err
+
+
+def download(manifest: DataFrame, spec: ClientSpec, dest_root: str) -> dict:
+    """S6+S11+D1: stream each matched remote file to ``dest_root``.
+
+    Per-row skip on failure; partial output is impossible (temp file +
+    atomic rename replaces the reference's delete-on-error). Returns
+    {'ok': n, 'failed': n} from accumulators."""
+    sc = manifest.sparkSession.sparkContext
+    ok, failed = sc.accumulator(0), sc.accumulator(0)
+
+    def sink(rows) -> None:
+        client = spec.connect()
+        try:
+            for row in rows:
+                dest = os.path.join(dest_root, row["dest_path"])
+                os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+                tmp = f"{dest}.inprogress"
+                try:
+                    with open(tmp, "wb") as f:
+                        client.retrieve(row["path"], f)
+                    os.replace(tmp, dest)
+                    ok.add(1)
+                except Exception:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                    failed.add(1)  # D1: skip and continue
+        finally:
+            client.close()
+
+    _bounded(manifest.select("path", "dest_path"), spec).foreachPartition(sink)
+    return {"ok": ok.value, "failed": failed.value}
+
+
+def upload(manifest: DataFrame, spec: ClientSpec, source_root: str = "") -> dict:
+    """S7+S8+D2: stream each local file to its remote dest_path.
+
+    Non-file sources are skipped without error; any transfer failure
+    aborts the job (UploadError)."""
+    sc = manifest.sparkSession.sparkContext
+    ok, skipped = sc.accumulator(0), sc.accumulator(0)
+
+    def sink(rows) -> None:
+        client = spec.connect()
+        try:
+            for row in rows:
+                src = os.path.join(source_root, row["path"]) if source_root else row["path"]
+                if not os.path.isfile(src):
+                    skipped.add(1)
+                    continue
+                folder = row["dest_path"].rsplit("/", 1)[0] if "/" in row["dest_path"] else ""
+                try:
+                    if folder:
+                        client.makedirs(folder)
+                    with open(src, "rb") as f:
+                        client.store(f, row["dest_path"])
+                    ok.add(1)
+                except Exception as e:
+                    raise UploadError(f"failed to upload {src}: {e}") from e
+        finally:
+            client.close()
+
+    try:
+        _bounded(manifest.select("path", "dest_path"), spec).foreachPartition(sink)
+    except Exception as e:
+        _rethrow_typed(e)
+    return {"ok": ok.value, "skipped": skipped.value}
+
+
+def move(manifest: DataFrame, spec: ClientSpec) -> dict:
+    """S9+S8+D2: server-side rename per row — metadata-only, no data
+    plane. First failure aborts with exit-202 semantics (MoveError)."""
+    sc = manifest.sparkSession.sparkContext
+    ok = sc.accumulator(0)
+
+    def sink(rows) -> None:
+        client = spec.connect()
+        try:
+            for row in rows:
+                folder = row["dest_path"].rsplit("/", 1)[0] if "/" in row["dest_path"] else ""
+                try:
+                    if folder:
+                        client.makedirs(folder)
+                    client.rename(row["path"], row["dest_path"])
+                    ok.add(1)
+                except Exception as e:
+                    raise MoveError(f"failed to move {row['path']}: {e}") from e
+        finally:
+            client.close()
+
+    try:
+        _bounded(manifest.select("path", "dest_path"), spec).foreachPartition(sink)
+    except Exception as e:
+        _rethrow_typed(e)
+    return {"ok": ok.value}
+
+
+def delete(manifest: DataFrame, spec: ClientSpec) -> dict:
+    """S10: delete each matched remote file; first failure aborts with
+    exit-201 semantics (InvalidFilePath)."""
+    sc = manifest.sparkSession.sparkContext
+    ok = sc.accumulator(0)
+
+    def sink(rows) -> None:
+        client = spec.connect()
+        try:
+            for row in rows:
+                try:
+                    client.delete(row["path"])
+                    ok.add(1)
+                except Exception as e:
+                    raise InvalidFilePath(f"failed to delete {row['path']}: {e}") from e
+        finally:
+            client.close()
+
+    try:
+        _bounded(manifest.select("path"), spec).foreachPartition(sink)
+    except Exception as e:
+        _rethrow_typed(e)
+    return {"ok": ok.value}

@@ -27,16 +27,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..errors import NoMatchesFound  # noqa: F401  (re-export: F7 guard, exit 200)
 from ..functions import paths as P
 from ..session import load_table
 
 MANIFEST_COLUMNS = ("path", "folder", "name", "is_dir", "size")
-
-
-class NoMatchesFound(Exception):
-    """Maps to the reference's exit code 200 (F7 empty-result guard)."""
-
-    exit_code = 200
 
 
 def build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -212,3 +212,53 @@ def mf_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: the match-count aggregate behind the empty-result guard."""
     m = match_files(build_manifest(spark, sf_dir), pattern="[.]csv(\\.gz)?$")
     return m.agg(F.count("*").alias("n_matches"))
+
+
+# -------------------------------------------------------------------------
+# Real listings (not synthetic): the manifest comes from an actual
+# directory tree. The oracle lists the same tree with DuckDB read_blob.
+# NOTE: oracle SQL is static, so it names the driver's correctness SF
+# directory (sf0.01 — TESTDATA.md / BASELINE.md t2 row) explicitly.
+# -------------------------------------------------------------------------
+
+_SF01 = "/root/testdata/sf0.01"
+
+
+@query(
+    "mf_real_listing_binaryfile",
+    f"""
+SELECT filename AS path,
+       regexp_replace(filename, '.*/', '') AS name,
+       CAST(size AS BIGINT) AS size
+FROM read_blob('{_SF01}/*.parquet')
+""",
+)
+def mf_real_listing_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 over a REAL tree: Spark's binaryFile source (pathGlobFilter
+    pushed into distributed file listing, content column pruned) vs a
+    DuckDB read_blob listing of the same directory."""
+    from ..sources.listing import binary_manifest
+
+    return binary_manifest(spark, sf_dir, glob="*.parquet", recursive=False).select(
+        "path", "name", "size"
+    )
+
+
+@query(
+    "mf_real_listing_connector",
+    f"""
+SELECT regexp_replace(filename, '.*/', '') AS path,
+       regexp_replace(filename, '.*/', '') AS name,
+       CAST(size AS BIGINT) AS size
+FROM read_blob('{_SF01}/*.parquet')
+""",
+)
+def mf_real_listing_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3 over a REAL tree: the connector's parallel BFS listing
+    (per-partition clients over the folder frontier) rooted at sf_dir;
+    paths are root-relative, so they equal the basenames here."""
+    from ..sources.connector import ClientSpec
+    from ..sources.listing import list_tree
+
+    mf = list_tree(spark, ClientSpec(kind="local", root=sf_dir), "")
+    return mf.filter(~F.col("is_dir")).select("path", "name", "size")
