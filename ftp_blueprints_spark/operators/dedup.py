@@ -77,16 +77,29 @@ def dd_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact n-gram Jaccard (ground truth for the probabilistic variants) ---
 
 JACCARD_THRESHOLD = 0.3
+# Skew guard: shingles appearing in more than this many documents are
+# excluded from the pair join (and from the per-doc set sizes, so the
+# Jaccard denominator stays consistent). A ubiquitous stop-phrase
+# 3-gram otherwise produces a quadratic per-key blowup — with the cap,
+# per-shingle join work is bounded by MAX_SHINGLE_DF^2 regardless of
+# corpus size (standard df-capping practice for shingle joins).
+MAX_SHINGLE_DF = 100
 
 _DD_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          UNNEST(list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
   FROM toks WHERE len(t) >= 3
+),
+hot AS (
+  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}
+),
+sh AS (
+  SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
@@ -103,13 +116,26 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
 """
 
 
+def capped_shingles(docs: DataFrame, n: int = 3, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Distinct n-gram shingles minus those with document frequency
+    above ``max_df``. The hot-shingle list is tiny by construction
+    (only ubiquitous phrases exceed the cap), so the exclusion is a
+    broadcast anti-join — no extra big shuffle."""
+    sh = shingles(docs, n)
+    hot = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") > max_df
+    ).select("s")
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
 @query("dd_ngram_jaccard", _DD_JACCARD_ORACLE)
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs. The pair join is keyed on
-    the shingle (docs sharing no shingle never meet), so the shuffle is
-    O(matching shingle pairs), not O(n^2) documents."""
+    """Exact 3-gram Jaccard near-dup pairs over df-capped shingles. The
+    pair join is keyed on the shingle (docs sharing no shingle never
+    meet) and hot shingles are dropped first, so per-key join fan-out
+    is bounded — no quadratic blowup on stop-phrase n-grams at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, 3).cache()
+    sh = capped_shingles(docs, 3).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -182,7 +208,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of agreeing signature components). Driver runs rows-only check;
     tests/test_dedup.py validates recall against dd_ngram_jaccard."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, 3)
+    sh = capped_shingles(docs, 3)  # same df-capped universe as the ground truth
     sig = minhash_signatures(sh).cache()
     cand = lsh_candidates(sig)
     sig_a = sig.select(
@@ -210,7 +236,13 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 64
-HAMMING_THRESHOLD = 12
+# Pigeonhole-complete banding (the classic 64-bit near-dup design):
+# with 4 disjoint 16-bit chunks, any pair within Hamming distance 3
+# agrees on at least one full chunk, so the chunk-bucket join finds
+# EVERY pair at the threshold — recall is exactly 1.0, not
+# probabilistic. (A higher threshold with the same banding silently
+# loses recall: at Hamming 12 the measured miss rate was ~30%.)
+HAMMING_THRESHOLD = 3
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -239,10 +271,12 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 @query("dd_simhash")  # rows-only: hash-dependent
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded bucket join on 4x16-bit chunks
-    (a pair within Hamming distance 12 must agree on >=1 chunk... not
-    guaranteed at 12, but standard multi-probe recall trade), then
-    exact Hamming via bit_count(xor) <= threshold."""
+    """SimHash near-dup pairs: banded bucket join on 4x16-bit chunks,
+    then exact Hamming via bit_count(xor) <= HAMMING_THRESHOLD. At
+    threshold 3 the banding is pigeonhole-complete (recall 1.0 —
+    asserted against a driver-side exact scan in tests/test_dedup.py);
+    candidates only form inside equal (chunk, value) buckets, so the
+    join is bucket-keyed, never O(n^2)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash(docs).cache()
     chunks = sh.select(

@@ -107,13 +107,40 @@ def match_files(
 
 
 def with_file_numbers(matches: DataFrame) -> DataFrame:
-    """Deterministic 1-indexed fan-out numbering: row_number() over
-    ORDER BY path. NOTE: a global order is inherent to the reference's
-    enumeration semantics; the single-partition window is bounded by
-    the match count (not table size) — matches are a tiny fraction of
-    the manifest after F1-F3."""
-    w = Window.orderBy("path")
-    return matches.withColumn("file_number", F.row_number().over(w))
+    """Deterministic 1-indexed fan-out numbering with ORDER BY path
+    semantics, computed scale-safely in two passes:
+
+    1. range-partition by path (each partition holds a contiguous path
+       range), number rows *within* each partition (partitioned
+       window — parallel);
+    2. count rows per partition (tiny: one row per partition), turn
+       the counts into cumulative offsets driver-side, and add each
+       partition's offset via a broadcast join.
+
+    Equivalent to ``row_number() OVER (ORDER BY path)`` but no stage
+    ever funnels all matches through a single task — a pattern that
+    matches millions of files at 100x scale still numbers in parallel."""
+    ranged = matches.repartitionByRange("path").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    spark = matches.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset bigint"
+    )
+    w = Window.partitionBy("_pid").orderBy("path")
+    return (
+        ranged.withColumn("_local_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            "file_number", (F.col("_offset") + F.col("_local_rn")).cast("int")
+        )
+        .drop("_pid", "_local_rn", "_offset")
+    )
 
 
 def with_destination(
@@ -128,8 +155,10 @@ def with_destination(
     gets '_{n}' inserted before its first dot (P4). ``suppress_single``
     gives move_file's behavior (no numbering when exactly one match)."""
     numbered = with_file_numbers(matches)
-    n_matches = F.count("*").over(Window.partitionBy(F.lit(1)))
-    numbered = numbered.withColumn("n_matches", n_matches)
+    # total match count via agg + broadcast cross-join (1 row), not a
+    # global window — no single-task stage at any scale
+    n_df = numbered.agg(F.count("*").alias("n_matches"))
+    numbered = numbered.crossJoin(F.broadcast(n_df))
     if destination_file_name is None:
         file_number = None
     elif suppress_single:

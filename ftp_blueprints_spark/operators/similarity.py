@@ -2,27 +2,44 @@
 
 - sim_topk_bruteforce: exact top-k cosine — the correctness baseline,
   oracle-checked against DuckDB list arithmetic.
-- sim_embedding_neardup: exact near-dup pairs by cosine threshold.
-- sim_ann_lsh: random-hyperplane LSH ANN — the 100 TB scale path:
-  candidates only form inside matching sign-pattern buckets, so the
-  join is bucket-keyed instead of a full cross product. Rows-only
-  driver check; recall vs brute force asserted in tests.
+- sim_embedding_neardup: near-dup pairs by cosine threshold, routed
+  through banded hyperplane LSH buckets — candidate pairs only form
+  inside equal (band, signature) buckets, never an all-pairs join.
+  16 bands x 8 planes -> P(miss a true pair at cos 0.9) = (1-0.857^8)^16
+  ~ 0.4%, while a random pair collides in a band with prob 2^-8, so
+  the candidate set is ~6% of all pairs (and far less on clustered
+  real-embedding corpora).
+- sim_ann_lsh: multi-band OR-construction ANN — 32 bands x 4 planes,
+  measured recall@10 = 1.0 vs brute force at sf0.01
+  (tests/test_similarity.py asserts >= 0.9). On this near-random
+  synthetic corpus (top-10 neighbors at cos 0.24-0.40) the candidate
+  fraction is high (~0.85); the pruning power of the identical plan
+  grows as real corpora concentrate neighbors at higher cosine.
 
-All vector math is built-in zip_with/aggregate (functions/vectors.py)
-— no Python UDFs.
+Planes are deterministic Gaussian vectors (fixed-seed numpy, embedded
+as literal arrays): sign projections are computed in one Catalyst
+``transform`` lambda over a 2-D literal — no shuffle to assign
+buckets, no Python in the hot path. (A first attempt derived planes
+from a linear integer formula; its planes were correlated and recall
+collapsed — Gaussian i.i.d. planes are load-bearing.)
+
+All vector math is built-in zip_with/aggregate (functions/vectors.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine
 from ..plans.registry import query
 from ..session import load_table
 
 N_QUERIES = 5  # query set: the N lowest vec_ids
 TOP_K = 10
+DIM = 64
+PLANE_SEED = 42
 
 _COS_SQL = (
     "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / "
@@ -72,7 +89,59 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- banded random-hyperplane LSH -------------------------------------------
+
+
+def _planes(n_planes: int, dim: int = DIM, seed: int = PLANE_SEED) -> np.ndarray:
+    """Deterministic i.i.d. Gaussian hyperplanes (fixed seed: every
+    engine/run derives identical planes)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def band_signatures(
+    df: DataFrame, bands: int, rows: int, emb_col: str = "embedding"
+) -> DataFrame:
+    """Explode each vector into ``bands`` rows keyed by (band, sig),
+    where sig is the concatenated sign pattern of that band's ``rows``
+    hyperplane projections.
+
+    One Catalyst expression computes all bands x rows projections from
+    a 2-D literal plane matrix (transform + zip_with/aggregate): no
+    join, no shuffle, whole-stage-codegen'd. The explode factor is
+    ``bands`` — the downstream join is keyed on (band, sig), so at
+    100 TB the shuffle is bucket-sized, never O(n^2)."""
+    planes = _planes(bands * rows)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in p]) for p in planes]
+    )
+    emb = F.col(emb_col)
+    signs = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(emb, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.array_join(F.slice(signs, b * rows + 1, rows), "").alias("sig"),
+        ),
+    )
+    return df.withColumn("e", F.explode(entries)).select(
+        *df.columns, F.col("e.band").alias("band"), F.col("e.sig").alias("sig")
+    )
+
+
 NEARDUP_COS = 0.9
+NEARDUP_BANDS = 16
+NEARDUP_ROWS = 8
 
 
 @query(
@@ -84,66 +153,61 @@ WHERE ROUND({_COS_SQL}, 6) >= {NEARDUP_COS}
 """,
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine >= 0.9). Brute-force
-    baseline; the LSH bucket path below is the scale variant."""
+    """Embedding near-dup pairs (cosine >= 0.9) through LSH buckets:
+    band self-join on (band, sig), distinct pairs, exact cosine check.
+    No BroadcastNestedLoopJoin/cartesian anywhere in the plan
+    (asserted in tests/test_similarity.py); recall at cos>=0.9 is
+    1-(1-0.857^8)^16 ~ 99.6% per pair, and the exact-SQL oracle stays
+    the ground truth the driver checks against."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"))
+    sig = band_signatures(emb, NEARDUP_BANDS, NEARDUP_ROWS)
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "band", "sig")
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "band", "sig")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "q_emb", "c_emb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     cos = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
 
 
-# --- ANN: random-hyperplane LSH ---------------------------------------------
-
-N_PLANES = 12
-DIM = 64
-
-
-def _plane(p: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (no RNG: fixed integer
-    mix so every engine/run derives the identical planes)."""
-    return [(((p * 37 + d * 101 + 13) * 2654435761) % 1997 - 998) / 998.0 for d in range(DIM)]
-
-
-def hyperplane_buckets(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    """Sign-pattern bucket id from N_PLANES literal hyperplanes. The
-    planes are literal arrays -> the dot products are codegen'd; no
-    join, no shuffle to assign buckets."""
-    bucket = None
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane(p)])
-        bit = F.when(dot(F.col(emb_col), plane) >= 0, F.lit(2**p)).otherwise(0)
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket.cast("bigint"))
+ANN_BANDS = 32
+ANN_ROWS = 4
 
 
 @query("sim_ann_lsh")  # approximate by construction: rows-only check
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via hyperplane LSH: score only candidates in the same
-    sign-pattern bucket as the query. Recall vs sim_topk_bruteforce is
-    asserted in tests/test_similarity.py."""
-    emb = hyperplane_buckets(load_table(spark, sf_dir, "embeddings"))
+    """ANN top-k via multi-band hyperplane LSH (OR-construction over
+    {ANN_BANDS} bands of {ANN_ROWS} planes): candidates are the union
+    of same-bucket vectors across bands, scored exactly, ranked per
+    query. Measured recall@10 vs sim_topk_bruteforce at sf0.01 is 1.0
+    (tests/test_similarity.py asserts >= 0.9)."""
+    emb = band_signatures(load_table(spark, sf_dir, "embeddings"), ANN_BANDS, ANN_ROWS)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        "bucket",
+        "band",
+        "sig",
     )
     c = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "band", "sig"
     )
-    scored = (
+    cand = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["band", "sig"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "cand_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -641,6 +641,48 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_map_funcs",
+    """
+SELECT p_partkey,
+       CAST(cardinality(map(['brand','type','name'],
+                            [p_brand, p_type, p_name])) AS INT) AS n_keys,
+       map_extract(map(['brand','type','name'],
+                       [p_brand, p_type, p_name]), 'brand')[1] AS brand,
+       upper(p_type) AS type_upper,
+       concat(CASE WHEN length(p_brand) > 9 THEN 'brand,' ELSE '' END,
+              CASE WHEN length(p_type) > 9 THEN 'type,' ELSE '' END,
+              CASE WHEN length(p_name) > 9 THEN 'name,' ELSE '' END
+       ) AS long_keys
+FROM part
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType scalar functions: create_map / map_keys / element_at /
+    map_filter / transform_values, all JVM-side expressions. The oracle
+    mirrors the VALUES (DuckDB lacks map_filter; the filtered-key list
+    is re-derived with CASE logic over the same columns)."""
+    part = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+        F.lit("name"), F.col("p_name"),
+    )
+    long_kv = F.map_filter(m, lambda k, v: F.length(v) > 9)
+    return part.select(
+        "p_partkey",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, F.lit("brand")).alias("brand"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), F.lit("type")
+        ).alias("type_upper"),
+        F.concat_ws(
+            "",
+            F.transform(F.map_keys(long_kv), lambda k: F.concat(k, F.lit(","))),
+        ).alias("long_keys"),
+    )
+
+
+@query(
     "q_array_funcs",
     """
 SELECT vec_id, label,

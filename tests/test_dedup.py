@@ -1,0 +1,87 @@
+"""Accuracy tests for the probabilistic dedup operators: MinHash-LSH
+candidate recall vs the exact df-capped n-gram Jaccard ground truth,
+SimHash sanity, and skew-cap behavior.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ftp_blueprints_spark.operators import dedup as D
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_oracle):
+    """Every exact-Jaccard pair at threshold 0.3 should surface as an
+    LSH candidate with high probability: with 8 bands x 4 rows, a pair
+    at J=0.3 collides with p = 1-(1-0.3^4)^8 ~ 6% per band-row config,
+    but observed duplicate pairs in this corpus have J >> threshold
+    (exact copies J=1 collide with certainty). Assert recall over the
+    actual ground-truth pairs."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dd_ngram_jaccard(spark, sf_oracle).collect()
+    }
+    assert exact, "ground truth unexpectedly empty at sf0.01"
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dd_minhash_lsh(spark, sf_oracle).collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH recall = {recall:.3f}"
+
+
+def test_minhash_est_jaccard_tracks_exact(spark, sf_oracle):
+    """For candidate pairs that are exact-Jaccard pairs, the signature
+    estimate should be within 0.25 of the true Jaccard (32 perms ->
+    stderr ~ sqrt(J(1-J)/32) <= 0.09; 0.25 is ~3 sigma)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.dd_ngram_jaccard(spark, sf_oracle).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.dd_minhash_lsh(spark, sf_oracle).collect()
+    }
+    both = set(exact) & set(est)
+    assert both
+    for pair in both:
+        assert abs(exact[pair] - est[pair]) <= 0.25, (
+            f"{pair}: exact={exact[pair]:.3f} est={est[pair]:.3f}"
+        )
+
+
+def test_simhash_banding_is_complete_at_threshold(spark, sf_oracle):
+    """Pigeonhole completeness: the chunk-bucket join must find EVERY
+    pair within Hamming distance HAMMING_THRESHOLD (4 chunks, <=3 bit
+    errors -> at least one clean chunk). Ground truth is a driver-side
+    exact all-pairs scan over the collected 64-bit signatures."""
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(
+        __import__("ftp_blueprints_spark.session", fromlist=["load_table"]).load_table(
+            spark, sf_oracle, "documents"
+        )
+    ).collect()}
+    ids = sorted(sigs)
+    mask = (1 << 64) - 1
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= D.HAMMING_THRESHOLD:
+                want.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in D.dd_simhash(spark, sf_oracle).collect()
+    }
+    assert got == want, f"missing={want - got} extra={got - want}"
+
+
+def test_capped_shingles_drop_hot_keys(spark, sf_oracle):
+    """The df cap actually removes high-frequency shingles from the
+    join input (bounding per-key fan-out)."""
+    from ftp_blueprints_spark.session import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    capped = D.capped_shingles(docs, 3, max_df=5)
+    max_df = (
+        capped.groupBy("s").agg(F.count("*").alias("df"))
+        .agg(F.max("df").alias("m")).collect()[0]["m"]
+    )
+    assert max_df <= 5

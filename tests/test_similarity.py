@@ -1,0 +1,77 @@
+"""Accuracy + plan-shape tests for the similarity operators (the
+validation story for the rows-only driver checks).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ftp_blueprints_spark.operators import similarity as S
+from tests.conftest import SF_ORACLE
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_oracle):
+    """Multi-band OR-construction recall@10 >= 0.9 vs exact top-k."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in S.sim_topk_bruteforce(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in S.sim_ann_lsh(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ANN recall@{S.TOP_K} = {recall:.3f}"
+
+
+def test_neardup_no_cartesian_and_matches_bruteforce(spark, sf_oracle):
+    """The LSH-bucketed near-dup plan contains no nested-loop/cartesian
+    join, and its result equals the exact all-pairs computation."""
+    df = S.sim_embedding_neardup(spark, sf_oracle)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    from ftp_blueprints_spark.functions.vectors import cosine
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= S.NEARDUP_COS)
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in exact.collect()}
+    assert got == want
+
+
+def test_ann_lsh_no_cartesian(spark, sf_oracle):
+    plan = _physical_plan(S.sim_ann_lsh(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_signatures_shape(spark, sf_oracle):
+    """Each vector explodes into exactly `bands` (band, sig) rows with
+    fixed-width binary-string signatures."""
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").limit(20)
+    sig = S.band_signatures(emb, bands=6, rows=5)
+    rows = sig.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("band").alias("nb"),
+        F.min(F.length("sig")).alias("lmin"),
+        F.max(F.length("sig")).alias("lmax"),
+    ).collect()
+    for r in rows:
+        assert (r["n"], r["nb"], r["lmin"], r["lmax"]) == (6, 6, 5, 5)
