@@ -1,0 +1,255 @@
+"""Streaming slice over the `events` table (SURVEY.md §2B streaming
+row; milestone 6): tumbling/sliding/session windows, watermarking,
+stateful dedup.
+
+Two layers:
+
+1. **Batch-mode window queries** (driver-checked against DuckDB):
+   the exact window semantics — tumbling `window(ts, ...)`, sliding
+   windows, `session_window`, keep-first dedup — run as batch
+   DataFrames so every result is hash-checkable. These are the same
+   expressions Structured Streaming executes incrementally.
+2. **Streaming runners** (`stream_*`): the identical plans through
+   `readStream` -> `withWatermark` -> windowed agg /
+   `dropDuplicatesWithinWatermark` -> memory sink with an
+   availableNow trigger. tests/test_streaming.py asserts the
+   streaming results equal the batch results — the
+   batch/streaming-equivalence contract Structured Streaming
+   guarantees for append-able aggregations.
+
+Scale design: windowed aggregations shuffle on (window, keys) with
+map-side partial aggregation; watermarks bound state (late rows
+beyond the watermark are dropped instead of growing state forever);
+session windows use Spark's built-in session merge rather than a
+per-user collect. Timestamps are emitted as epoch microseconds
+(BIGINT) so hashes are engine- and timezone-neutral.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.registry import query
+from ..session import load_table
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+_DSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@query(
+    "ev_tumbling_counts",
+    f"""
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_DSUM_VALUE} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ev_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows x event_type: the canonical streaming
+    aggregation shape (shuffle keyed on (window, type), partial agg
+    map-side). Batch execution of the exact streaming expression."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(_DSUM_VALUE).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_sliding_avg",
+    """
+WITH expanded AS (
+  SELECT UNNEST([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS w_start,
+         value
+  FROM events
+)
+SELECT epoch_us(w_start) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(FLOOR((SUM(CAST(ROUND(value * 10000) AS BIGINT)) * 100.0) / COUNT(*))
+            AS BIGINT) AS avg_value_micros
+FROM expanded GROUP BY 1
+""",
+)
+def ev_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-hour length, 1-hour slide): every event lands
+    in exactly two windows. The oracle mirrors the expansion with an
+    UNNEST over the two window starts. The average is emitted in exact
+    integer micro-units (values are scaled to ints before summing;
+    floor division) — double ROUND() ties at the 6th decimal hash
+    differently across engines."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "(SUM(CAST(ROUND(value * 10000) AS BIGINT)) * 100) DIV COUNT(*)"
+            ).alias("avg_value_micros"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value_micros",
+        )
+    )
+
+
+@query(
+    "ev_session_windows",
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '{SESSION_GAP}'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start,
+       epoch_us(MAX(ts)) + {SESSION_GAP_US} AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (session_window —
+    Spark merges overlapping per-key sessions; end = last event + gap).
+    Oracle rebuilds identical sessions with gaps-and-islands SQL."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            F.unix_micros(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "ev_dedup_first",
+    """
+SELECT user_id, event_type,
+       epoch_us(MIN(ts)) AS first_ts,
+       COUNT(*) AS n_dropped_later
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup by (user_id, event_type) — the deterministic
+    batch statement of what dropDuplicatesWithinWatermark computes on
+    a stream (state = one row per key within the watermark horizon)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("first_ts"),
+        F.count("*").alias("n_dropped_later"),
+    )
+
+
+# --- Structured Streaming runners ------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` through readStream. The parquet stores TIMESTAMP(NANOS)
+    (see session.load_table): the stream reads it as nanosecond LONG
+    and truncates to microseconds — identical rows to the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    # streaming file source wants a directory: point at sf_dir and
+    # glob-filter to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_tumbling_counts as a real stream: watermark + tumbling agg.
+    The 1-hour watermark bounds state; with an availableNow trigger and
+    complete/append semantics the final result equals the batch query."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(_DSUM_VALUE).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_session_windows as a real stream (stateful session merge)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            F.unix_micros(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: one surviving row per
+    (user_id, event_type) within the watermark horizon."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a stream into an in-memory table with availableNow (process
+    everything, then stop); returns after the query terminates."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,58 @@
+"""Batch/streaming equivalence tests: the Structured Streaming runners
+must produce the same results as the batch window queries the driver
+hash-checks (the incremental-execution contract).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ftp_blueprints_spark.streaming import events as E
+
+
+def _rows(df) -> set:
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_oracle):
+    batch = _rows(E.ev_tumbling_counts(spark, sf_oracle))
+    E.run_to_memory(
+        E.stream_tumbling_counts(spark, sf_oracle), "t_tumbling", "complete"
+    )
+    streamed = _rows(spark.table("t_tumbling"))
+    assert streamed == batch
+
+
+def test_streaming_session_equals_batch(spark, sf_oracle):
+    batch = _rows(E.ev_session_windows(spark, sf_oracle))
+    E.run_to_memory(
+        E.stream_session_windows(spark, sf_oracle), "t_session", "complete"
+    )
+    streamed = _rows(spark.table("t_session"))
+    assert streamed == batch
+
+
+def test_streaming_dedup_one_row_per_key(spark, sf_oracle):
+    """dropDuplicatesWithinWatermark keeps exactly one row per
+    (user_id, event_type) when all data fits one watermark horizon...
+    it may keep MORE when duplicates span horizons; assert the lower
+    bound == distinct keys and that every kept row is a real event."""
+    E.run_to_memory(E.stream_dedup(spark, sf_oracle), "t_dedup", "append")
+    kept = spark.table("t_dedup")
+    n_keys = (
+        E.ev_dedup_first(spark, sf_oracle).count()
+    )
+    kept_keys = kept.select("user_id", "event_type").distinct().count()
+    assert kept_keys == n_keys
+    assert kept.count() >= n_keys
+    # every kept row exists in the source
+    from ftp_blueprints_spark.session import load_table
+
+    src = load_table(spark, sf_oracle, "events").select("event_id").distinct()
+    assert kept.join(src, "event_id", "left_anti").count() == 0
+
+
+def test_watermark_in_plan(spark, sf_oracle):
+    """The streaming plans actually carry the watermark (state bound)."""
+    plan = E.stream_tumbling_counts(spark, sf_oracle)._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
