@@ -37,6 +37,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "tx_quality",
     "mm_decode_meta",
+    "ev_tumbling_counts",
 ]
 
 

@@ -150,6 +150,38 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_sample_frames",
+    """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT media_id,
+         UNNEST(range(0, CAST(least(8, CAST(ceil(n / 97.0) AS BIGINT)) AS BIGINT))) AS fno,
+         h
+  FROM b
+)
+SELECT media_id,
+       CAST(fno AS INT) AS frame_no,
+       CAST(fno * 97 AS INT) AS "offset",
+       CAST((strpos('0123456789ABCDEF', substr(h, CAST(fno*97*2+1 AS BIGINT), 1))-1)*16 +
+            (strpos('0123456789ABCDEF', substr(h, CAST(fno*97*2+2 AS BIGINT), 1))-1)
+            AS INT) AS value
+FROM fr
+""",
+)
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end-to-end (mapInPandas over binary
+    payloads, one output row per sampled frame). The oracle re-derives
+    each sampled byte from the hex dump of the same payload — byte
+    positions, not codepoints, so multi-byte UTF-8 text agrees too."""
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n_bytes=97, max_frames=8)
+
+
+@query(
     "mm_binary_stats",
     """
 SELECT doc_id AS media_id,

@@ -641,6 +641,76 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pivot_status",
+    """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): one column per order status. Compiles to a
+    single hash aggregate with conditional counts — same shuffle as a
+    plain groupBy, no extra pass per pivoted column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_cont
+    semantics in both engines; l_quantity is integral so interpolated
+    values are exact halves/tenths — no float-tie hashing risk)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 6).alias("p99_qty"),
+    )
+
+
+@query(
+    "q_string_agg",
+    """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation GROUP BY n_regionkey
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> array_sort ->
+    array_join (deterministic output regardless of row arrival order —
+    the property that makes listagg safe under distributed execution)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@query(
     "q_map_funcs",
     """
 SELECT p_partkey,

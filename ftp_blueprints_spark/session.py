@@ -45,6 +45,17 @@ def get_spark(
     )
     active = SparkSession.getActiveSession()
     if active is not None:
+        # master/memory are fixed at JVM start, but SQL confs are
+        # runtime-settable: apply them so the engine defaults hold even
+        # under a pre-existing session (e.g. the driver's plain one).
+        for k, v in (
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ):
+            active.conf.set(k, v)
         return active
     builder = builder.master(master or f"local[{cpus}]")
     return builder.getOrCreate()
