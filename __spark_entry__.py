@@ -49,6 +49,10 @@ try:
     from ftp_blueprints_spark.streaming import events as _streaming_events  # noqa: F401
 except ImportError:
     pass
+try:
+    from ftp_blueprints_spark.plans import udf_queries  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

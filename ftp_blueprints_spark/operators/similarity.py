@@ -176,6 +176,109 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+IVF_K = 16  # centroid count (would be ~sqrt(n) at scale)
+IVF_NPROBE = 6  # centroid lists searched per query
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid: broadcast the (tiny)
+    centroid table, score all K per vector, keep the argmax-cosine.
+    One narrow pass + a per-vector top-1 window — the standard IVF
+    build; at 100 TB this is the only full-data pass and it never
+    shuffles the vectors themselves (window keys on vec_id keep rows
+    where they are after the broadcast join)."""
+    scored = emb.join(
+        F.broadcast(centroids.select(F.col("cid"), F.col("c_emb"))),
+        how="cross",
+    ).select(
+        "vec_id", "embedding", "cid",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """Deterministic centroids: seed with the k lowest vec_ids, run one
+    Lloyd refinement (assign -> element-wise mean via posexplode /
+    groupBy(cid, pos) / collect ordered). K x dim is tiny, so the
+    refinement aggregates are cheap; determinism > convergence here."""
+    seeds = (
+        emb.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
+    assigned = ivf_assign(emb, seeds)
+    means = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s["m"].cast("float"),
+            ).alias("c_emb")
+        )
+    )
+    return means
+
+
+@query("sim_ivf_topk")  # approximate by construction: rows-only check
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: assign vectors to IVF_K centroid lists, probe the
+    IVF_NPROBE nearest lists per query, exact-score only those lists.
+    Recall@10 vs sim_topk_bruteforce asserted >= 0.9 in
+    tests/test_similarity.py. At scale the probed lists hold
+    ~nprobe/K of the corpus — the scan shrinks by K/nprobe while the
+    bucket join stays equi-keyed on cid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb).cache()
+    assigned = ivf_assign(emb, cents)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # per query: the nprobe nearest centroid ids
+    q_cent = q.join(F.broadcast(cents), how="cross").select(
+        "query_id", "q_emb", "cid",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        q_cent.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_emb"),
+                "cid",
+            ),
+            "cid",
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
 ANN_BANDS = 32
 ANN_ROWS = 4
 

@@ -1,0 +1,85 @@
+"""Vectorized UDF surface (SURVEY.md §2A.6 / §2B UDF row): Arrow-batched
+pandas_udf scalar and grouped-aggregate examples with DuckDB oracles.
+
+These exist to prove the extension surface with parity, not because
+the computations need Python — each formula is integer-exact so the
+oracle hashes identically (float libm results differ across engines in
+the last ulp; integer math does not). Real uses of this surface are
+the multimodal decode (operators/multimodal.py) and any model-scoring
+hook; the pattern here — Arrow batch in, vectorized numpy/pandas out,
+no per-row Python — is the 100 TB-safe shape. Row-at-a-time
+``F.udf`` is deliberately absent from this codebase.
+
+The pandas_udf objects are built inside the query functions (the
+decorator parses its return-type DDL, which needs a live session, so
+module-import time is too early).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..session import load_table
+from .registry import query
+
+
+def _doc_score_udf():
+    @pandas_udf("bigint")
+    def doc_score(text: pd.Series) -> pd.Series:
+        """Vectorized scalar: integer quality bucket from char/token
+        counts (whole Arrow batch at once, pandas str ops)."""
+        n_chars = text.str.len().astype("int64")
+        n_tokens = text.str.split().map(len).astype("int64")
+        return (n_chars // 100) * 10 + (n_tokens % 10)
+
+    return doc_score
+
+
+def _weighted_cents_udf():
+    @pandas_udf("bigint")
+    def weighted_cents(value: pd.Series, weight: pd.Series) -> int:
+        """Grouped-aggregate: exact weighted sum in integer cents
+        (each group's Arrow batch reduced vectorized)."""
+        cents = (value * 100).round().astype("int64")
+        return int((cents * weight.astype("int64")).sum())
+
+    return weighted_cents
+
+
+@query(
+    "udf_doc_score",
+    """
+SELECT doc_id,
+       (length(text) // 100) * 10 + (length(regexp_split_to_array(trim(text), '\\s+')) % 10) AS score
+FROM documents
+""",
+)
+def udf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas_udf, oracle-checked: the UDF column
+    computes the same integer formula the SQL oracle states."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _doc_score_udf()("text").alias("score"))
+
+
+@query(
+    "udf_grouped_weighted",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS weighted_cents
+FROM events GROUP BY event_type
+""",
+)
+def udf_grouped_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf (one Arrow batch per group into a scalar)
+    with the identical integer formula as the DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        _weighted_cents_udf()("value", "k").alias("weighted_cents")
+    )

@@ -28,6 +28,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_oracle):
     assert recall >= 0.9, f"ANN recall@{S.TOP_K} = {recall:.3f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    """IVF with IVF_NPROBE/IVF_K probe lists: recall@10 >= 0.9."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in S.sim_topk_bruteforce(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in S.sim_ivf_topk(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@{S.TOP_K} = {recall:.3f}"
+
+
 def test_neardup_no_cartesian_and_matches_bruteforce(spark, sf_oracle):
     """The LSH-bucketed near-dup plan contains no nested-loop/cartesian
     join, and its result equals the exact all-pairs computation."""
