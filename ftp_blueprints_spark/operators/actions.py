@@ -26,6 +26,7 @@ Reference error-semantic asymmetries preserved (behavioral parity):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame
 
@@ -33,6 +34,14 @@ from ..errors import InvalidFilePath, MoveError, UploadError
 from ..sources.connector import ClientSpec
 
 _TYPED = {e.__name__: e for e in (InvalidFilePath, MoveError, UploadError)}
+
+
+def _progress(action: str, n_ok: int, n_other: int = 0, other: str = "") -> None:
+    """D4 progress logging (the reference prints per-file lines,
+    download_file.py:197,268,276; here one line per partition so logs
+    stay bounded at scale)."""
+    extra = f", {n_other} {other}" if other else ""
+    print(f"[{action}] partition done: {n_ok} ok{extra}", file=sys.stderr)
 
 
 def _bounded(df: DataFrame, spec: ClientSpec) -> DataFrame:
@@ -62,6 +71,7 @@ def download(manifest: DataFrame, spec: ClientSpec, dest_root: str) -> dict:
 
     def sink(rows) -> None:
         client = spec.connect()
+        n_ok = n_failed = 0
         try:
             for row in rows:
                 dest = os.path.join(dest_root, row["dest_path"])
@@ -71,11 +81,14 @@ def download(manifest: DataFrame, spec: ClientSpec, dest_root: str) -> dict:
                     with open(tmp, "wb") as f:
                         client.retrieve(row["path"], f)
                     os.replace(tmp, dest)
+                    n_ok += 1
                     ok.add(1)
                 except Exception:
                     if os.path.exists(tmp):
                         os.remove(tmp)
+                    n_failed += 1
                     failed.add(1)  # D1: skip and continue
+            _progress("download", n_ok, n_failed, "failed")
         finally:
             client.close()
 
@@ -93,10 +106,12 @@ def upload(manifest: DataFrame, spec: ClientSpec, source_root: str = "") -> dict
 
     def sink(rows) -> None:
         client = spec.connect()
+        n_ok = n_skip = 0
         try:
             for row in rows:
                 src = os.path.join(source_root, row["path"]) if source_root else row["path"]
                 if not os.path.isfile(src):
+                    n_skip += 1
                     skipped.add(1)
                     continue
                 folder = row["dest_path"].rsplit("/", 1)[0] if "/" in row["dest_path"] else ""
@@ -105,9 +120,11 @@ def upload(manifest: DataFrame, spec: ClientSpec, source_root: str = "") -> dict
                         client.makedirs(folder)
                     with open(src, "rb") as f:
                         client.store(f, row["dest_path"])
+                    n_ok += 1
                     ok.add(1)
                 except Exception as e:
                     raise UploadError(f"failed to upload {src}: {e}") from e
+            _progress("upload", n_ok, n_skip, "skipped")
         finally:
             client.close()
 
@@ -126,6 +143,7 @@ def move(manifest: DataFrame, spec: ClientSpec) -> dict:
 
     def sink(rows) -> None:
         client = spec.connect()
+        n_ok = 0
         try:
             for row in rows:
                 folder = row["dest_path"].rsplit("/", 1)[0] if "/" in row["dest_path"] else ""
@@ -133,9 +151,11 @@ def move(manifest: DataFrame, spec: ClientSpec) -> dict:
                     if folder:
                         client.makedirs(folder)
                     client.rename(row["path"], row["dest_path"])
+                    n_ok += 1
                     ok.add(1)
                 except Exception as e:
                     raise MoveError(f"failed to move {row['path']}: {e}") from e
+            _progress("move", n_ok)
         finally:
             client.close()
 
@@ -154,13 +174,16 @@ def delete(manifest: DataFrame, spec: ClientSpec) -> dict:
 
     def sink(rows) -> None:
         client = spec.connect()
+        n_ok = 0
         try:
             for row in rows:
                 try:
                     client.delete(row["path"])
+                    n_ok += 1
                     ok.add(1)
                 except Exception as e:
                     raise InvalidFilePath(f"failed to delete {row['path']}: {e}") from e
+            _progress("delete", n_ok)
         finally:
             client.close()
 

@@ -17,7 +17,7 @@ bucket, never the cross product.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..plans.registry import query
 from ..session import load_table
@@ -118,14 +118,18 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
 
 def capped_shingles(docs: DataFrame, n: int = 3, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Distinct n-gram shingles minus those with document frequency
-    above ``max_df``. The hot-shingle list is tiny by construction
-    (only ubiquitous phrases exceed the cap), so the exclusion is a
-    broadcast anti-join — no extra big shuffle."""
+    above ``max_df``, via a count window over the shingle key: ONE
+    pass over the exploded shingles (an agg+anti-join would compute
+    the explode twice), count-only within each s-partition (bounded
+    work even on hot keys), and the downstream self-join shuffles on
+    the same key so the exchange is reused."""
     sh = shingles(docs, n)
-    hot = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
-        F.col("df") > max_df
-    ).select("s")
-    return sh.join(F.broadcast(hot), "s", "left_anti")
+    w = Window.partitionBy("s")
+    return (
+        sh.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
 
 
 @query("dd_ngram_jaccard", _DD_JACCARD_ORACLE)
@@ -165,13 +169,18 @@ LSH_BANDS = 8  # 8 bands x 4 rows
 
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_PERMS) -> DataFrame:
-    """K-permutation MinHash signature per doc. Permutation i is
-    xxhash64(i, shingle) — one pass over exploded shingles, K min-aggs
-    (map-side partial agg keeps shuffle at O(docs * K))."""
+    """K-permutation MinHash signature per doc as ONE array column.
+    Permutation i is xxhash64(i, shingle) — one pass over exploded
+    shingles, K min-aggs (map-side partial agg keeps shuffle at
+    O(docs * K)); packing into an array keeps downstream join rows
+    narrow (doc_id + 1 column instead of K)."""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
 
 
 def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_PERMS) -> DataFrame:
@@ -182,9 +191,9 @@ def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_PERM
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                    "bh"
-                ),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                ).alias("bh"),
             )
             for b in range(bands)
         ]
@@ -211,15 +220,16 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = capped_shingles(docs, 3)  # same df-capped universe as the ground truth
     sig = minhash_signatures(sh).cache()
     cand = lsh_candidates(sig)
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)]
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)]
-    )
-    eq_sum = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(MINHASH_PERMS)
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    eq_sum = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         cand.join(sig_a, "doc_a")

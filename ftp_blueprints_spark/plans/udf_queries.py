@@ -65,6 +65,41 @@ def udf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_grouped_demean",
+    """
+WITH cents AS (
+  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT event_id, user_id,
+       c - (CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT)
+            // COUNT(*) OVER (PARTITION BY user_id)) AS dev_cents
+FROM cents
+""",
+)
+def udf_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user demeaned value in integer
+    cents (floor-div mean keeps the math exact). One Arrow batch per
+    user group in, one out — the custom-grouped-transform shape
+    (z-scores, per-entity models) with a window-SQL oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        mean_floor = cents.sum() // len(cents)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "dev_cents": cents - mean_floor,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        demean, "event_id bigint, user_id bigint, dev_cents bigint"
+    )
+
+
+@query(
     "udf_grouped_weighted",
     """
 SELECT event_type,
