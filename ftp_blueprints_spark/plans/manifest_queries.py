@@ -262,3 +262,32 @@ def mf_real_listing_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mf = list_tree(spark, ClientSpec(kind="local", root=sf_dir), "")
     return mf.filter(~F.col("is_dir")).select("path", "name", "size")
+
+
+@query(
+    "mf_real_listing_datasource",
+    f"""
+SELECT regexp_replace(filename, '.*/', '') AS path,
+       regexp_replace(filename, '.*/', '') AS name,
+       CAST(size AS BIGINT) AS size
+FROM read_blob('{_SF01}/*.parquet')
+""",
+)
+def mf_real_listing_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ftp_manifest Python DataSource (Spark 4 pyspark.sql.datasource
+    API) over a REAL tree: spark.read.format('ftp_manifest') with one
+    input partition per top-level entry, each walked executor-side with
+    its own client."""
+    from ..sources.datasource import ManifestDataSource
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("ftp_manifest")
+        .option("kind", "local")
+        .option("root", sf_dir)
+        .load()
+    )
+    return df.filter(~F.col("is_dir")).select("path", "name", "size")

@@ -1,0 +1,144 @@
+"""Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) exposing
+remote trees as DataFrames: the engine's answer to "Spark has no
+native FTP source" (SURVEY.md §1.3).
+
+    spark.dataSource.register(ManifestDataSource)
+    df = (spark.read.format("ftp_manifest")
+          .option("kind", "local").option("root", "/data")
+          .option("with_content", "true")
+          .load())
+
+Schema: the manifest columns (path/folder/name/is_dir/size), plus a
+``content`` BINARY column when ``with_content`` is set.
+
+Partitioning: the driver lists ONLY the root level with one
+connection; every top-level entry becomes an InputPartition whose
+subtree is walked by an executor with its own client. Listing and
+byte-transfer both scale with the number of top-level entries
+(bounded by ``max_connections`` at the sink side; readers are capped
+by Spark's task parallelism), and file bytes stream executor-side —
+they never pass through the driver.
+
+The reader consumes the same ClientSpec/RemoteClient interface as the
+sinks, so `kind=ftp` serves a real FTP server with the unified
+timeout/passive policy while tests exercise `kind=local`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .connector import ClientSpec
+
+_BASE_FIELDS = [
+    StructField("path", StringType()),
+    StructField("folder", StringType()),
+    StructField("name", StringType()),
+    StructField("is_dir", BooleanType()),
+    StructField("size", LongType()),
+]
+
+
+def _spec_from_options(options) -> ClientSpec:
+    return ClientSpec(
+        kind=options.get("kind", "local"),
+        root=options.get("root", "."),
+        host=options.get("host", ""),
+        port=int(options.get("port", 21)),
+        username=options.get("username", ""),
+        password=options.get("password", ""),
+        timeout=int(options.get("timeout", 300)),
+        max_connections=int(options.get("max_connections", 16)),
+    )
+
+
+class _TreePartition(InputPartition):
+    def __init__(self, entry: tuple, is_dir: bool):
+        self.entry = entry  # (path, folder, name, is_dir, size)
+        self.is_dir = is_dir
+
+
+class ManifestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.spec = _spec_from_options(options)
+        self.root = options.get("folder", "")
+        self.skip_dot_dirs = options.get("skip_dot_dirs", "true") == "true"
+        self.with_content = options.get("with_content", "false") == "true"
+
+    def partitions(self):
+        """One cheap root-level listing on the driver; each entry's
+        subtree becomes an executor-side partition."""
+        client = self.spec.connect()
+        try:
+            parts = []
+            for path, is_dir, size in client.listdir(self.root):
+                name = path.rsplit("/", 1)[-1]
+                if self.skip_dot_dirs and set(name) == {"."}:
+                    continue
+                parts.append(
+                    _TreePartition((path, self.root, name, is_dir, size), is_dir)
+                )
+            return parts or [_TreePartition(None, False)]
+        finally:
+            client.close()
+
+    def read(self, partition: _TreePartition) -> Iterator[tuple]:
+        if partition.entry is None:
+            return
+        client = self.spec.connect()
+        try:
+            stack = [partition.entry]
+            while stack:
+                row = stack.pop()
+                path, folder, name, is_dir, size = row
+                if is_dir:
+                    yield self._emit(row, None)
+                    for cpath, c_is_dir, csize in client.listdir(path):
+                        cname = cpath.rsplit("/", 1)[-1]
+                        if self.skip_dot_dirs and set(cname) == {"."}:
+                            continue
+                        stack.append((cpath, path, cname, c_is_dir, csize))
+                else:
+                    content = None
+                    if self.with_content:
+                        import io
+
+                        buf = io.BytesIO()
+                        client.retrieve(path, buf)
+                        content = buf.getvalue()
+                    yield self._emit(row, content)
+        finally:
+            client.close()
+
+    def _emit(self, row: tuple, content: bytes | None):
+        if self.with_content:
+            return (*row, content)
+        return row
+
+
+class ManifestDataSource(DataSource):
+    """``ftp_manifest`` format: remote-tree manifest (optionally with
+    file bytes) as a DataFrame."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ftp_manifest"
+
+    def schema(self) -> StructType:
+        fields = list(_BASE_FIELDS)
+        if self.options.get("with_content", "false") == "true":
+            fields.append(StructField("content", BinaryType()))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> ManifestReader:
+        return ManifestReader(schema, self.options)

@@ -1,0 +1,92 @@
+"""Tests for the ftp_manifest Python DataSource (Spark 4 API): listing
+parity with the connector BFS, content reads, dot-dir semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from ftp_blueprints_spark.sources.connector import ClientSpec
+from ftp_blueprints_spark.sources.listing import list_tree
+
+TREE = {
+    "a/x.csv": b"x-data",
+    "a/deep/y.csv": b"y-data",
+    "b/z.txt": b"z",
+    "top.bin": b"\x01\x02",
+}
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    for rel, data in TREE.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    d = tmp_path / ".."  # not creatable; use a literal dot-dir instead
+    d = tmp_path / "..."
+    d.mkdir()
+    (d / "hidden.csv").write_bytes(b"h")
+    return tmp_path
+
+
+@pytest.fixture()
+def registered(spark):
+    from ftp_blueprints_spark.sources.datasource import ManifestDataSource
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark
+
+
+def test_datasource_matches_list_tree(registered, tree):
+    spark = registered
+    df = (
+        spark.read.format("ftp_manifest")
+        .option("kind", "local")
+        .option("root", str(tree))
+        .load()
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in list_tree(spark, ClientSpec(kind="local", root=str(tree)), "").collect()}
+    assert got == want
+    assert not any(r[2] == "..." for r in got)  # dot-dirs skipped
+
+
+def test_datasource_keeps_dot_dirs_when_asked(registered, tree):
+    df = (
+        registered.read.format("ftp_manifest")
+        .option("kind", "local")
+        .option("root", str(tree))
+        .option("skip_dot_dirs", "false")
+        .load()
+    )
+    names = {r["name"] for r in df.collect()}
+    assert "..." in names and "hidden.csv" in names
+
+
+def test_datasource_with_content(registered, tree):
+    df = (
+        registered.read.format("ftp_manifest")
+        .option("kind", "local")
+        .option("root", str(tree))
+        .option("with_content", "true")
+        .load()
+    )
+    rows = {r["path"]: r for r in df.collect()}
+    assert bytes(rows["a/x.csv"]["content"]) == b"x-data"
+    assert bytes(rows["a/deep/y.csv"]["content"]) == b"y-data"
+    assert rows["a"]["content"] is None  # dirs carry no bytes
+
+
+def test_datasource_partitions_per_top_entry(registered, tree):
+    """One input partition per root entry -> executor-parallel walk."""
+    df = (
+        registered.read.format("ftp_manifest")
+        .option("kind", "local")
+        .option("root", str(tree))
+        .load()
+    )
+    # a/, b/, top.bin => 3 partitions
+    assert df.rdd.getNumPartitions() == 3
