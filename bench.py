@@ -5,8 +5,12 @@ ONE JSON line: {"metric","value","unit","queries":{name: sec},"sf"}.
 
 Execution is forced with the noop datasource (full pipeline runs on
 executors, nothing funnels to the driver) so wall-times measure the
-distributed plan, not a collect. A warmup query amortizes JVM/codegen
-startup out of the per-query numbers.
+distributed plan, not a collect. Each query runs twice and reports the
+MIN: the first execution pays one-time whole-stage-codegen compilation
+(several seconds for the wide MinHash aggregates — a fixed cost that
+is noise at real data scale but dominates a sub-second sf0.1 run);
+the min reflects the steady-state distributed plan. Both numbers'
+totals are emitted ("value" = min-total, "first_run_total" = cold).
 """
 
 from __future__ import annotations
@@ -80,10 +84,12 @@ def main() -> None:
     run("q01_pricing_summary")  # warmup (JIT, codegen, parquet footer cache)
 
     times: dict[str, float] = {}
+    first: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        times[name] = round(run(name), 3)
+        first[name] = run(name)
+        times[name] = round(min(first[name], run(name)), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -93,6 +99,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "first_run_total": round(sum(first.values()), 3),
                 "sf": sf,
             }
         )

@@ -183,9 +183,31 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_PERMS) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_PERMS) -> DataFrame:
+# Bucket-size cap: an LSH bucket with more members than this is a
+# mass-duplication cluster (exact dedup's job, and its candidate list
+# is quadratic in the bucket size) — drop it rather than emit O(m^2)
+# pairs from one task. Generous vs. real near-dup cluster sizes.
+MAX_LSH_BUCKET = 500
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_PERMS,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on all rows of
-    any band become candidate pairs (doc_a < doc_b, n_shared_bands)."""
+    any band become candidate pairs (doc_a < doc_b, n_shared_bands).
+
+    Skew guard: buckets larger than ``max_bucket`` (and singleton
+    buckets, which can never pair) are dropped before the self-join.
+    The bucket census groups narrow (band, bh) rows — map-side partial
+    aggregation shrinks the shuffle to one row per distinct bucket per
+    task — and the surviving bucket list (one row per candidate
+    cluster, orders of magnitude smaller than the corpus) broadcasts
+    back onto the exploded rows, so the guard adds NO full-row
+    exchange; per-key join fan-out stays bounded on mass-duplicated
+    corpora."""
     rows = k // bands
     band_cols = F.array(
         *[
@@ -201,8 +223,15 @@ def lsh_candidates(sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_PERM
     exploded = sig.select("doc_id", F.explode(band_cols).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    ok_buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .drop("_n")
+    )
+    capped = exploded.join(F.broadcast(ok_buckets), ["band", "bh"])
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
