@@ -1,0 +1,217 @@
+"""End-to-end tests of the ``kind='ftp'`` path against a real (local,
+in-process) FTP server speaking RFC 959 over sockets: S1 session open
+(incl. bad-credential exit-3 semantics), S2 listing + cwd-probe
+classification, S3 parallel BFS, S6-S10 action sinks, and the
+ftp_manifest DataSource — the same code paths a production FTP server
+would exercise, minus the network.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+
+from ftp_blueprints_spark.errors import (
+    IncorrectCredentials,
+    InvalidFilePath,
+    MoveError,
+    UploadError,
+)
+from ftp_blueprints_spark.operators import actions
+from ftp_blueprints_spark.sources.connector import ClientSpec
+from ftp_blueprints_spark.sources.listing import list_tree
+
+from .ftp_stub_server import FtpStubServer
+
+USERS = {"alice": "secret"}
+
+TREE = {
+    "data/a.csv": b"alpha,1\n",
+    "data/b.csv": b"beta,2\n",
+    "data/sub/c.txt": b"gamma",
+    "data/.../hidden.csv": b"dot-dir",
+    "top.bin": b"\x00\x01",
+}
+
+
+@pytest.fixture()
+def ftp_root(tmp_path):
+    for rel, payload in TREE.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(payload)
+    return str(tmp_path)
+
+
+def spec_for(host: str, port: int, **kw) -> ClientSpec:
+    return ClientSpec(
+        kind="ftp", host=host, port=port, username="alice", password="secret",
+        timeout=10, max_connections=4, **kw,
+    )
+
+
+# --- S1: session open -------------------------------------------------------
+
+def test_bad_credentials_raise_exit3_error(ftp_root):
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        bad = ClientSpec(kind="ftp", host=host, port=port,
+                         username="alice", password="wrong", timeout=10)
+        with pytest.raises(IncorrectCredentials) as ei:
+            bad.connect()
+        assert ei.value.exit_code == 3
+
+
+# --- S2: listing + classification ------------------------------------------
+
+def test_listdir_classifies_and_prefixes_bare_names(ftp_root):
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        client = spec_for(host, port).connect()
+        try:
+            got = client.listdir("data")
+        finally:
+            client.close()
+    by_path = {p: (d, s) for p, d, s in got}
+    # NLST returned bare names; the client prefixed the folder
+    assert by_path["data/a.csv"] == (False, len(TREE["data/a.csv"]))
+    assert by_path["data/sub"] == (True, None)  # cwd-probe says directory
+    assert by_path["data/..."][0] is True
+
+
+# --- S2+S3: parallel BFS into the manifest ---------------------------------
+
+def test_list_tree_over_ftp(spark, ftp_root):
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        mf = list_tree(spark, spec_for(host, port), "data")
+        rows = {r["path"]: r for r in mf.collect()}
+    assert set(rows) == {"data/a.csv", "data/b.csv", "data/sub", "data/sub/c.txt"}
+    assert rows["data/sub"]["is_dir"] is True
+    assert rows["data/sub/c.txt"]["size"] == len(TREE["data/sub/c.txt"])
+    # dot-dir pruned during traversal (F4), so its children never appear
+    assert not any("hidden" in p for p in rows)
+
+
+# --- DataSource over FTP ----------------------------------------------------
+
+def test_datasource_reads_content_over_ftp(spark, ftp_root):
+    from ftp_blueprints_spark.sources.datasource import ManifestDataSource
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        df = (
+            spark.read.format("ftp_manifest")
+            .option("kind", "ftp").option("host", host).option("port", str(port))
+            .option("username", "alice").option("password", "secret")
+            .option("timeout", "10")
+            .option("folder", "data")
+            .option("with_content", "true")
+            .load()
+        )
+        rows = {r["path"]: r for r in df.collect()}
+    assert bytes(rows["data/a.csv"]["content"]) == TREE["data/a.csv"]
+    assert bytes(rows["data/sub/c.txt"]["content"]) == TREE["data/sub/c.txt"]
+    assert rows["data/sub"]["content"] is None
+
+
+# --- S6/D1: download sink (per-row skip) -----------------------------------
+
+def test_download_sink_skips_bad_rows(spark, ftp_root, tmp_path):
+    dest = tmp_path / "out"
+    manifest = spark.createDataFrame(
+        [("data/a.csv", "a.csv"), ("data/missing.csv", "missing.csv"),
+         ("data/sub/c.txt", "nested/c.txt")],
+        "path string, dest_path string",
+    )
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        result = actions.download(manifest, spec_for(host, port), str(dest))
+    assert result == {"ok": 2, "failed": 1}
+    assert (dest / "a.csv").read_bytes() == TREE["data/a.csv"]
+    assert (dest / "nested/c.txt").read_bytes() == TREE["data/sub/c.txt"]
+    assert not (dest / "missing.csv").exists()
+    assert not list(dest.glob("*.inprogress"))  # no partial outputs
+
+
+# --- S7+S8/D2: upload sink (fail-fast, mkdir -p) ----------------------------
+
+def test_upload_sink_creates_remote_dirs(spark, ftp_root, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "x.csv").write_bytes(b"xx")
+    manifest = spark.createDataFrame(
+        [(str(src / "x.csv"), "incoming/deep/x.csv"),
+         (str(src), "ignored-dir")],  # non-file source: silent skip
+        "path string, dest_path string",
+    )
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        result = actions.upload(manifest, spec_for(host, port))
+    assert result == {"ok": 1, "skipped": 1}
+    assert (
+        os.path.join(ftp_root, "incoming/deep/x.csv")
+        and open(os.path.join(ftp_root, "incoming/deep/x.csv"), "rb").read() == b"xx"
+    )
+
+
+def test_upload_fail_fast_on_readonly_server(spark, ftp_root, tmp_path):
+    f = tmp_path / "y.csv"
+    f.write_bytes(b"yy")
+    manifest = spark.createDataFrame(
+        [(str(f), "y.csv")], "path string, dest_path string"
+    )
+    with FtpStubServer(ftp_root, USERS, readonly=True) as (host, port):
+        with pytest.raises(UploadError):
+            actions.upload(manifest, spec_for(host, port))
+
+
+# --- S9/D2: move (server-side rename) --------------------------------------
+
+def test_move_renames_server_side(spark, ftp_root):
+    manifest = spark.createDataFrame(
+        [("data/a.csv", "archive/a.csv")], "path string, dest_path string"
+    )
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        result = actions.move(manifest, spec_for(host, port))
+    assert result == {"ok": 1}
+    assert not os.path.exists(os.path.join(ftp_root, "data/a.csv"))
+    assert open(os.path.join(ftp_root, "archive/a.csv"), "rb").read() == TREE["data/a.csv"]
+
+
+def test_move_fail_fast_exit202(spark, ftp_root):
+    manifest = spark.createDataFrame(
+        [("data/nope.csv", "archive/nope.csv")], "path string, dest_path string"
+    )
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        with pytest.raises(MoveError) as ei:
+            actions.move(manifest, spec_for(host, port))
+    assert ei.value.exit_code == 202
+
+
+# --- S10/D2: delete ---------------------------------------------------------
+
+def test_delete_removes_files_fail_fast_exit201(spark, ftp_root):
+    ok = spark.createDataFrame([("data/b.csv",)], "path string")
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        assert actions.delete(ok, spec_for(host, port)) == {"ok": 1}
+        assert not os.path.exists(os.path.join(ftp_root, "data/b.csv"))
+        bad = spark.createDataFrame([("data/b.csv",)], "path string")
+        with pytest.raises(InvalidFilePath) as ei:
+            actions.delete(bad, spec_for(host, port))
+        assert ei.value.exit_code == 201
+
+
+# --- raw client round-trip --------------------------------------------------
+
+def test_client_store_retrieve_roundtrip(ftp_root):
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        client = spec_for(host, port).connect()
+        try:
+            client.makedirs("up/loads")
+            client.store(io.BytesIO(b"payload"), "up/loads/p.bin")
+            out = io.BytesIO()
+            client.retrieve("up/loads/p.bin", out)
+        finally:
+            client.close()
+    assert out.getvalue() == b"payload"
