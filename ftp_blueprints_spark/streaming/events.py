@@ -241,6 +241,103 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
 
 
+# --- custom stateful operator: TTL-renewal dedup ----------------------------
+#
+# Keep an event iff the last KEPT event of its (user_id, event_type) is
+# more than TTL older. Unlike dropDuplicatesWithinWatermark (suppress
+# every later duplicate inside the horizon), acceptance here RENEWS the
+# suppression window, so which rows survive depends recursively on the
+# kept set — not expressible with lag()/windows or portable SQL, which
+# is exactly the case applyInPandasWithState exists for. The driver
+# entry is rows-only by design; tests/test_streaming.py checks both
+# execution paths against a driver-side reference simulation.
+
+TTL_DEDUP_TTL_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_TTL_OUT_SCHEMA = "user_id bigint, event_type string, event_id bigint, ts_us bigint"
+_TTL_STATE_SCHEMA = "last_kept_us bigint"
+
+
+def _ttl_scan(ts_us, event_ids, last_kept, ttl_us):
+    """Linear keep/renew scan (shared by both execution paths)."""
+    kept = []
+    for t, eid in zip(ts_us, event_ids):
+        if last_kept is None or t - last_kept > ttl_us:
+            kept.append((eid, t))
+            last_kept = t
+    return kept, last_kept
+
+
+def ttl_dedup_batch(ev: DataFrame, ttl_us: int = TTL_DEDUP_TTL_US) -> DataFrame:
+    """Batch execution via grouped-map applyInPandas: one Arrow batch
+    per (user_id, event_type) key, sorted by ts, linear stateful scan.
+    Shuffles once on the key; per-key state is a single timestamp."""
+    import pandas as pd
+
+    def scan(key, pdf):
+        pdf = pdf.sort_values("ts_us")
+        kept, _ = _ttl_scan(pdf["ts_us"], pdf["event_id"], None, ttl_us)
+        return pd.DataFrame(
+            [(key[0], key[1], eid, t) for eid, t in kept],
+            columns=["user_id", "event_type", "event_id", "ts_us"],
+        )
+
+    slim = ev.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return slim.groupBy("user_id", "event_type").applyInPandas(scan, _TTL_OUT_SCHEMA)
+
+
+@query("ev_ttl_dedup")  # rows-only: recursive kept-set, no portable SQL oracle
+def ev_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-renewal dedup over events (see module comment)."""
+    return ttl_dedup_batch(_events(spark, sf_dir))
+
+
+def stream_ttl_dedup(
+    spark: SparkSession, sf_dir: str, ttl_us: int = TTL_DEDUP_TTL_US
+) -> DataFrame:
+    """Streaming execution via applyInPandasWithState: per-key state is
+    the last kept timestamp (bounded: one bigint per live key); the
+    event-time timeout retires keys once the watermark passes their
+    suppression window, so state never grows with history."""
+    import pandas as pd
+
+    def scan(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts_us")
+            kept, last = _ttl_scan(pdf["ts_us"], pdf["event_id"], last, ttl_us)
+            rows.extend(kept)
+        if last is not None:
+            state.update((int(last),))
+            state.setTimeoutTimestamp(int(last) // 1000 + ttl_us // 1000)
+        return iter(
+            [
+                pd.DataFrame(
+                    [(key[0], key[1], eid, t) for eid, t in rows],
+                    columns=["user_id", "event_type", "event_id", "ts_us"],
+                )
+            ]
+        )
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    slim = ev.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return slim.groupBy("user_id", "event_type").applyInPandasWithState(
+        scan,
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream into an in-memory table with availableNow (process
     everything, then stop); returns after the query terminates."""

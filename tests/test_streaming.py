@@ -52,6 +52,52 @@ def test_streaming_dedup_one_row_per_key(spark, sf_oracle):
     assert kept.join(src, "event_id", "left_anti").count() == 0
 
 
+def _ttl_reference(spark, sf_oracle, ttl_us) -> set:
+    """Driver-side simulation of TTL-renewal dedup (ground truth)."""
+    from ftp_blueprints_spark.session import load_table
+
+    ev = (
+        load_table(spark, sf_oracle, "events")
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    by_key: dict = {}
+    for r in ev:
+        by_key.setdefault((r["user_id"], r["event_type"]), []).append(
+            (r["ts_us"], r["event_id"])
+        )
+    want = set()
+    for (uid, etype), rows in by_key.items():
+        last = None
+        for t, eid in sorted(rows):
+            if last is None or t - last > ttl_us:
+                want.add((uid, etype, eid, t))
+                last = t
+    return want
+
+
+def test_ttl_dedup_batch_matches_reference(spark, sf_oracle):
+    want = _ttl_reference(spark, sf_oracle, E.TTL_DEDUP_TTL_US)
+    got = _rows(E.ev_ttl_dedup(spark, sf_oracle))
+    assert got == want
+
+
+def test_ttl_dedup_renews_window():
+    """Semantics: acceptance renews suppression — t=0 kept, t=10 dropped
+    (within TTL of kept t=0), t=20 kept (20-0 > 15) even though only 10
+    after the DROPPED t=10. lag()-based dedup gets this wrong."""
+    kept, last = E._ttl_scan([0, 10, 20], [1, 2, 3], None, 15)
+    assert kept == [(1, 0), (3, 20)] and last == 20
+
+
+def test_ttl_dedup_stream_matches_batch(spark, sf_oracle):
+    """applyInPandasWithState path == grouped-map batch path."""
+    batch = _rows(E.ev_ttl_dedup(spark, sf_oracle))
+    E.run_to_memory(E.stream_ttl_dedup(spark, sf_oracle), "t_ttl", "append")
+    streamed = _rows(spark.table("t_ttl"))
+    assert streamed == batch
+
+
 def test_watermark_in_plan(spark, sf_oracle):
     """The streaming plans actually carry the watermark (state bound)."""
     plan = E.stream_tumbling_counts(spark, sf_oracle)._jdf.queryExecution().analyzed().toString()
