@@ -128,6 +128,74 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+PREP_MIN_QUALITY = 0.5
+
+_NORM_SHA_SQL = r"sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+
+@query(
+    "tx_corpus_prep",
+    f"""
+WITH enriched AS (
+  SELECT doc_id, source,
+         {_QUALITY_SQL} AS q,
+         {_sql_lang_id()} AS lang_pred,
+         len({_TOKS}) AS n_tok,
+         {_NORM_SHA_SQL} AS sha
+  FROM documents
+),
+filtered AS (SELECT * FROM enriched WHERE q >= {PREP_MIN_QUALITY}),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+)
+SELECT lang_pred, source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(FLOOR(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) * 1.0 / COUNT(*))
+            AS BIGINT) AS avg_quality_micros
+FROM kept GROUP BY lang_pred, source
+""",
+)
+def tx_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in ONE plan:
+    quality-score -> threshold filter -> language ID -> normalized
+    exact dedup (keep lowest doc_id per digest) -> per-(lang, source)
+    corpus stats. Shape at 100 TB: the enrichment is a narrow
+    projection (no shuffle), dedup shuffles once on the 256-bit digest
+    (window partitions are duplicate groups — tiny by construction),
+    and the final agg shuffles pre-combined (lang, source) partials.
+    The average is emitted in exact integer micro-units (floor) so the
+    hash is engine-neutral."""
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        T.quality_score(t).alias("q"),
+        T.lang_id(t).alias("lang_pred"),
+        T.token_count(t).alias("n_tok"),
+        F.sha2(norm, 256).alias("sha"),
+    )
+    filtered = enriched.filter(F.col("q") >= PREP_MIN_QUALITY)
+    w = Window.partitionBy("sha").orderBy("doc_id")
+    kept = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("lang_pred", "source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "(SUM(CAST(ROUND(q * 1000000) AS BIGINT))) DIV COUNT(*)"
+        ).alias("avg_quality_micros"),
+    )
+
+
 @query(
     "tx_lang_agg",
     """
