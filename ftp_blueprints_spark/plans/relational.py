@@ -852,3 +852,76 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.groupBy("error_id").agg(F.count("click_id").alias("n_clicks_5m"))
+
+
+@query(
+    "q_window_dist",
+    """
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER w AS quartile,
+       CUME_DIST() OVER w AS cd,
+       PERCENT_RANK() OVER w AS pr
+FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / cume_dist / percent_rank)
+    per market segment. The ratios are exact small-integer divisions —
+    both engines produce bit-identical doubles, so no rounding is
+    applied (ROUND at the 6th decimal is the cross-engine tie hazard,
+    exactness is not)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@query(
+    "q_filtered_agg",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS open_value
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation with the FILTER clause (one pass, one
+    shuffle — not one subquery per condition); the filtered money sum
+    keeps the DECIMAL-sum-then-DOUBLE hashing discipline."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("COUNT(*) FILTER (WHERE o_orderstatus = 'F')").alias("n_filled"),
+        F.expr(
+            "CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+            " FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE)"
+        ).alias("open_value"),
+    )
+
+
+@query(
+    "q_posexplode",
+    """
+SELECT p_partkey,
+       UNNEST(range(1, len(string_split(p_name, ' ')) + 1)) AS pos,
+       UNNEST(string_split(p_name, ' ')) AS word
+FROM part
+""",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator with ordinality: posexplode over split part names
+    (lateral-view shape). Aligned parallel UNNESTs replay the ordinal
+    in DuckDB; positions are emitted 1-based to match range()."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    ).withColumn("pos", (F.col("pos") + 1).cast("bigint"))
