@@ -201,3 +201,111 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("payload"), 256).alias("payload_sha"),
         F.lower(F.hex(F.expr("substring(payload, 1, 8)"))).alias("head_hex"),
     )
+
+
+def resize_media(media: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Resize stand-in: truncate each payload to ``max_bytes`` (the real
+    path would PIL-thumbnail in the identical mapInPandas batch shape).
+    Output keeps the binary thumb so downstream stages can chain."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            thumb = pdf["payload"].map(lambda b: bytes(b)[:max_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_len": thumb.map(len).astype("int64"),
+                    "thumb": thumb,
+                }
+            )
+
+    schema = "media_id long, out_len long, thumb binary"
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
+
+
+EMBED_DIM = 8
+
+
+def embed_media(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Feature-extract stand-in: an L2-normalized byte-value histogram
+    (byte % dim) per payload — vectorized numpy per Arrow batch, the
+    exact shape a real CLIP/wav2vec encoder batch would run in. Output
+    is emitted in integer micro-units (floor) so the embedding column
+    hashes engine-neutrally."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim).astype("float64")
+                norm = float(np.sqrt((hist * hist).sum())) or 1.0
+                micros = np.floor(hist / norm * 1_000_000).astype("int64")
+                out.append((int(mid), micros.tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "embedding_micros"])
+
+    schema = "media_id long, embedding_micros array<bigint>"
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
+
+
+@query(
+    "mm_resize",
+    """
+SELECT doc_id AS media_id,
+       CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS out_len,
+       sha256(lower(substr(hex(encode(text)), 1, 512))) AS thumb_sha
+FROM documents
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end; the thumb digest is taken over the
+    hex dump (DuckDB cannot slice BLOBs, hex strings agree byte-exactly)."""
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, max_bytes=256)
+    return out.select(
+        "media_id",
+        "out_len",
+        F.sha2(F.lower(F.hex(F.col("thumb"))), 256).alias("thumb_sha"),
+    )
+
+
+_HEXPOS = "strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1"
+_HEXPOS2 = "strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1"
+
+
+@query(
+    "mm_embed",
+    f"""
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT media_id,
+         list_transform(range(1, n + 1), i -> ({_HEXPOS}) * 16 + ({_HEXPOS2})) AS bs
+  FROM b
+),
+hist AS (
+  SELECT media_id,
+         list_transform(range(0, {EMBED_DIM}),
+                        d -> CAST(len(list_filter(bs, x -> x % {EMBED_DIM} = d)) AS DOUBLE)) AS hv
+  FROM bytes
+)
+SELECT media_id,
+       list_transform(hv, x -> CAST(floor(x / greatest(sqrt(list_dot_product(hv, hv)), 1.0)
+                                          * 1000000) AS BIGINT)) AS embedding_micros
+FROM hist
+""",
+)
+def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing end-to-end (Arrow batches in, one
+    fixed-dim embedding out); the oracle re-derives the byte histogram
+    from the hex dump and applies the identical normalization."""
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return embed_media(media)
