@@ -1,0 +1,91 @@
+"""Ingestion pipeline: remote CSV trees -> parquet, fully Spark-native.
+
+The reference's blueprints move files byte-for-byte; the natural next
+step for an ETL engine is to land them as COLUMNS. This composes the
+``ftp_manifest`` DataSource (file bytes fetched executor-side, one
+partition per subtree) with JVM-side parsing:
+
+    bytes -> decode -> split lines -> posexplode -> from_csv -> parquet
+
+No Python touches row data: decode/split/explode/from_csv are all
+Catalyst expressions, so a 1000-executor ingest is bounded by FTP
+bandwidth, not the driver. Header handling is per-file (line 0 of each
+file is dropped when ``header=True``) and every output row keeps its
+provenance (source path + 1-based line number) — the lineage columns a
+training-data pipeline audits by.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .connector import ClientSpec
+
+
+def _manifest_with_content(
+    spark: SparkSession, spec: ClientSpec, folder: str
+) -> DataFrame:
+    from .datasource import ManifestDataSource
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    reader = (
+        spark.read.format("ftp_manifest")
+        .option("kind", spec.kind)
+        .option("root", spec.root)
+        .option("host", spec.host)
+        .option("port", str(spec.port))
+        .option("username", spec.username)
+        .option("password", spec.password)
+        .option("timeout", str(spec.timeout))
+        .option("folder", folder)
+        .option("with_content", "true")
+    )
+    return reader.load()
+
+
+def parse_csv_files(
+    files: DataFrame, schema: str, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """Binary ``content`` column -> typed rows (+ src_path, line_no)."""
+    lines = files.select(
+        F.col("path").alias("src_path"),
+        F.posexplode(
+            F.split(F.decode("content", "UTF-8"), "\r?\n")
+        ).alias("idx", "line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    if header:
+        lines = lines.filter(F.col("idx") > 0)
+    parsed = lines.select(
+        "src_path",
+        (F.col("idx") + (0 if header else 1)).cast("bigint").alias("line_no"),
+        F.from_csv("line", schema, {"sep": sep}).alias("r"),
+    )
+    return parsed.select("src_path", "line_no", "r.*")
+
+
+def ingest_csv(
+    spark: SparkSession,
+    spec: ClientSpec,
+    folder: str,
+    schema: str,
+    dest: str,
+    pattern: str = r".*\.csv$",
+    header: bool = True,
+    sep: str = ",",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Ingest every CSV under ``folder`` on the remote into a parquet
+    dataset at ``dest``; returns the row count written. Optionally
+    partitioned (directory-pruned on read-back)."""
+    mf = _manifest_with_content(spark, spec, folder)
+    files = mf.filter((~F.col("is_dir")) & F.col("path").rlike(pattern))
+    rows = parse_csv_files(files, schema, header=header, sep=sep)
+    writer = rows.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(dest)
+    return spark.read.parquet(dest).count()

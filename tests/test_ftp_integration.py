@@ -215,3 +215,55 @@ def test_client_store_retrieve_roundtrip(ftp_root):
         finally:
             client.close()
     assert out.getvalue() == b"payload"
+
+
+# --- CSV-over-FTP ingestion to parquet --------------------------------------
+
+def test_ingest_csv_over_ftp(spark, tmp_path):
+    from ftp_blueprints_spark.sources.ingest import ingest_csv
+
+    root = tmp_path / "srv"
+    (root / "in" / "sub").mkdir(parents=True)
+    (root / "in" / "one.csv").write_text("id,name,qty\n1,ant,10\n2,bee,20\n")
+    (root / "in" / "sub" / "two.csv").write_text("id,name,qty\n3,cat,30\n")
+    (root / "in" / "notes.txt").write_text("not a csv")
+    dest = str(tmp_path / "out.parquet")
+
+    with FtpStubServer(str(root), USERS) as (host, port):
+        n = ingest_csv(
+            spark, spec_for(host, port), "in",
+            schema="id int, name string, qty int", dest=dest,
+        )
+    assert n == 3
+    got = {
+        (r["id"], r["name"], r["qty"], r["src_path"], r["line_no"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    assert got == {
+        (1, "ant", 10, "in/one.csv", 1),
+        (2, "bee", 20, "in/one.csv", 2),
+        (3, "cat", 30, "in/sub/two.csv", 1),
+    }
+
+
+def test_ingest_csv_partitioned_prunes(spark, tmp_path):
+    """Partitioned ingest: read-back with a partition predicate scans
+    only the matching directory (PartitionFilters, not data filters)."""
+    from ftp_blueprints_spark.sources.ingest import ingest_csv
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    (root / "in" / "d.csv").write_text(
+        "id,grp\n1,a\n2,b\n3,a\n4,b\n"
+    )
+    dest = str(tmp_path / "part.parquet")
+    with FtpStubServer(str(root), USERS) as (host, port):
+        n = ingest_csv(
+            spark, spec_for(host, port), "in",
+            schema="id int, grp string", dest=dest, partition_cols=["grp"],
+        )
+    assert n == 4
+    back = spark.read.parquet(dest).filter("grp = 'a'")
+    assert {r["id"] for r in back.collect()} == {1, 3}
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(grp" in plan
