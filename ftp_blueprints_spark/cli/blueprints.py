@@ -168,6 +168,37 @@ def delete_main(argv: list[str] | None = None) -> int:
     return _run(go)
 
 
+def ingest_main(argv: list[str] | None = None) -> int:
+    """Beyond the reference's byte-copy blueprints: land remote CSVs as
+    a parquet dataset (sources/ingest.py pipeline)."""
+    p = _parser("ftp-ingest")
+    p.add_argument("--schema", required=True, help="e.g. 'id int, name string'")
+    p.add_argument("--dest", required=True, help="parquet output path")
+    p.add_argument("--no-header", dest="header", action="store_false")
+    p.add_argument("--sep", default=",")
+    p.add_argument("--partition-by", dest="partition_by", default="",
+                   help="comma-separated partition columns")
+    args = p.parse_args(argv)
+
+    def go():
+        from ..sources.ingest import ingest_csv
+
+        n = ingest_csv(
+            _spark(),
+            _spec(args),
+            args.source_folder_name,
+            schema=args.schema,
+            dest=args.dest,
+            pattern=args.source_file_name,
+            header=args.header,
+            sep=args.sep,
+            partition_cols=[c for c in args.partition_by.split(",") if c] or None,
+        )
+        print(f"ingested {n} row(s) -> {args.dest}")
+
+    return _run(go)
+
+
 if __name__ == "__main__":  # python -m ftp_blueprints_spark.cli.blueprints <cmd> ...
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     mains = {
@@ -175,8 +206,9 @@ if __name__ == "__main__":  # python -m ftp_blueprints_spark.cli.blueprints <cmd
         "upload": upload_main,
         "move": move_main,
         "delete": delete_main,
+        "ingest": ingest_main,
     }
     if cmd not in mains:
-        print(f"usage: blueprints {{download|upload|move|delete}} ...; got {cmd!r}")
+        print(f"usage: blueprints {{download|upload|move|delete|ingest}} ...; got {cmd!r}")
         sys.exit(2)
     sys.exit(mains[cmd](sys.argv[2:]))

@@ -267,3 +267,21 @@ def test_ingest_csv_partitioned_prunes(spark, tmp_path):
     assert {r["id"] for r in back.collect()} == {1, 3}
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(grp" in plan
+
+
+def test_cli_ingest_local(spark, tmp_path):
+    from ftp_blueprints_spark.cli.blueprints import ingest_main
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    (root / "in" / "one.csv").write_text("id,name,qty\n1,ant,10\n2,bee,20\n")
+    dest = str(tmp_path / "cli_out.parquet")
+    rc = ingest_main([
+        "--kind", "local", "--root", str(root),
+        "--source-folder-name", "in",
+        "--source-file-name", r".*\.csv$",
+        "--schema", "id int, name string, qty int",
+        "--dest", dest,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(dest).count() == 2
