@@ -40,8 +40,10 @@ HEADLINE = [
     "dd_minhash_lsh",
     "sim_topk_bruteforce",
     "tx_quality",
+    "tx_corpus_prep",
     "mm_decode_meta",
     "ev_tumbling_counts",
+    "ev_ttl_dedup",
 ]
 
 
