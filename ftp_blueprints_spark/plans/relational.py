@@ -925,3 +925,24 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
     ).withColumn("pos", (F.col("pos") + 1).cast("bigint"))
+
+
+@query(
+    "q_unpivot",
+    """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (unpivot/melt): narrow projection, no
+    shuffle — the inverse of q_pivot_status. Values promote to the
+    common DOUBLE type, as the manual UNION oracle does explicitly."""
+    part = load_table(spark, sf_dir, "part")
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
