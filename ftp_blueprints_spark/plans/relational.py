@@ -946,3 +946,37 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "q_math_funcs",
+    """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - l_quantity * 1000) AS abs_diff,
+       SIGN(l_discount - 0.05) AS disc_sign,
+       CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+       FLOOR(l_extendedprice / 100) AS price_bucket,
+       CEIL(l_quantity / 8) AS qty_bucket,
+       ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+       POWER(l_discount * 10, 2) AS disc_sq
+FROM lineitem WHERE l_orderkey < 1000
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions, restricted to the IEEE-exact subset
+    (abs/sign/mod/floor/ceil/sqrt, integer-exponent power): correctly
+    rounded in every IEEE engine, so results hash identically. log/exp/
+    trig are deliberately excluded — libm implementations differ by
+    ULPs across engines and would make exact hashing a coin flip."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias("abs_diff"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+        F.floor(F.col("l_extendedprice") / 100).alias("price_bucket"),
+        F.ceil(F.col("l_quantity") / 8).alias("qty_bucket"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.pow(F.col("l_discount") * 10, 2).alias("disc_sq"),
+    )
