@@ -353,3 +353,81 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- near-dup connected components -> keeper selection ----------------------
+
+_DD_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_DD_JACCARD_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS keeper
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, keeper, doc_id <> keeper AS is_dup FROM comp
+"""
+
+
+def connected_keepers(
+    pairs: DataFrame, all_docs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every doc's label converges to the smallest doc_id
+    reachable through the pair graph — the cluster's keeper.
+
+    Scale design: each iteration is one equi-join (labels onto edge
+    destinations) + one min-agg, i.e. hash-shuffles keyed on doc_id,
+    never materializing the transitive closure (the oracle's recursive
+    CTE is O(cluster_size^2) rows — fine for DuckDB at sf0.01, wrong at
+    100 TB). Iterations needed = graph diameter; near-dup clusters are
+    small and clique-like, so convergence is 2-4 rounds in practice
+    (``max_iters`` bounds pathological chains). localCheckpoint
+    truncates each round's lineage so the plan does not grow with the
+    iteration count."""
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = all_docs.select("doc_id", F.col("doc_id").alias("keeper"))
+    for _ in range(max_iters):
+        nmin = (
+            e.join(labels, e.dst == labels.doc_id)
+            .groupBy(e.src.alias("doc_id"))
+            .agg(F.min("keeper").alias("nmin"))
+        )
+        stepped = labels.join(nmin, "doc_id", "left").select(
+            "doc_id",
+            F.col("keeper"),
+            F.least(F.col("keeper"), F.coalesce("nmin", "keeper")).alias("new_keeper"),
+        ).localCheckpoint()
+        changed = stepped.filter(F.col("new_keeper") != F.col("keeper")).count()
+        labels = stepped.select("doc_id", F.col("new_keeper").alias("keeper"))
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dd_neardup_components", _DD_COMPONENTS_ORACLE)
+def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline tail: turn exact-Jaccard near-dup pairs into a
+    per-document keeper assignment (survivors = keeper == doc_id). The
+    oracle computes the same components via a recursive-CTE transitive
+    closure over identical pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lab = connected_keepers(pairs, docs)
+    return lab.select(
+        "doc_id", "keeper", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
+    )
