@@ -316,3 +316,52 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+@query(
+    "sim_filtered_topk",
+    f"""
+WITH en_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+    AND c.vec_id IN (SELECT doc_id FROM en_docs)
+)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-k cosine restricted to candidates
+    whose document metadata matches a predicate (lang = 'en') — the
+    join-then-search composition every retrieval pipeline needs.
+    The metadata filter is a broadcast semi-join applied BEFORE scoring
+    (pre-filtering: at 100 TB the predicate prunes the candidate scan;
+    post-filtering a top-k would under-fill k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
+    cand_pool = emb.join(F.broadcast(en), "vec_id", "semi")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = cand_pool.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )

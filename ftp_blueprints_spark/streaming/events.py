@@ -367,3 +367,74 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+FUNNEL_CLICK_WINDOW_US = 30 * 60 * 1_000_000  # view -> click within 30 min
+FUNNEL_BUY_WINDOW_US = 24 * 3600 * 1_000_000  # click -> purchase within 24 h
+
+
+@query(
+    "ev_funnel",
+    f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > v.t_view
+    AND epoch_us(e.ts) <= v.t_view + {FUNNEL_CLICK_WINDOW_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > c.t_click
+    AND epoch_us(e.ts) <= c.t_click + {FUNNEL_BUY_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked,
+       (SELECT COUNT(*) FROM p) AS n_purchased
+""",
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click within 30 min -> purchase within
+    24 h): per-stage min-timestamp chaining, every step an equi-join +
+    agg keyed on user_id — at 100 TB each stage shuffles once on the
+    same key, so the exchanges line up; no window over the full event
+    stream is needed."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_view"))
+            & (F.col("us") <= F.col("t_view") + FUNNEL_CLICK_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_click"))
+            & (F.col("us") <= F.col("t_click") + FUNNEL_BUY_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased")))
+    )
