@@ -298,14 +298,31 @@ hist AS (
   FROM bytes
 )
 SELECT media_id,
-       list_transform(hv, x -> CAST(floor(x / greatest(sqrt(list_dot_product(hv, hv)), 1.0)
-                                          * 1000000) AS BIGINT)) AS embedding_micros
+       array_to_string(
+         list_transform(hv, x -> CAST(floor(x / greatest(sqrt(list_dot_product(hv, hv)), 1.0)
+                                            * 1000000) AS BIGINT)), ',') AS emb,
+       CAST(list_sum(
+         list_transform(hv, x -> CAST(floor(x / greatest(sqrt(list_dot_product(hv, hv)), 1.0)
+                                            * 1000000) AS BIGINT))) AS BIGINT) AS l1_micros
 FROM hist
 """,
 )
 def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing end-to-end (Arrow batches in, one
     fixed-dim embedding out); the oracle re-derives the byte histogram
-    from the hex dump and applies the identical normalization."""
+    from the hex dump and applies the identical normalization. The
+    embedding is projected as a comma-joined string + L1 checksum for
+    the hash check (array-typed output columns have no established
+    cross-engine hash representation); `embed_media` itself returns the
+    real array<bigint> column."""
     media = to_media_table(load_table(spark, sf_dir, "documents"))
-    return embed_media(media)
+    out = embed_media(media)
+    return out.select(
+        "media_id",
+        F.array_join(
+            F.transform(F.col("embedding_micros"), lambda x: x.cast("string")), ","
+        ).alias("emb"),
+        F.aggregate(
+            F.col("embedding_micros"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("l1_micros"),
+    )

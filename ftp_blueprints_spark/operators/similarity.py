@@ -378,8 +378,10 @@ WITH s AS (
 )
 SELECT e.vec_id,
        CAST(ROUND(s.scale * 1000000000) AS BIGINT) AS scale_nanos,
-       list_transform(CAST(e.embedding AS DOUBLE[]),
-                      x -> CAST(FLOOR(x / s.scale + 0.5) AS INT)) AS qvec
+       array_to_string(list_transform(CAST(e.embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x / s.scale + 0.5) AS INT)), ',') AS qvec,
+       CAST(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                     x -> abs(CAST(FLOOR(x / s.scale + 0.5) AS INT)))) AS BIGINT) AS l1
 FROM embeddings e JOIN s ON e.vec_id = s.vec_id
 """,
 )
@@ -387,14 +389,21 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector (scale = max|x|/127):
     4x storage reduction for the 100 TB vector corpus; a narrow
     projection, no shuffle. Rounding is floor(y + 0.5) — identical in
-    every IEEE engine, unlike ROUND's engine-specific tie rules."""
+    every IEEE engine, unlike ROUND's engine-specific tie rules. The
+    quantized vector is projected as a comma-joined string + L1
+    checksum for the hash check (array-typed output columns have no
+    established cross-engine hash representation)."""
     emb = load_table(spark, sf_dir, "embeddings")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.greatest(
         F.array_max(F.transform(xd, F.abs)) / F.lit(127.0), F.lit(1e-12)
     )
+    q = F.transform(xd, lambda x: F.floor(x / scale + 0.5).cast("int"))
     return emb.select(
         "vec_id",
         F.round(scale * 1_000_000_000).cast("bigint").alias("scale_nanos"),
-        F.transform(xd, lambda x: F.floor(x / scale + 0.5).cast("int")).alias("qvec"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("qvec"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("l1"),
     )

@@ -953,10 +953,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_orderkey, l_linenumber,
        ABS(l_extendedprice - l_quantity * 1000) AS abs_diff,
-       SIGN(l_discount - 0.05) AS disc_sign,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
        CAST(l_orderkey % 7 AS BIGINT) AS mod7,
-       FLOOR(l_extendedprice / 100) AS price_bucket,
-       CEIL(l_quantity / 8) AS qty_bucket,
+       CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price_bucket,
+       CAST(CEIL(l_quantity / 8) AS BIGINT) AS qty_bucket,
        ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
        POWER(l_discount * 10, 2) AS disc_sq
 FROM lineitem WHERE l_orderkey < 1000

@@ -23,13 +23,15 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _canon_cell(x) -> str:
+    # Deliberately does NOT equate 3.0 with 3: the driver's value hash
+    # distinguishes float from int representation (round-1 q_json_events
+    # failed the driver while passing a laxer local canon) — engine-side
+    # casts must align the types, not the comparator.
     if x is None:
         return "NULL"
     if isinstance(x, float):
         if math.isnan(x):
             return "NULL"
-        if x == int(x) and abs(x) < 1e15:
-            return repr(int(x))  # 3.0 == 3 across engines
         return repr(x)
     if isinstance(x, (datetime.datetime, datetime.date)):
         return x.isoformat()
