@@ -215,3 +215,59 @@ def tx_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+@query(
+    "tx_dataset_split",
+    """
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+              WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM assigned GROUP BY split, lang
+""",
+)
+def tx_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (12/2/2 of the
+    16 md5 first-nibbles -> 75%/12.5%/12.5%): reproducible across
+    engines, runs, and cluster sizes — unlike rng-based sampling — and
+    stable under re-partitioning because the assignment depends only on
+    document bytes. The shape every training-data pipeline needs for
+    leakage-free eval sets; near-dup-aware splitting would route
+    dd_neardup_components keepers through the same hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@query(
+    "tx_hash_sample",
+    """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1')
+""",
+)
+def tx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 12.5% sample by content hash (md5 first nibble in
+    {0,1}): the reproducible-sampling primitive for eval subsets and
+    A/B slices. A pure narrow filter — at 100 TB it fuses into the scan
+    with no shuffle, and the same predicate selects the same documents
+    on any engine or cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5("text"), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "n_chars")
