@@ -980,3 +980,68 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
         F.pow(F.col("l_discount") * 10, 2).alias("disc_sq"),
     )
+
+
+ASOF_TOLERANCE_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "q_asof_tolerance",
+    f"""
+SELECT c.event_id, epoch_us(c.ts) AS click_ts_us, c.user_id,
+       (SELECT epoch_us(MAX(e.ts)) FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c.user_id
+          AND e.ts <= c.ts
+          AND epoch_us(e.ts) > epoch_us(c.ts) - {ASOF_TOLERANCE_US})
+       AS last_error_ts_us
+FROM events c WHERE c.event_type = 'click'
+""",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with tolerance (pandas merge_asof semantics): the most
+    recent same-user error at-or-before each click, but only within 30
+    minutes — older matches become NULL instead of a stale pairing.
+    Same single-shuffle running-window plan as q_asof_join; the
+    tolerance is a post-window predicate, not a second join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    last_err = F.unix_micros(F.last(err_ts, ignorenulls=True).over(w))
+    return (
+        ev.withColumn("last_error_us", last_err)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("click_ts_us"),
+            "user_id",
+            F.when(
+                F.col("last_error_us") > F.unix_micros("ts") - ASOF_TOLERANCE_US,
+                F.col("last_error_us"),
+            ).alias("last_error_ts_us"),
+        )
+    )
+
+
+@query("q_approx_percentile")  # sketch-based: rows-only, accuracy-tested
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (approx_percentile, accuracy 10000): mergeable partial sketches ->
+    one tiny shuffle regardless of row count, the scale path where
+    exact percentile's full sort-per-group (q_percentiles) would
+    shuffle all rows. Rank error <= 1/accuracy; asserted against the
+    exact values in tests/test_relational.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("p"),
+    ).select(
+        "l_returnflag",
+        F.col("p")[0].alias("p50"),
+        F.col("p")[1].alias("p90"),
+        F.col("p")[2].alias("p99"),
+    )

@@ -54,3 +54,29 @@ def test_file_numbering_no_single_partition_window(spark, sf_oracle):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "_pid" in line, f"global window in plan: {line}"
+
+
+def test_approx_percentile_close_to_exact(spark, sf_oracle):
+    """approx_percentile(accuracy 10000) vs exact percentile_cont:
+    within 1% relative error on each requested quantile."""
+    import pyspark.sql.functions as F
+    from ftp_blueprints_spark.plans.relational import q_approx_percentile
+    from ftp_blueprints_spark.session import load_table
+
+    approx = {r["l_returnflag"]: r for r in q_approx_percentile(spark, sf_oracle).collect()}
+    li = load_table(spark, sf_oracle, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag in exact:
+        for q in ("p50", "p90", "p99"):
+            rel = abs(approx[flag][q] - exact[flag][q]) / exact[flag][q]
+            assert rel <= 0.01, f"{flag} {q}: rel err {rel:.4f}"
