@@ -55,3 +55,25 @@ def test_no_cartesian_in_headline_plans(spark, sf_oracle, name):
     plan = _plan(spark, name, sf_oracle)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_sample_is_pure_narrow_scan(spark, sf_oracle):
+    """Deterministic sampling must fuse into the scan: no Exchange at
+    all — the predicate runs where the data lives."""
+    plan = _plan(spark, "tx_hash_sample", sf_oracle)
+    assert "Exchange" not in plan
+
+
+def test_dataset_split_single_shuffle(spark, sf_oracle):
+    """Split assignment is a narrow projection; only the final
+    (split, lang) aggregation may shuffle."""
+    plan = _plan(spark, "tx_dataset_split", sf_oracle)
+    assert plan.count("Exchange") <= 1
+
+
+def test_asof_tolerance_single_exchange_no_join(spark, sf_oracle):
+    """The tolerance as-of compiles to one shuffle + running window —
+    no join operator of any kind in the plan."""
+    plan = _plan(spark, "q_asof_tolerance", sf_oracle)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
