@@ -90,3 +90,17 @@ def test_datasource_partitions_per_top_entry(registered, tree):
     )
     # a/, b/, top.bin => 3 partitions
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_datasource_empty_tree(registered, tmp_path):
+    """An empty root yields an empty frame (the sentinel partition
+    emits no rows), not an error."""
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    df = (
+        registered.read.format("ftp_manifest")
+        .option("kind", "local")
+        .option("root", str(empty))
+        .load()
+    )
+    assert df.count() == 0

@@ -285,3 +285,19 @@ def test_cli_ingest_local(spark, tmp_path):
     ])
     assert rc == 0
     assert spark.read.parquet(dest).count() == 2
+
+
+def test_ingest_no_matching_files_writes_empty(spark, tmp_path):
+    from ftp_blueprints_spark.sources.ingest import ingest_csv
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    (root / "in" / "notes.txt").write_text("not a csv")
+    dest = str(tmp_path / "empty_out.parquet")
+    with FtpStubServer(str(root), USERS) as (host, port):
+        n = ingest_csv(
+            spark, spec_for(host, port), "in",
+            schema="id int, name string", dest=dest,
+        )
+    assert n == 0
+    assert spark.read.parquet(dest).count() == 0
