@@ -171,17 +171,19 @@ def tx_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is engine-neutral."""
     from pyspark.sql import Window
 
-    from ..functions import text as T
-
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
-    enriched = docs.select(
+    # tokenize ONCE (codegen can't CSE the split across lambda
+    # boundaries; feeding the array to the *_from variants is ~2x)
+    with_toks = docs.select("doc_id", "source", "text", T.lower_tokens(t).alias("lt"))
+    lt = F.col("lt")
+    enriched = with_toks.select(
         "doc_id",
         "source",
-        T.quality_score(t).alias("q"),
-        T.lang_id(t).alias("lang_pred"),
-        T.token_count(t).alias("n_tok"),
+        T.quality_score_from(t, lt).alias("q"),
+        T.lang_id_from(t, lt).alias("lang_pred"),
+        F.size(lt).alias("n_tok"),
         F.sha2(norm, 256).alias("sha"),
     )
     filtered = enriched.filter(F.col("q") >= PREP_MIN_QUALITY)
