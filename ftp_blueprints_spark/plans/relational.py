@@ -1045,3 +1045,40 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")[1].alias("p90"),
         F.col("p")[2].alias("p99"),
     )
+
+
+@query(
+    "q_window_time_range",
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_prev_1h,
+       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_value_1h_scaled
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-1-hour event count and
+    value sum — the rolling-feature shape behind rate limits, velocity
+    features, and fraud signals. Ordering on epoch microseconds makes
+    the frame bound numeric and engine-portable; the value sum is
+    scaled to exact integers. One shuffle on user_id; the frame scan is
+    a per-partition ordered sweep, linear in events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count("*").over(w).alias("n_prev_1h"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .over(w)
+        .cast("bigint")
+        .alias("sum_value_1h_scaled"),
+    )
