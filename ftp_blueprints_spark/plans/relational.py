@@ -1082,3 +1082,38 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_value_1h_scaled"),
     )
+
+
+@query(
+    "q_full_outer_join",
+    """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (customer vs
+    supplier presence per nation): both inputs shrink to one row per
+    key BEFORE the join — aggregate-then-join, so the outer join
+    shuffles O(keys), not O(rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count("*").alias("n_cust")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
