@@ -118,3 +118,55 @@ def udf_grouped_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         _weighted_cents_udf()("value", "k").alias("weighted_cents")
     )
+
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150  # 50-char overlap
+
+
+@query(
+    "udtf_chunks",
+    f"""
+SELECT doc_id,
+       UNNEST(range(0, CAST(ceil(greatest(length(text) - {CHUNK_LEN - CHUNK_STRIDE}, 1)
+                                 / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_no,
+       UNNEST(list_transform(
+         range(0, CAST(ceil(greatest(length(text) - {CHUNK_LEN - CHUNK_STRIDE}, 1)
+                            / {CHUNK_STRIDE}.0) AS BIGINT)),
+         i -> substr(text, CAST(1 + i * {CHUNK_STRIDE} AS BIGINT), {CHUNK_LEN})))
+       AS chunk
+FROM documents
+""",
+)
+def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_LEN}-char windows,
+    {CHUNK_STRIDE}-char stride -> 50-char overlap) via a Python UDTF
+    (Spark 4 table-function surface) over mapInArrow-style lateral
+    join. The retrieval-pipeline chunking op: one input doc row ->
+    N ordered chunk rows, no shuffle (the UDTF runs where the doc
+    partition lives). Aligned parallel UNNESTs replay the ordinal in
+    DuckDB."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no bigint, chunk string")
+    class Chunker:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = len(text)
+            i = 0
+            pos = 0
+            while True:
+                yield (i, text[pos : pos + CHUNK_LEN])
+                i += 1
+                pos += CHUNK_STRIDE
+                if pos + (CHUNK_LEN - CHUNK_STRIDE) >= n:
+                    break
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_chunking")
+    spark.udtf.register("chunk_text", Chunker)
+    return spark.sql(
+        "SELECT doc_id, c.chunk_no, c.chunk "
+        "FROM docs_for_chunking, LATERAL chunk_text(text) AS c"
+    )
