@@ -301,3 +301,37 @@ def test_ingest_no_matching_files_writes_empty(spark, tmp_path):
         )
     assert n == 0
     assert spark.read.parquet(dest).count() == 0
+
+
+def test_cli_download_over_ftp(spark, ftp_root, tmp_path):
+    """The full reference pipeline over real FTP: CLI arg surface ->
+    BFS listing -> regex basename match -> destination projection ->
+    download sink, exit code 0; then exit 200 when nothing matches."""
+    from ftp_blueprints_spark.cli.blueprints import download_main
+
+    dest = tmp_path / "dl"
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        args = [
+            "--kind", "ftp", "--host", host, "--port", str(port),
+            "--username", "alice", "--password", "secret", "--timeout", "10",
+            "--source-folder-name", "data",
+            "--source-file-name", r".*\.csv",
+            "--source-file-name-match-type", "regex_match",
+            "--destination-root", str(dest),
+        ]
+        assert download_main(args) == 0
+        got = sorted(p.name for p in dest.rglob("*") if p.is_file())
+        # no explicit destination name -> source basenames, no numbering
+        assert got == ["a.csv", "b.csv"]
+        # explicit destination name over >1 match -> P4 numbered fan-out
+        dest2 = tmp_path / "dl2"
+        assert download_main(
+            args[:-1] + [str(dest2), "--destination-file-name", "out.csv"]
+        ) == 0
+        got2 = sorted(p.name for p in dest2.rglob("*") if p.is_file())
+        assert got2 == ["out_1.csv", "out_2.csv"]
+        assert download_main(
+            args[:-4] + ["--source-file-name", r"nothing\.matches",
+                         "--source-file-name-match-type", "regex_match",
+                         "--destination-root", str(dest)]
+        ) == 200
