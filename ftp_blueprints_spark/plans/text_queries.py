@@ -273,3 +273,56 @@ def tx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5("text"), 1, 1).isin("0", "1")
     ).select("doc_id", "lang", "n_chars")
+
+
+PACK_TOKEN_BUDGET = 512
+
+
+@query("tx_pack_sequences")  # resettable cumulative state: no SQL oracle
+def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: walk documents in doc_id order and
+    assign each to the current bin until adding it would exceed
+    PACK_TOKEN_BUDGET whitespace tokens, then open a new bin — the
+    pretraining-prep operator that turns a corpus into fixed-budget
+    training sequences. Bin assignment is a RESETTABLE running sum
+    (whether a doc opens a new bin depends on every prior assignment),
+    so like TTL dedup it is not expressible with plain window SQL;
+    execution reuses the partition-sorted mapInPandas scan with
+    cross-batch carry-over. Bins are per-partition (prefixed by
+    partition id) — at 100 TB a global sequential pack would serialize
+    the corpus; per-partition packing wastes at most one bin's tail per
+    partition, which is the standard distributed trade.
+    tests/test_streaming.py-style reference simulation lives in
+    tests/test_text_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import text as T
+
+    slim = docs.select(
+        "doc_id", F.size(T.lower_tokens(F.col("text"))).alias("n_tok")
+    )
+    ranged = slim.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        bin_no, used = 0, 0
+        for pdf in batches:
+            bins = []
+            for n in pdf["n_tok"]:
+                n = int(n)
+                if used > 0 and used + n > PACK_TOKEN_BUDGET:
+                    bin_no += 1
+                    used = 0
+                bins.append(bin_no)
+                used += n
+            out = pdf.copy()
+            out["bin_id"] = [f"{pid}-{b}" for b in bins]
+            yield out
+
+    packed = ranged.mapInPandas(gen, "doc_id bigint, n_tok int, bin_id string")
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -89,3 +89,43 @@ def ingest_csv(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(dest)
     return spark.read.parquet(dest).count()
+
+
+def parse_jsonl_files(files: DataFrame, schema: str) -> DataFrame:
+    """Binary ``content`` -> typed rows from JSON-Lines files (the
+    LLM-corpus interchange format): decode, split lines, from_json per
+    line — all Catalyst expressions, same lineage columns as the CSV
+    path. Unparseable lines keep their lineage with null fields."""
+    lines = files.select(
+        F.col("path").alias("src_path"),
+        F.posexplode(
+            F.split(F.decode("content", "UTF-8"), "\r?\n")
+        ).alias("idx", "line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    parsed = lines.select(
+        "src_path",
+        (F.col("idx") + 1).cast("bigint").alias("line_no"),
+        F.from_json("line", schema).alias("r"),
+    )
+    return parsed.select("src_path", "line_no", "r.*")
+
+
+def ingest_jsonl(
+    spark: SparkSession,
+    spec: ClientSpec,
+    folder: str,
+    schema: str,
+    dest: str,
+    pattern: str = r".*\.jsonl$",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Ingest every JSONL file under ``folder`` into parquet at
+    ``dest``; returns the row count written."""
+    mf = _manifest_with_content(spark, spec, folder)
+    files = mf.filter((~F.col("is_dir")) & F.col("path").rlike(pattern))
+    rows = parse_jsonl_files(files, schema)
+    writer = rows.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(dest)
+    return spark.read.parquet(dest).count()

@@ -335,3 +335,25 @@ def test_cli_download_over_ftp(spark, ftp_root, tmp_path):
                          "--source-file-name-match-type", "regex_match",
                          "--destination-root", str(dest)]
         ) == 200
+
+
+def test_ingest_jsonl_over_ftp(spark, tmp_path):
+    from ftp_blueprints_spark.sources.ingest import ingest_jsonl
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    (root / "in" / "a.jsonl").write_text(
+        '{"id": 1, "text": "hello", "score": 0.5}\n'
+        '{"id": 2, "text": "world", "score": 1.5}\n'
+        "not json at all\n"
+    )
+    dest = str(tmp_path / "jl.parquet")
+    with FtpStubServer(str(root), USERS) as (host, port):
+        n = ingest_jsonl(
+            spark, spec_for(host, port), "in",
+            schema="id int, text string, score double", dest=dest,
+        )
+    assert n == 3  # bad line kept with null fields + lineage
+    rows = {r["line_no"]: r for r in spark.read.parquet(dest).collect()}
+    assert rows[1]["text"] == "hello" and rows[2]["score"] == 1.5
+    assert rows[3]["id"] is None and rows[3]["src_path"] == "in/a.jsonl"

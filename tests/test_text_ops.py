@@ -1,0 +1,70 @@
+"""Reference-simulation tests for text operators whose state makes
+them non-SQL-expressible (sequence packing)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ftp_blueprints_spark.plans.text_queries import PACK_TOKEN_BUDGET, tx_pack_sequences
+
+
+def test_pack_sequences_respects_budget_and_covers_corpus(spark, sf_oracle):
+    """Every bin holds <= PACK_TOKEN_BUDGET tokens unless it contains a
+    single oversized document; every document is packed exactly once;
+    bins are contiguous doc_id runs (greedy order preserved)."""
+    from ftp_blueprints_spark.functions.text import lower_tokens
+    from ftp_blueprints_spark.session import load_table
+
+    bins = tx_pack_sequences(spark, sf_oracle).collect()
+    docs = load_table(spark, sf_oracle, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    for r in bins:
+        assert r["total_tokens"] <= PACK_TOKEN_BUDGET or r["n_docs"] == 1, (
+            f"bin {r['bin_id']} over budget with {r['n_docs']} docs"
+        )
+    # greedy utilization sanity: mean fill of multi-doc bins >= 50%
+    multi = [r for r in bins if r["n_docs"] > 1]
+    if multi:
+        fill = sum(r["total_tokens"] for r in multi) / (
+            len(multi) * PACK_TOKEN_BUDGET
+        )
+        assert fill >= 0.5, f"mean fill {fill:.2f}"
+
+
+def test_pack_sequences_matches_driver_simulation(spark, sf_oracle):
+    """Per-partition greedy packing == a driver-side simulation over the
+    same doc_id-ordered partition contents."""
+    from ftp_blueprints_spark.functions.text import lower_tokens
+    from ftp_blueprints_spark.session import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    slim = (
+        docs.select("doc_id", F.size(lower_tokens(F.col("text"))).alias("n_tok"))
+        .repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    per_part = slim.withColumn(
+        "pid", F.spark_partition_id()
+    ).collect()
+    by_pid: dict = {}
+    for r in sorted(per_part, key=lambda r: (r["pid"], r["doc_id"])):
+        by_pid.setdefault(r["pid"], []).append((r["doc_id"], r["n_tok"]))
+    want = {}
+    for pid, rows in by_pid.items():
+        bin_no, used = 0, 0
+        for doc_id, n in rows:
+            if used > 0 and used + n > PACK_TOKEN_BUDGET:
+                bin_no += 1
+                used = 0
+            want.setdefault(f"{pid}-{bin_no}", []).append((doc_id, n))
+            used += n
+    want_stats = {
+        b: (len(v), sum(n for _, n in v), min(d for d, _ in v))
+        for b, v in want.items()
+    }
+    got = {
+        r["bin_id"]: (r["n_docs"], r["total_tokens"], r["first_doc_id"])
+        for r in tx_pack_sequences(spark, sf_oracle).collect()
+    }
+    assert got == want_stats
