@@ -326,3 +326,52 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+# Per-language sampling rates in 16ths (md5 first nibble < cutoff):
+# downsample dominant languages, keep the tail whole.
+STRATA_CUTOFFS = {"en": 4, "de": 8, "es": 8, "fr": 8, "zh": 16}
+
+
+@query(
+    "tx_stratified_sample",
+    f"""
+WITH cut AS (
+  SELECT doc_id, lang, n_chars,
+         CASE lang WHEN 'en' THEN {STRATA_CUTOFFS['en']}
+                   WHEN 'de' THEN {STRATA_CUTOFFS['de']}
+                   WHEN 'es' THEN {STRATA_CUTOFFS['es']}
+                   WHEN 'fr' THEN {STRATA_CUTOFFS['fr']}
+                   ELSE {STRATA_CUTOFFS['zh']} END AS cutoff,
+         strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS nib
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM cut WHERE nib < cutoff GROUP BY lang
+""",
+)
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates expressed
+    as md5-nibble cutoffs (en 4/16 = 25%, de/es/fr 50%, zh 100%) — the
+    corpus-rebalancing primitive, reproducible across engines and runs
+    because membership depends only on content bytes. Narrow filter +
+    pre-combined agg: no extra shuffle beyond the final group."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(cut))
+            for lang, cut in STRATA_CUTOFFS.items()
+            if lang != "zh"
+        ],
+        F.lit(STRATA_CUTOFFS["zh"]),
+    )
+    nib = F.expr("locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1")
+    return (
+        docs.withColumn("keep", nib < cutoff)
+        .filter("keep")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
