@@ -375,3 +375,46 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "tx_unigram_scores",
+    f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct({_LTOKS})) AS tok FROM documents
+),
+df AS (SELECT tok, COUNT(*) AS dfreq FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       COUNT(*) AS n_distinct_toks,
+       CAST(SUM(d.dfreq) AS BIGINT) AS sum_dfreq,
+       CAST(FLOOR(SUM(d.dfreq) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS mean_dfreq_micros
+FROM toks t JOIN df d ON t.tok = d.tok
+GROUP BY t.doc_id
+""",
+)
+def tx_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical document scoring: the mean document-frequency
+    of a document's distinct tokens — the cheap unigram stand-in for a
+    language-model quality filter (gibberish and boilerplate sit at the
+    frequency extremes). Two-phase: token DF (map-side-combined count
+    on the token key) joins back onto the exploded tokens on the SAME
+    key, so the exchange is reused; per-doc aggregation is the only
+    other shuffle. Integer micro-units; no floats, no libm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.lower_tokens(F.col("text")))).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    return (
+        toks.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_toks"),
+            F.sum("dfreq").cast("bigint").alias("sum_dfreq"),
+            F.expr("CAST((SUM(dfreq) * 1000000) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_dfreq_micros"
+            ),
+        )
+    )
