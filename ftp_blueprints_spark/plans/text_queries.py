@@ -5,7 +5,7 @@ fingerprinting). DuckDB SQL mirrors functions/text.py exactly."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import text as T
 from ..session import load_table
@@ -417,4 +417,73 @@ def tx_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_dfreq_micros"
             ),
         )
+    )
+
+
+@query(
+    "tx_repetition",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(range(1, len({_LTOKS}) + 1)) AS pos,
+         UNNEST({_LTOKS}) AS tok
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok = LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 0 ELSE 1 END AS new_run
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, tok,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+run_lens AS (
+  SELECT doc_id, COUNT(*) AS run_len FROM runs GROUP BY doc_id, run_id
+)
+SELECT t.doc_id,
+       CAST(MAX(r.max_run) AS BIGINT) AS max_token_run,
+       CAST((COUNT(DISTINCT t.tok) * 1000000) // COUNT(*) AS BIGINT)
+         AS distinct_ratio_micros
+FROM toks t
+JOIN (SELECT doc_id, MAX(run_len) AS max_run FROM run_lens GROUP BY doc_id) r
+  ON t.doc_id = r.doc_id
+GROUP BY t.doc_id
+""",
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: longest same-token run
+    (gaps-and-islands over position-exploded tokens) and the
+    distinct-token ratio — the standard filters for degenerate
+    repetitious text. All work shuffles once on doc_id; every window
+    and aggregation reuses that partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.lower_tokens(F.col("text"))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = toks.withColumn(
+        "new_run",
+        F.when(F.col("tok") == F.lag("tok").over(wd), 0).otherwise(1),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    run_lens = runs.groupBy("doc_id", "run_id").agg(F.count("*").alias("run_len"))
+    max_runs = run_lens.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+    stats = toks.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_distinct"),
+        F.count("*").alias("n_toks"),
+    )
+    return stats.join(max_runs, "doc_id").select(
+        "doc_id",
+        F.col("max_run").cast("bigint").alias("max_token_run"),
+        F.expr("CAST((n_distinct * 1000000) DIV n_toks AS BIGINT)").alias(
+            "distinct_ratio_micros"
+        ),
     )
