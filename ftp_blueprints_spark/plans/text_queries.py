@@ -487,3 +487,31 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio_micros"
         ),
     )
+
+
+@query(
+    "tx_redact",
+    """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_redactions,
+       sha256(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_sha,
+       length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_len
+FROM documents
+""",
+)
+def tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (numbers -> <NUM> placeholder): the
+    PII-scrubbing shape — count matches, replace globally, digest the
+    redacted text for downstream dedup. Pure narrow regexp projection;
+    swap the pattern for emails/phones/keys in a real pipeline (the
+    digit class is what this synthetic corpus actually contains)."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias(
+            "n_redactions"
+        ),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+        F.length(redacted).alias("redacted_len"),
+    )
