@@ -141,12 +141,18 @@ FROM documents
 def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking ({CHUNK_LEN}-char windows,
     {CHUNK_STRIDE}-char stride -> 50-char overlap) via a Python UDTF
-    (Spark 4 table-function surface) over mapInArrow-style lateral
-    join. The retrieval-pipeline chunking op: one input doc row ->
-    N ordered chunk rows, no shuffle (the UDTF runs where the doc
-    partition lives). Aligned parallel UNNESTs replay the ordinal in
-    DuckDB."""
+    (Spark 4 table-function surface) in a LATERAL join: one input doc
+    row -> N ordered chunk rows, no shuffle (the UDTF runs where the
+    doc partition lives). Arrow-optimized UDTF transfer is enabled for
+    the batch path. Scale note: this exact chunking is also
+    pure-Catalyst-expressible (sequence -> transform(substring) ->
+    posexplode — the formula the DuckDB oracle uses); the UDTF is the
+    right tool when chunking needs a real tokenizer or
+    sentence-boundary model, which built-ins can't express. Aligned
+    parallel UNNESTs replay the ordinal in DuckDB."""
     from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     @udtf(returnType="chunk_no bigint, chunk string")
     class Chunker:
