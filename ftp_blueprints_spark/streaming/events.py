@@ -438,3 +438,47 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased")))
     )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "ev_cohort_retention",
+    f"""
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS w FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(w) AS cohort_w FROM wk GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_w, e.w - f.cohort_w AS week_offset
+  FROM wk e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_w * {_WEEK_US} AS cohort_week_us, week_offset,
+       COUNT(*) AS n_active_users
+FROM activity GROUP BY 1, 2
+""",
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later activity week — the product-analytics staple. Weeks are
+    integer epoch-microsecond buckets (Spark's tumbling window aligns
+    to 1970, DuckDB's time_bucket to 2000-01-03 — portable arithmetic
+    sidesteps both origins). Shuffles: first-seen agg and the activity
+    join share the user_id key (one exchange reused), then the tiny
+    (cohort, offset) agg."""
+    ev = _events(spark, sf_dir)
+    wk = ev.select("user_id", F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("w"))
+    first_seen = wk.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    activity = (
+        wk.join(first_seen, "user_id")
+        .select(
+            "user_id", "cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset")
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        (F.col("cohort_w") * _WEEK_US).alias("cohort_week_us"), "week_offset"
+    ).agg(F.count("*").alias("n_active_users"))
