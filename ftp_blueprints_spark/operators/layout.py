@@ -54,8 +54,12 @@ def write_partitioned(
 ) -> None:
     """Write parquet partitioned by ``partition_cols``: predicates on
     those columns prune directories at read time instead of scanning
-    (the physical plan shows them under PartitionFilters)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    (the physical plan shows them under PartitionFilters). zstd
+    compression: ~30% smaller than snappy at comparable scan speed —
+    at 100 TB the storage and scan-I/O delta is the dominant cost."""
+    df.write.mode(mode).option("compression", "zstd").partitionBy(
+        *partition_cols
+    ).parquet(path)
 
 
 def write_bucketed(
