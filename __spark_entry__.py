@@ -61,11 +61,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# The driver records correctness rows in queries() order and caps the file
+# at 50 rows per round.  Rounds 1-2 exhausted the window on the relational +
+# synthetic-manifest families (all green twice), so the LLM-pipeline families
+# (dedup / similarity / text / multimodal / events / UDF) and the two
+# real-listing connector queries go FIRST until they have driver evidence;
+# the already-double-verified families follow in registration order.
+_FAMILY_RANK = {
+    "dd_": 0,
+    "sim_": 1,
+    "tx_": 2,
+    "mm_": 3,
+    "ev_": 4,
+    "udf_": 5,
+    "udtf_": 5,
+}
+_EARLY_NAMES = {
+    # past the 50-row window in r1/r2 despite the mf_ family being verified
+    "mf_real_listing_connector": 6,
+    "mf_real_listing_datasource": 6,
+    # headline relational queries re-verified each round (slots 44-50)
+    "q01_pricing_summary": 7,
+    "q03_shipping_priority": 7,
+    "q05_region_volume": 7,
+    "q_asof_join": 7,
+    "q_window_rank": 7,
+}
+
+
+def _rank(name: str) -> int:
+    if name in _EARLY_NAMES:
+        return _EARLY_NAMES[name]
+    for prefix, rank in _FAMILY_RANK.items():
+        if name.startswith(prefix):
+            return rank
+    return 100
+
+
+def _ordered(names: list[str]) -> list[str]:
+    order = {n: i for i, n in enumerate(names)}  # registration order tiebreak
+    return sorted(names, key=lambda n: (_rank(n), order[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL ops)."""
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered(list(QUERIES)) if n in ORACLES}
