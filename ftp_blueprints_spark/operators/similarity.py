@@ -184,11 +184,13 @@ IVF_NPROBE = 6  # centroid lists searched per query
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid: broadcast the (tiny)
-    centroid table, score all K per vector, keep the argmax-cosine.
-    One narrow pass + a per-vector top-1 window — the standard IVF
-    build; at 100 TB this is the only full-data pass and it never
-    shuffles the vectors themselves (window keys on vec_id keep rows
-    where they are after the broadcast join)."""
+    centroid table, score all K per vector, keep the argmax-cosine via
+    ``max_by`` aggregation.  Partial (map-side) aggregation collapses
+    the K scored rows per vector BEFORE the exchange, so the one
+    shuffle carries N rows — not N x K rows with embedding payloads,
+    which is what the earlier row_number-window formulation cost.
+    Tie-break matches the old window order (highest cosine, then lowest
+    cid) by ordering on struct(c_cos, -cid)."""
     scored = emb.join(
         F.broadcast(centroids.select(F.col("cid"), F.col("c_emb"))),
         how="cross",
@@ -196,12 +198,13 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         "vec_id", "embedding", "cid",
         cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),  # constant within the group
+        F.max_by(
+            F.col("cid"),
+            F.struct(F.col("c_cos").alias("c_cos"), (-F.col("cid")).alias("neg_cid")),
+        ).alias("cid"),
+    ).select("vec_id", "embedding", "cid")
 
 
 def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:

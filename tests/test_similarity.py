@@ -68,6 +68,22 @@ def test_neardup_no_cartesian_and_matches_bruteforce(spark, sf_oracle):
     assert got == want
 
 
+def test_ivf_assign_no_window_shuffle(spark, sf_oracle):
+    """ivf_assign must argmax via map-side-combinable max_by: the plan
+    has partial aggregation before its exchange and NO window operator
+    (the window formulation shuffled N x K full-width rows)."""
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
+    plan = _physical_plan(S.ivf_assign(emb, seeds))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
 def test_ann_lsh_no_cartesian(spark, sf_oracle):
     plan = _physical_plan(S.sim_ann_lsh(spark, sf_oracle))
     assert "BroadcastNestedLoopJoin" not in plan
