@@ -41,24 +41,33 @@ def strip_slashes(path: Column | str) -> Column:
 
 
 def normalize_path(path: Column | str, resolve_parent: bool = True) -> Column:
-    """os.path.normpath-equivalent for relative '/'-paths:
-    collapse '//'+, drop '.' segments, resolve 'seg/..' pairs, strip a
-    trailing '/'. ``resolve_parent=False`` skips the '..' passes (the
-    oracle-checkable subset; RE2 cannot express the lookahead guard)."""
-    x = F.regexp_replace(_c(path), "/+", "/")
-    # drop './' segments; two passes handle adjacent 'a/././b'
-    x = F.regexp_replace(x, "/[.]/", "/")
-    x = F.regexp_replace(x, "/[.]/", "/")
-    x = F.regexp_replace(x, "^([.]/)+", "")
-    x = F.regexp_replace(x, "/[.]$", "")
+    """os.path.normpath-equivalent for '/'-paths: collapse '//'+, drop
+    '.' segments, resolve 'seg/..' pairs at ANY nesting depth, strip a
+    trailing '/'. Implemented as a segment stack — split on '/', fold
+    with ``F.aggregate`` (pop on '..' unless the stack top is itself
+    '..'), re-join — so resolution is unbounded, unlike a fixed number
+    of regexp passes. All higher-order-function expressions stay JVM-
+    side. ``resolve_parent=False`` skips the '..' fold (the
+    oracle-checkable subset, mirrored in plans/manifest_queries._sql_norm).
+    A fully-resolved path yields '' (callers map '' -> '.'); a leading
+    '/' survives only when segments remain."""
+    p = _c(path)
+    segs = F.filter(F.split(p, "/"), lambda s: (s != "") & (s != "."))
     if resolve_parent:
-        # resolve 'seg/../' where seg != '..'; bounded passes cover
-        # nesting depth <= 6 (deeper trees: compose another pass)
-        for _ in range(6):
-            x = F.regexp_replace(x, r"(^|/)(?!\.\./)[^/]+/\.\./", "$1")
-        x = F.regexp_replace(x, r"(^|/)(?!\.\.$)[^/]+/\.\.$", "")
-    x = F.regexp_replace(x, "/$", "")
-    return x
+        segs = F.aggregate(
+            segs,
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, s: F.when(
+                (s == "..")
+                & (F.size(acc) > 0)
+                & (F.element_at(acc, -1) != ".."),
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+    joined = F.array_join(segs, "/")
+    return F.when(
+        p.startswith("/") & (joined != ""), F.concat(F.lit("/"), joined)
+    ).otherwise(joined)
 
 
 def clean_folder_name(folder: Column | str) -> Column:

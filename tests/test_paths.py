@@ -58,10 +58,22 @@ def _random_path():
     return s
 
 
+_DEEP = [
+    # nesting depth > 6: the old bounded-regexp-pass implementation
+    # diverged from os.path.normpath on these (VERDICT r2 gap #3)
+    "a/b/c/d/e/f/g/../../../../../../..",
+    "a/b/c/d/e/f/g/h/i/j/../../../../../../../../../..",
+    "a/b/c/d/e/f/g/h/../../../../../../../../x/y",
+    "/".join(["s%d" % i for i in range(12)]) + "/" + "/".join([".."] * 12),
+    "/".join(["s%d" % i for i in range(12)]) + "/" + "/".join([".."] * 15),
+    "../" * 8 + "a/b",
+    "a/" * 10 + "../" * 10 + "tail",
+]
+
 CORPUS = sorted({_random_path() for _ in range(400)} | {
     "", "/", "a//b", "a/./b", "a/../b", "./a", "a/..", "a/b/../../c",
     "data//x/", "/data//Brand#1/", "./archive/x", "a/././b", "..", ".",
-})
+} | set(_DEEP))
 FILENAMES = [
     "report.backup.csv", "noext", "a.b.c.d", ".bashrc", "x.", "", "x_1.csv",
     "archive.tar.gz", "...", "weird name.txt",
@@ -80,12 +92,11 @@ def test_basename(spark):
 
 
 def test_clean_folder_name(spark):
-    # engine contract: paths whose '..' resolution needs <= 6 passes
-    corpus = [s for s in CORPUS if s.count("..") <= 6]
-    got = _eval(spark, corpus, P.clean_folder_name(F.col("s")))
-    want = [model_clean_folder(s) for s in corpus]
+    # unbounded '..' resolution: the whole corpus, deep nesting included
+    got = _eval(spark, CORPUS, P.clean_folder_name(F.col("s")))
+    want = [model_clean_folder(s) for s in CORPUS]
     assert got == want, [
-        (s, g, w) for s, g, w in zip(corpus, got, want) if g != w
+        (s, g, w) for s, g, w in zip(CORPUS, got, want) if g != w
     ][:10]
 
 
