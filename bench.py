@@ -44,7 +44,116 @@ HEADLINE = [
     "mm_decode_meta",
     "ev_tumbling_counts",
     "ev_ttl_dedup",
+    "pipe_download",
+    "pipe_ingest_csv",
 ]
+
+# Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
+# min-times (BENCH_r02.json), floored at 1s to absorb scheduler noise on
+# sub-second queries. tests/test_bench_smoke.py asserts these so a
+# registry reshuffle or plan regression fails loudly instead of slowly.
+BUDGETS = {
+    "q01_pricing_summary": 3.2,
+    "q03_shipping_priority": 2.0,
+    "q05_region_volume": 2.1,
+    "q_cust_order_stats": 1.6,
+    "q_window_running": 1.3,
+    "q_monthly_revenue": 1.0,
+    "q_json_events": 1.1,
+    "q_asof_join": 1.0,
+    "dd_exact": 1.0,
+    "dd_minhash_lsh": 2.9,
+    "sim_topk_bruteforce": 1.4,
+    "tx_quality": 1.1,
+    "tx_corpus_prep": 2.3,
+    "mm_decode_meta": 1.0,
+    "ev_tumbling_counts": 1.0,
+    "ev_ttl_dedup": 1.2,
+    # first measured in r3 — budgets set from initial runs + headroom
+    "pipe_download": 5.5,
+    "pipe_ingest_csv": 6.0,
+}
+
+
+# --------------------------------------------------------------------------
+# Pipeline benchmarks: the engine's raison-d'etre (the reference's
+# list -> match -> project -> act dataflow) and the columnar ingest path.
+# These are side-effectful (real bytes land on disk), so they are timed
+# as callables rather than noop-sunk DataFrames. Inputs derive from the
+# driver's parquet testdata; each timed run gets a fresh dest directory.
+# --------------------------------------------------------------------------
+
+_ORDERS_CSV_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderpriority string"
+)
+
+
+def _setup_pipelines(spark, sf_dir: str, work: str) -> None:
+    """Untimed setup: materialize a CSV tree (orders, derived from the
+    driver testdata) for the ingest bench."""
+    import pyspark.sql.functions as F
+
+    csv_dir = os.path.join(work, "csv_tree")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(csv_dir)
+    )
+
+
+def _pipe_download(spark, sf_dir: str, work: str, run_id: int) -> None:
+    """S2-S11 end-to-end over the local-FS connector: list the sf_dir
+    tree, regex-match the parquet files, project destination paths with
+    file numbering, fan the byte transfer out across executors."""
+    from ftp_blueprints_spark.operators.actions import download
+    from ftp_blueprints_spark.operators.manifest import match_files, with_destination
+    from ftp_blueprints_spark.sources.connector import ClientSpec
+    from ftp_blueprints_spark.sources.listing import list_tree
+
+    spec = ClientSpec(kind="local", root=sf_dir, max_connections=16)
+    mf = list_tree(spark, spec, "")
+    matched = match_files(mf, pattern=r".*[.]parquet$")
+    manifest = with_destination(matched)  # dest_path = basename per match
+    dest_root = os.path.join(work, f"dl_{run_id}")
+    stats = download(manifest, spec, dest_root=dest_root)
+    if not stats.get("ok"):
+        raise RuntimeError(f"pipe_download transferred nothing: {stats}")
+
+
+def _pipe_ingest_csv(spark, sf_dir: str, work: str, run_id: int) -> None:
+    """Columnar ingest: CSV tree -> ftp_manifest DataSource (bytes
+    fetched executor-side) -> decode/split/posexplode/from_csv -> parquet."""
+    from ftp_blueprints_spark.sources.connector import ClientSpec
+    from ftp_blueprints_spark.sources.ingest import ingest_csv
+
+    spec = ClientSpec(kind="local", root=os.path.join(work, "csv_tree"))
+    n = ingest_csv(
+        spark,
+        spec,
+        folder="",
+        schema=_ORDERS_CSV_SCHEMA,
+        dest=os.path.join(work, f"ingested_{run_id}"),
+        pattern=r".*[.]csv$",
+        header=True,
+    )
+    if n <= 0:
+        raise RuntimeError("pipe_ingest_csv wrote no rows")
+
+
+PIPELINES = {
+    "pipe_download": _pipe_download,
+    "pipe_ingest_csv": _pipe_ingest_csv,
+}
 
 
 def main() -> None:
@@ -74,13 +183,23 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import shutil
+    import tempfile
+
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    work = tempfile.mkdtemp(prefix="bench_pipe_")
+    _setup_pipelines(spark, sf_dir, work)
+    run_counter = [0]
 
     def run(name: str) -> float:
+        run_counter[0] += 1
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if name in PIPELINES:
+            PIPELINES[name](spark, sf_dir, work, run_counter[0])
+        else:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     run("q01_pricing_summary")  # warmup (JIT, codegen, parquet footer cache)
@@ -88,10 +207,11 @@ def main() -> None:
     times: dict[str, float] = {}
     first: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in qs:
+        if name not in qs and name not in PIPELINES:
             continue
         first[name] = run(name)
         times[name] = round(min(first[name], run(name)), 3)
+    shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(

@@ -219,9 +219,22 @@ def mf_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # directory tree. The oracle lists the same tree with DuckDB read_blob.
 # NOTE: oracle SQL is static, so it names the driver's correctness SF
 # directory (sf0.01 — TESTDATA.md / BASELINE.md t2 row) explicitly.
+# The query functions guard the pin: if the driver ever runs correctness
+# at a different sf_dir, they fail LOUDLY instead of hash-mismatching
+# mysteriously against an oracle that listed a different tree.
 # -------------------------------------------------------------------------
 
-_SF01 = "/root/testdata/sf0.01"
+_SF01 = "/root/testdata/sf0.01"  # single source of truth for the pin
+
+
+def _require_pinned_sf(sf_dir: str) -> None:
+    if sf_dir.rstrip("/") != _SF01:
+        raise ValueError(
+            f"real-listing oracles are pinned to {_SF01} (static SQL uses "
+            f"read_blob over that directory; see TESTDATA.md) but the query "
+            f"was invoked with sf_dir={sf_dir!r} — the oracle comparison "
+            f"would silently list a different tree"
+        )
 
 
 @query(
@@ -239,6 +252,7 @@ def mf_real_listing_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB read_blob listing of the same directory."""
     from ..sources.listing import binary_manifest
 
+    _require_pinned_sf(sf_dir)
     return binary_manifest(spark, sf_dir, glob="*.parquet", recursive=False).select(
         "path", "name", "size"
     )
@@ -260,6 +274,7 @@ def mf_real_listing_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.connector import ClientSpec
     from ..sources.listing import list_tree
 
+    _require_pinned_sf(sf_dir)
     mf = list_tree(spark, ClientSpec(kind="local", root=sf_dir), "")
     return mf.filter(~F.col("is_dir")).select("path", "name", "size")
 
@@ -280,6 +295,7 @@ def mf_real_listing_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own client."""
     from ..sources.datasource import ManifestDataSource
 
+    _require_pinned_sf(sf_dir)
     try:
         spark.dataSource.register(ManifestDataSource)
     except Exception:

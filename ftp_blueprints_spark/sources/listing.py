@@ -13,9 +13,11 @@ each partition lists its folders with its own client
 level is max(folder listing) instead of sum, and the fan-out is
 bounded by ``spec.max_connections`` so a wide tree cannot exceed the
 server's session limit. Level results accumulate driver-side as plain
-rows (listings are metadata — tiny next to the data they describe);
-at 100 TB the manifest of even 10^8 files is ~10 GB of strings, which
-is why downstream operators consume it as a DataFrame, not a list.
+rows ONLY while the tree is small: past ``driver_rows_threshold``
+entries the walk abandons driver accumulation and returns the
+``ftp_manifest`` DataSource DataFrame instead (datasource.py), whose
+per-top-level-entry partitions are walked executor-side — driver
+memory stays O(threshold) no matter how many files the tree holds.
 
 S5 (local recursive listing, upload_file.py:136-144) additionally maps
 onto Spark's native file source: ``binary_manifest`` uses
@@ -33,6 +35,39 @@ from ..functions import paths as P
 from .connector import ClientSpec
 
 MANIFEST_SCHEMA = "path string, folder string, name string, is_dir boolean, size bigint"
+
+# Above this many manifest entries, list_tree stops accumulating rows on
+# the driver and delegates to the executor-partitioned DataSource walk.
+DRIVER_ROWS_THRESHOLD = 100_000
+
+
+def _datasource_tree(
+    spark: SparkSession, spec: ClientSpec, root: str, skip_dot_dirs: bool
+) -> DataFrame:
+    """The scale path: ``ftp_manifest`` DataSource (sources/datasource.py)
+    — one root-level listing on the driver, every top-level entry's
+    subtree walked executor-side with its own client. Nothing
+    proportional to file count ever lives in driver memory."""
+    from .datasource import ManifestDataSource
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("ftp_manifest")
+        .option("kind", spec.kind)
+        .option("root", spec.root)
+        .option("host", spec.host)
+        .option("port", str(spec.port))
+        .option("username", spec.username)
+        .option("password", spec.password)
+        .option("timeout", str(spec.timeout))
+        .option("max_connections", str(spec.max_connections))
+        .option("folder", root)
+        .option("skip_dot_dirs", "true" if skip_dot_dirs else "false")
+        .load()
+    )
 
 
 def _list_level(spec: ClientSpec, folders: list[str]) -> list[tuple]:
@@ -55,18 +90,27 @@ def list_tree(
     root: str = "",
     skip_dot_dirs: bool = True,
     max_depth: int = 64,
+    driver_rows_threshold: int = DRIVER_ROWS_THRESHOLD,
 ) -> DataFrame:
     """BFS the tree under ``root`` into a manifest DataFrame (S2+S3).
 
     Dot-directories are skipped during traversal when requested —
     download's behavior (download_file.py:150-152); delete does NOT
-    skip them (delete_file.py:45-73), hence the flag."""
+    skip them (delete_file.py:45-73), hence the flag.
+
+    Driver memory is bounded: once the accumulated manifest crosses
+    ``driver_rows_threshold`` rows the walk hands off to the
+    executor-partitioned DataSource (the partial BFS work is discarded —
+    crossing the threshold means the tree is big enough that a clean
+    distributed walk beats finishing a driver-side one)."""
     sc = spark.sparkContext
     frontier = [root]
     all_rows: list[tuple] = []
     for _ in range(max_depth):
         if not frontier:
             break
+        if len(all_rows) > driver_rows_threshold:
+            return _datasource_tree(spark, spec, root, skip_dot_dirs)
         n_parts = max(1, min(len(frontier), spec.max_connections))
         level = (
             sc.parallelize(frontier, n_parts)

@@ -82,6 +82,20 @@ def test_list_tree_subfolder_root(spark, tree):
     }
 
 
+def test_list_tree_delegates_past_threshold(spark, tree):
+    """Scale guard: past driver_rows_threshold the walk must hand off
+    to the executor-partitioned DataSource and produce the identical
+    manifest (driver memory stays O(threshold) for any tree size)."""
+    small = list_tree(spark, _spec(tree), "", driver_rows_threshold=2)
+    full = list_tree(spark, _spec(tree), "")
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(small) == as_set(full)
+    # the delegated plan reads through the Python DataSource, not a
+    # LocalTableScan of driver-collected rows
+    assert "ftp_manifest" in small._jdf.queryExecution().toString() or \
+        "PythonDataSource" in small._jdf.queryExecution().executedPlan().toString()
+
+
 def test_binary_manifest_matches_list_tree(spark, tree):
     """S5: the binaryFile source and the connector BFS agree on files."""
     bf = binary_manifest(spark, str(tree), glob="*.csv")

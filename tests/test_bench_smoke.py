@@ -1,0 +1,42 @@
+"""Bench regression smoke: run bench.py end-to-end (sf0.1 default) and
+hold every headline query to its budget (bench.BUDGETS — 2x the round-2
+min-times, 1s floor). A registry reshuffle or plan regression fails
+here loudly instead of surfacing as a slow BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_within_budgets():
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=_REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+
+    sys.path.insert(0, _REPO)
+    import bench
+
+    assert rec["unit"] == "sec"
+    missing = [n for n in bench.HEADLINE if n not in rec["queries"]]
+    assert not missing, f"headline queries not timed: {missing}"
+
+    over = {
+        n: (t, bench.BUDGETS[n])
+        for n, t in rec["queries"].items()
+        if n in bench.BUDGETS and t > bench.BUDGETS[n]
+    }
+    assert not over, f"queries over budget (got, budget): {over}"
+    assert rec["value"] <= sum(bench.BUDGETS.values())

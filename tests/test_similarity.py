@@ -68,6 +68,35 @@ def test_neardup_no_cartesian_and_matches_bruteforce(spark, sf_oracle):
     assert got == want
 
 
+def test_neardup_recall_sf01(spark):
+    """Validate the 16x8 hyperplane-band config on 10x the pairs
+    (sf0.1: 2000 vectors -> ~2M candidate pairs). Candidates are
+    exact-cosine-verified after bucketing, so precision is 1 by
+    construction; the probabilistic risk is MISSES — hold recall
+    >= 0.99 against the exact all-pairs ground truth."""
+    from ftp_blueprints_spark.functions.vectors import cosine
+    from ftp_blueprints_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    df = S.sim_embedding_neardup(spark, sf_dir)
+    got = {tuple(r) for r in df.collect()}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= S.NEARDUP_COS)
+    )
+    want = {tuple(r) for r in exact.collect()}
+    assert got <= want, f"false positives: {sorted(got - want)[:5]}"
+    recall = len(got & want) / len(want) if want else 1.0
+    assert recall >= 0.99, f"neardup recall at sf0.1 = {recall:.4f} ({len(want)} true pairs)"
+
+
 def test_ivf_assign_no_window_shuffle(spark, sf_oracle):
     """ivf_assign must argmax via map-side-combinable max_by: the plan
     has partial aggregation before its exchange and NO window operator
