@@ -80,7 +80,8 @@ _EARLY_NAMES = {
     # past the 50-row window in r1/r2 despite the mf_ family being verified
     "mf_real_listing_connector": 6,
     "mf_real_listing_datasource": 6,
-    # headline relational queries re-verified each round (slots 44-50)
+    # headline relational queries re-verified each round (whatever of
+    # these still fits under row 50 after the never-verified families)
     "q01_pricing_summary": 7,
     "q03_shipping_priority": 7,
     "q05_region_volume": 7,

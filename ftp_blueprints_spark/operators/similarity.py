@@ -417,3 +417,85 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
         ).alias("l1"),
     )
+
+
+KNN_K = 10  # neighbors per vote
+
+
+@query(
+    "sim_knn_label",
+    f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+  WHERE q.vec_id < {N_QUERIES}
+),
+knn AS (
+  SELECT * FROM (
+    SELECT query_id, true_label, cand_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, cand_label AS pred_label,
+         COUNT(*) AS n_votes
+  FROM knn GROUP BY query_id, true_label, cand_label
+)
+SELECT query_id, true_label, pred_label, n_votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, pred_label) AS r
+  FROM votes
+) WHERE r = 1
+""",
+)
+def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: predict each query vector's label as the
+    majority label of its KNN_K nearest labeled neighbors (the
+    embedding-space auto-labeling / quality-classifier-transfer step of
+    a training-data pipeline; `label` is the labeled corpus).
+
+    Scale shape mirrors sim_topk_bruteforce: the query set broadcasts,
+    candidates never shuffle for scoring; the vote is a per-(query,
+    label) count (map-side combinable over at most KNN_K rows per
+    query) and a max_by over that tiny table. Ties: highest vote count,
+    then smallest label — deterministic in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = F.broadcast(q).join(c, how="cross").select(
+        "query_id",
+        "true_label",
+        "cand_id",
+        "cand_label",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    knn = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K
+    )
+    votes = knn.groupBy("query_id", "true_label", F.col("cand_label").alias("pred_label")).agg(
+        F.count("*").alias("n_votes")
+    )
+    return votes.groupBy("query_id", "true_label").agg(
+        F.max_by(
+            F.struct(F.col("pred_label"), F.col("n_votes")),
+            F.struct(F.col("n_votes").alias("n"), (-F.col("pred_label")).alias("neg")),
+        ).alias("best")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("best.pred_label").alias("pred_label"),
+        F.col("best.n_votes").alias("n_votes"),
+    )

@@ -515,3 +515,151 @@ def tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(redacted, 256).alias("redacted_sha"),
         F.length(redacted).alias("redacted_len"),
     )
+
+
+EVAL_MOD = 100  # docs with doc_id % EVAL_MOD == EVAL_REM form the eval set
+EVAL_REM = 7
+SHINGLE_N = 3  # token-shingle width for contamination overlap
+
+
+@query(
+    "tx_decontaminate",
+    f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS sh
+  FROM toks, UNNEST(range(1, len(t) - {SHINGLE_N - 2})) AS u(i)
+  WHERE len(t) >= {SHINGLE_N}
+),
+eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+),
+hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_hits
+  FROM sh s JOIN eval_sh e USING (sh)
+  WHERE s.doc_id % {EVAL_MOD} <> {EVAL_REM}
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       GREATEST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+                - {SHINGLE_N - 1}, 0) AS n_shingles,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_eval_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> {EVAL_REM}
+""",
+)
+def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    token shingle with a held-out eval set (the n-gram-overlap scrub
+    every serious pretraining pipeline runs before training; docs with
+    doc_id % EVAL_MOD == EVAL_REM stand in for the benchmark).
+
+    Scale shape: the eval set is tiny next to the corpus (benchmarks are
+    KBs-to-MBs vs 100 TB), so its distinct shingles BROADCAST — the
+    training-side shingle stream is never shuffled for the join; the
+    only wide exchange is the per-doc hit aggregation, whose input is
+    just the matched rows (rare by construction). Training shingles are
+    deliberately NOT pre-deduplicated: a corpus-wide distinct would
+    shuffle the full exploded stream, while countDistinct after the
+    broadcast join dedups only hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    toks = docs.select("doc_id", T.lower_tokens(F.col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= SHINGLE_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SHINGLE_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, SHINGLE_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    )
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(
+                T.token_count(F.col("text")) - (SHINGLE_N - 1), F.lit(0)
+            ).alias("n_shingles"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_eval_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+@query(
+    "tx_mixing_weights",
+    r"""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_src
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CAST((s.n_tokens * 1000000) // t.total_tokens AS BIGINT)
+         AS token_share_micros,
+       CAST((t.total_tokens * 1000000) // (t.n_sources * s.n_tokens) AS BIGINT)
+         AS weight_micros
+FROM per_src s, tot t
+""",
+)
+def tx_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-source sampling multipliers that would
+    equalize token contribution across sources (weight = uniform target
+    share / actual share — the degenerate single-knob form of the
+    mixture tuning in Pile/DoReMi-style pretraining recipes).
+
+    One map-side-combinable aggregation over the corpus (per-source doc
+    and token counts); the grand totals come from an UNPARTITIONED
+    window over the already-aggregated per-source table — a single-task
+    stage, but over O(n_sources) rows, so it is harmless at any corpus
+    size and keeps the 100 TB input scanned exactly once (an agg-branch
+    formulation re-scanned documents: the two aggregate subtrees prune
+    differently, so Catalyst cannot ReusedExchange them). Integer
+    micro-units (floor-div) keep the output engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    tot = per_src.select(
+        "*",
+        F.sum("n_tokens").over(w_all).cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).over(w_all).alias("n_sources"),
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST((n_tokens * 1000000) DIV total_tokens AS BIGINT)").alias(
+            "token_share_micros"
+        ),
+        F.expr(
+            "CAST((total_tokens * 1000000) DIV (n_sources * n_tokens) AS BIGINT)"
+        ).alias("weight_micros"),
+    )

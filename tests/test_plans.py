@@ -77,3 +77,30 @@ def test_asof_tolerance_single_exchange_no_join(spark, sf_oracle):
     plan = _plan(spark, "q_asof_tolerance", sf_oracle)
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_oracle):
+    """The eval set is tiny next to the corpus: its distinct shingles
+    must reach the training-shingle stream as a broadcast, and nothing
+    may go cartesian."""
+    plan = _plan(spark, "tx_decontaminate", sf_oracle)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_label_broadcasts_queries(spark, sf_oracle):
+    """Query vectors broadcast for scoring (BroadcastNestedLoopJoin is
+    the intended cross shape — candidates never shuffle); the vote
+    aggregations stay hash aggs."""
+    plan = _plan(spark, "sim_knn_label", sf_oracle)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixing_weights_single_corpus_scan(spark, sf_oracle):
+    """The corpus is scanned once: the grand-total branch re-aggregates
+    the tiny per-source table (ReusedExchange), not the documents scan."""
+    plan = _plan(spark, "tx_mixing_weights", sf_oracle)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "documents" in l]
+    reused = "ReusedExchange" in plan
+    assert len(scans) == 1 or reused, f"documents scanned {len(scans)}x without reuse"
