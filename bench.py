@@ -39,8 +39,11 @@ HEADLINE = [
     "dd_exact",
     "dd_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "sim_knn_label",
     "tx_quality",
     "tx_corpus_prep",
+    "tx_decontaminate",
     "mm_decode_meta",
     "ev_tumbling_counts",
     "ev_ttl_dedup",
@@ -64,8 +67,11 @@ BUDGETS = {
     "dd_exact": 1.0,
     "dd_minhash_lsh": 2.9,
     "sim_topk_bruteforce": 1.4,
+    "sim_ivf_topk": 4.1,
+    "sim_knn_label": 1.6,
     "tx_quality": 1.1,
     "tx_corpus_prep": 2.3,
+    "tx_decontaminate": 2.9,
     "mm_decode_meta": 1.0,
     "ev_tumbling_counts": 1.0,
     "ev_ttl_dedup": 1.2,
