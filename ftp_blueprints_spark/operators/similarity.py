@@ -182,15 +182,64 @@ IVF_K = 16  # centroid count (would be ~sqrt(n) at scale)
 IVF_NPROBE = 6  # centroid lists searched per query
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid: broadcast the (tiny)
-    centroid table, score all K per vector, keep the argmax-cosine via
-    ``max_by`` aggregation.  Partial (map-side) aggregation collapses
-    the K scored rows per vector BEFORE the exchange, so the one
-    shuffle carries N rows — not N x K rows with embedding payloads,
-    which is what the earlier row_number-window formulation cost.
-    Tie-break matches the old window order (highest cosine, then lowest
-    cid) by ordering on struct(c_cos, -cid)."""
+# Up to this many centroids, assignment inlines the centroid matrix as
+# a literal array and argmaxes in ONE narrow projection — zero shuffle.
+# Past it (huge-K IVF), the K x dim literal would bloat the codegen'd
+# expression, so assignment falls back to broadcast-join + max_by agg
+# (one shuffle of N vector rows).
+IVF_LITERAL_MAX_K = 256
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, literal_max_k: int = IVF_LITERAL_MAX_K
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine;
+    ties -> lowest cid, matching the original window order).
+
+    Small K (the common case — IVF centroid counts are ~sqrt(n)):
+    collect the tiny centroid table (bounded by IVF_LITERAL_MAX_K+1
+    rows via limit — never proportional to the corpus) and score it as
+    a literal array inside one projection: ``transform`` computes the K
+    cosines, ``aggregate`` left-folds the argmax. The assignment then
+    runs entirely inside whole-stage codegen with NO exchange — at
+    100 TB the vectors never move.
+
+    Large K: broadcast the centroids, score K rows per vector, collapse
+    with map-side-combinable ``max_by`` so the single shuffle carries N
+    rows, never N x K."""
+    cents = (
+        centroids.orderBy("cid").limit(literal_max_k + 1).collect()
+        if literal_max_k > 0
+        else []
+    )
+    if literal_max_k > 0 and len(cents) <= literal_max_k:
+        # ONE parsed SQL literal, not K x dim F.lit() calls: per-Column
+        # py4j round trips cost ~0.6s for 16x64 at build time. repr()
+        # round-trips doubles exactly; D marks a DOUBLE literal.
+        structs = ", ".join(
+            "struct({}L AS cid, array({}) AS c_emb)".format(
+                int(r["cid"]),  # cid-ascending: strict > keeps lowest cid on ties
+                ", ".join(f"{float(v)!r}D" for v in r["c_emb"]),
+            )
+            for r in cents
+        )
+        lit_cents = F.expr(f"array({structs})")
+        scores = F.transform(
+            lit_cents,
+            lambda c: F.struct(
+                cosine(F.col("embedding"), c["c_emb"]).alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        best = F.aggregate(
+            scores,
+            F.struct(
+                F.lit(float("-inf")).alias("cos"),
+                F.lit(-1).cast("bigint").alias("cid"),
+            ),
+            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        )
+        return emb.select("vec_id", "embedding", best["cid"].alias("cid"))
     scored = emb.join(
         F.broadcast(centroids.select(F.col("cid"), F.col("c_emb"))),
         how="cross",
@@ -211,12 +260,17 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     """Deterministic centroids: seed with the k lowest vec_ids, run one
     Lloyd refinement (assign -> element-wise mean via posexplode /
     groupBy(cid, pos) / collect ordered). K x dim is tiny, so the
-    refinement aggregates are cheap; determinism > convergence here."""
+    refinement aggregates are cheap; determinism > convergence here.
+
+    The refinement's assignment uses the LAZY agg path (literal_max_k=0)
+    on purpose: the seed values aren't needed on the driver, so forcing
+    the projection path here would only add a blocking collect job in
+    front of the means aggregation that consumes the assignment anyway."""
     seeds = (
         emb.orderBy("vec_id").limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
     )
-    assigned = ivf_assign(emb, seeds)
+    assigned = ivf_assign(emb, seeds, literal_max_k=0)
     means = (
         assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cid", "pos")

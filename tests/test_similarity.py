@@ -97,10 +97,11 @@ def test_neardup_recall_sf01(spark):
     assert recall >= 0.99, f"neardup recall at sf0.1 = {recall:.4f} ({len(want)} true pairs)"
 
 
-def test_ivf_assign_no_window_shuffle(spark, sf_oracle):
-    """ivf_assign must argmax via map-side-combinable max_by: the plan
-    has partial aggregation before its exchange and NO window operator
-    (the window formulation shuffled N x K full-width rows)."""
+def test_ivf_assign_is_shuffle_free_projection(spark, sf_oracle):
+    """Small-K ivf_assign must argmax over the literal centroid array in
+    ONE narrow projection: no Exchange, no Window, no Join — the corpus
+    vectors never move (the earlier formulations shuffled N x K rows,
+    then N rows)."""
     from ftp_blueprints_spark.session import load_table
 
     emb = load_table(spark, sf_oracle, "embeddings")
@@ -109,6 +110,23 @@ def test_ivf_assign_no_window_shuffle(spark, sf_oracle):
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
     )
     plan = _physical_plan(S.ivf_assign(emb, seeds))
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_assign_large_k_aggregates_map_side(spark, sf_oracle):
+    """Past IVF_LITERAL_MAX_K the fallback must collapse the K scored
+    rows per vector with map-side partial max_by BEFORE its exchange
+    (one shuffle of N rows, never N x K) and use no window."""
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
+    plan = _physical_plan(S.ivf_assign(emb, seeds, literal_max_k=2))
     assert "Window" not in plan
     assert "partial_max_by" in plan
 
