@@ -437,3 +437,56 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.select(
         "doc_id", "keeper", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
     )
+
+
+def _dd_embedding_keepers_oracle() -> str:
+    from .similarity import _COS_SQL, NEARDUP_COS
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT q.vec_id AS pa, c.vec_id AS pb
+  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+  WHERE ROUND({_COS_SQL}, 6) >= {NEARDUP_COS}
+),
+edges AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb, pa FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT v.vec_id,
+         LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS keeper
+  FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+  GROUP BY v.vec_id
+)
+SELECT vec_id, keeper, vec_id <> keeper AS is_dup FROM comp
+"""
+
+
+@query("dd_embedding_neardup_keepers", _dd_embedding_keepers_oracle())
+def dd_embedding_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP (not just pairs): hyperplane-LSH
+    candidate pairs (sim_embedding_neardup — bucketed, never all-pairs)
+    feed the same iterative min-label components as the text pipeline;
+    survivors are keeper == vec_id. The oracle recomputes components
+    exactly from the all-pairs cosine ground truth, so the driver check
+    also re-proves LSH recall end-to-end at sf0.01."""
+    from .similarity import sim_embedding_neardup
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    pairs = sim_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    lab = connected_keepers(pairs, vecs)
+    return lab.select(
+        F.col("doc_id").alias("vec_id"),
+        "keeper",
+        (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+    )
