@@ -440,6 +440,106 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stream-stream interval join -------------------------------------------
+
+ATTRIB_WINDOW_US = 6 * 3600 * 1_000_000  # view -> click attribution horizon
+
+
+@query(
+    "ev_view_click_join",
+    f"""
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + {ATTRIB_WINDOW_US}
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+)
+def ev_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (click attribution): every click within
+    6 h after a view by the same user. Batch twin of the stream-stream
+    join in stream_view_click_join — the same plan Structured Streaming
+    runs incrementally with watermark-bounded state. The equi-key
+    (user_id) makes this a hash join with the time range as a post-join
+    filter: ONE shuffle of each side keyed on user_id, never a
+    cartesian — at 100 TB the range predicate costs nothing extra
+    because rows already meet co-partitioned on the join key."""
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.unix_micros("ts").alias("view_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_us") >= F.col("view_us"))
+            & (F.col("click_us") <= F.col("view_us") + ATTRIB_WINDOW_US),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            "view_us",
+            "click_us",
+            (F.col("click_us") - F.col("view_us")).alias("delay_us"),
+        )
+    )
+
+
+def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_view_click_join as a real stream-stream inner join: both
+    sides through readStream with event-time watermarks; the join
+    condition carries the time bound, so Spark keeps only 7 h of
+    per-key state on each side (watermark + interval) instead of the
+    whole history — the canonical watermarked interval-join pattern."""
+    ev = read_events_stream(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return v.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 6 hours"
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+    )
+
+
 _WEEK_US = 7 * 86400 * 1_000_000
 
 

@@ -52,6 +52,19 @@ def test_streaming_dedup_one_row_per_key(spark, sf_oracle):
     assert kept.join(src, "event_id", "left_anti").count() == 0
 
 
+def test_stream_stream_join_equals_batch(spark, sf_oracle):
+    """Watermarked stream-stream interval join drains to exactly the
+    batch interval-join result (append mode: joined rows emit once
+    both watermarks pass the match window)."""
+    batch = _rows(E.ev_view_click_join(spark, sf_oracle))
+    E.run_to_memory(
+        E.stream_view_click_join(spark, sf_oracle), "t_ss_join", "append"
+    )
+    streamed = _rows(spark.table("t_ss_join"))
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def _ttl_reference(spark, sf_oracle, ttl_us) -> set:
     """Driver-side simulation of TTL-renewal dedup (ground truth)."""
     from ftp_blueprints_spark.session import load_table
