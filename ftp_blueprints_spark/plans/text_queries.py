@@ -663,3 +663,64 @@ def tx_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((total_tokens * 1000000) DIV (n_sources * n_tokens) AS BIGINT)"
         ).alias("weight_micros"),
     )
+
+
+TOP_TERMS_K = 5
+
+
+@query(
+    "tx_top_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST({_LTOKS}) AS tok FROM documents
+),
+tf AS (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY lang, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tok),
+scored AS (
+  SELECT tf.lang, tf.tok,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.dfreq AS BIGINT) AS dfreq,
+         CAST((tf.tf * 1000000) // df.dfreq AS BIGINT) AS score_micros
+  FROM tf JOIN df ON tf.tok = df.tok
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY score_micros DESC, tok) AS rnk
+  FROM scored
+)
+SELECT lang, tok, tf, dfreq, score_micros, rnk
+FROM ranked WHERE rnk <= {TOP_TERMS_K}
+""",
+)
+def tx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive terms per language: term frequency
+    within the language weighted by inverse global document frequency
+    (integer micro-units — tf*1e6 DIV df — instead of tf*ln(N/df), so
+    the score is exact and engine-portable; the ranking is identical
+    for any monotone idf). Two shuffles on the token key (tf agg, df
+    agg) that AQE lines up, then a per-language top-k window. The
+    window partitions on lang (low cardinality) but only over the
+    POST-AGGREGATION (lang, term) rows — vocabulary-sized, not
+    corpus-sized — so the skewed key never sees raw documents.
+    Reference scope: text analysis extension (SURVEY.md SS2B)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.lower_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("dfreq")
+    )
+    scored = tf.join(dfreq, "tok").select(
+        "lang",
+        "tok",
+        "tf",
+        "dfreq",
+        F.expr("CAST((tf * 1000000) DIV dfreq AS BIGINT)").alias("score_micros"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_micros"), F.asc("tok")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_TERMS_K
+    )
