@@ -53,6 +53,10 @@ try:
     from ftp_blueprints_spark.plans import udf_queries  # noqa: F401
 except ImportError:
     pass
+try:
+    from ftp_blueprints_spark.operators import sketches  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -75,6 +79,7 @@ _FAMILY_RANK = {
     "ev_": 4,
     "udf_": 5,
     "udtf_": 5,
+    "sk_": 5,
 }
 _EARLY_NAMES = {
     # past the 50-row window in r1/r2 despite the mf_ family being verified

@@ -104,3 +104,20 @@ def test_mixing_weights_single_corpus_scan(spark, sf_oracle):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "documents" in l]
     reused = "ReusedExchange" in plan
     assert len(scans) == 1 or reused, f"documents scanned {len(scans)}x without reuse"
+
+
+def test_interval_join_is_equi_hash_join(spark, sf_oracle):
+    """The view->click interval join must key on user_id (hash join,
+    range bound as post-condition), never a nested-loop over time."""
+    plan = _plan(spark, "ev_view_click_join", sf_oracle)
+    assert "HashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_joins_broadcast(spark, sf_oracle):
+    """The 2048-cell sketch must broadcast to the vocab cells — the
+    estimate join can never shuffle the corpus-scaled side."""
+    plan = _plan(spark, "sk_cms_heavy_hitters", sf_oracle)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
