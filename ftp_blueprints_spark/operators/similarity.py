@@ -553,3 +553,116 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.pred_label").alias("pred_label"),
         F.col("best.n_votes").alias("n_votes"),
     )
+
+
+# --- retrieval composition: chunk -> featurize -> top-k ---------------------
+
+RETRIEVAL_K = 5
+RETRIEVAL_N_Q = 5
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150
+
+# Catalyst-expressible sliding-window chunking (same formula as the
+# udtf_chunks oracle): n_chunks = ceil(max(len - overlap, 1) / stride)
+_CHUNKS_EXPR = (
+    "transform(sequence(0, CAST(ceil(greatest(length(text) - "
+    f"{_CHUNK_LEN - _CHUNK_STRIDE}, 1) / {_CHUNK_STRIDE}.0) AS INT) - 1), "
+    f"i -> substring(text, 1 + i * {_CHUNK_STRIDE}, {_CHUNK_LEN}))"
+)
+
+
+@query(
+    "sim_chunk_retrieval",
+    f"""
+WITH chunks AS (
+  SELECT doc_id,
+         UNNEST(range(0, CAST(ceil(greatest(length(text) - {_CHUNK_LEN - _CHUNK_STRIDE}, 1)
+                                   / {_CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_no,
+         UNNEST(list_transform(
+           range(0, CAST(ceil(greatest(length(text) - {_CHUNK_LEN - _CHUNK_STRIDE}, 1)
+                              / {_CHUNK_STRIDE}.0) AS BIGINT)),
+           i -> substr(text, CAST(1 + i * {_CHUNK_STRIDE} AS BIGINT), {_CHUNK_LEN})))
+           AS chunk
+  FROM documents
+),
+hist AS (
+  SELECT doc_id, chunk_no,
+         list_transform(range(0, 26),
+           i -> CAST(length(lower(chunk))
+                     - length(replace(lower(chunk), chr(CAST(97 + i AS INT)), ''))
+                     AS BIGINT)) AS h
+  FROM chunks
+),
+q AS (
+  SELECT doc_id AS query_doc, h AS qh FROM hist
+  WHERE doc_id < {RETRIEVAL_N_Q} AND chunk_no = 0
+),
+scored AS (
+  SELECT q.query_doc, c.doc_id AS cand_doc, c.chunk_no AS cand_chunk,
+         CAST(list_dot_product(q.qh, c.h) AS BIGINT) AS dot
+  FROM q JOIN hist c ON NOT (c.doc_id = q.query_doc AND c.chunk_no = 0)
+)
+SELECT * FROM (
+  SELECT query_doc, cand_doc, cand_chunk, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_doc
+                            ORDER BY dot DESC, cand_doc, cand_chunk) AS rank
+  FROM scored
+) WHERE rank <= {RETRIEVAL_K}
+""",
+)
+def sim_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval composition: sliding-window chunking (pure
+    Catalyst sequence/transform/posexplode), a letter-frequency feature
+    vector per chunk (26-dim integer counts — exact and portable, a
+    stand-in for the model encoder), broadcast query set, exact integer
+    dot-product top-k. The whole pipeline is one narrow projection over
+    the corpus plus a broadcast join and a per-query window — the
+    candidate side never shuffles, matching sim_topk_bruteforce's scale
+    shape with the chunker fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.posexplode(F.expr(_CHUNKS_EXPR)).alias("chunk_no", "chunk")
+    ).select("doc_id", F.col("chunk_no").cast("bigint").alias("chunk_no"), "chunk")
+    # stage lower(chunk) as a real column: the 26 lambda bodies are NOT
+    # common-subexpression-eliminated across a lambda boundary
+    hist = chunks.withColumn("ch", F.lower(F.col("chunk"))).select(
+        "doc_id",
+        "chunk_no",
+        F.expr(
+            "transform(sequence(0, 25), i -> CAST(length(ch) "
+            "- length(replace(ch, chr(97 + i), '')) AS BIGINT))"
+        ).alias("h"),
+    )
+    q = hist.filter(
+        (F.col("doc_id") < RETRIEVAL_N_Q) & (F.col("chunk_no") == 0)
+    ).select(F.col("doc_id").alias("query_doc"), F.col("h").alias("qh"))
+    scored = (
+        F.broadcast(q)
+        .join(
+            hist.select(
+                F.col("doc_id").alias("cand_doc"),
+                F.col("chunk_no").alias("cand_chunk"),
+                "h",
+            ),
+            how="cross",
+        )
+        .filter(
+            ~((F.col("cand_doc") == F.col("query_doc")) & (F.col("cand_chunk") == 0))
+        )
+        .select(
+            "query_doc",
+            "cand_doc",
+            "cand_chunk",
+            F.aggregate(
+                F.zip_with(F.col("qh"), F.col("h"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("dot"), F.asc("cand_doc"), F.asc("cand_chunk")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= RETRIEVAL_K
+    )
