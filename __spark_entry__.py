@@ -85,6 +85,13 @@ _EARLY_NAMES = {
     # past the 50-row window in r1/r2 despite the mf_ family being verified
     "mf_real_listing_connector": 6,
     "mf_real_listing_datasource": 6,
+    # 51st never-checked query — overflows the 50-row window this round;
+    # its building blocks (udtf_chunks chunking, bruteforce top-k) are
+    # driver-checked individually, so it waits for the r4 rotation
+    "sim_chunk_retrieval": 6,
+    # same: the portable-md5-bucket scheme is driver-checked via
+    # sk_cms_heavy_hitters; the Bloom variant rotates in at r4
+    "sk_bloom_decontaminate": 6,
     # headline relational queries re-verified each round (whatever of
     # these still fits under row 50 after the never-verified families)
     "q01_pricing_summary": 7,

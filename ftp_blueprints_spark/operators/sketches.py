@@ -116,3 +116,153 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
     )
+
+
+# --- Bloom-filter membership: the constant-size decontamination path --------
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3  # hash functions
+
+# shared with tx_decontaminate so both paths scrub the same eval set
+from ..plans.text_queries import EVAL_MOD, EVAL_REM, SHINGLE_N  # noqa: E402
+
+
+def _bloom_bit(s: Column, j: Column) -> Column:
+    h = F.md5(F.concat(s, F.lit("#"), j.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % BLOOM_M).alias(
+        "bit"
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): token SHINGLE_N-grams, same construction as
+    tx_decontaminate (docs shorter than SHINGLE_N yield no rows)."""
+    toks = docs.select("doc_id", T.lower_tokens(F.col("text")).alias("t"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= SHINGLE_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SHINGLE_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, SHINGLE_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    )
+
+
+@query(
+    "sk_bloom_decontaminate",
+    f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS sh
+  FROM toks, UNNEST(range(1, len(t) - {SHINGLE_N - 2})) AS u(i)
+  WHERE len(t) >= {SHINGLE_N}
+),
+eval_bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(sh || '#' || j.j), 1, 8)) AS BIGINT) % {BLOOM_M}
+           AS bit
+  FROM (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM}) e,
+       (SELECT UNNEST([0, 1, 2]) AS j) j
+),
+probes AS (
+  SELECT s.doc_id, s.sh,
+         CAST(('0x' || substr(md5(s.sh || '#' || j.j), 1, 8)) AS BIGINT) % {BLOOM_M}
+           AS bit
+  FROM sh s, (SELECT UNNEST([0, 1, 2]) AS j) j
+  WHERE s.doc_id % {EVAL_MOD} <> {EVAL_REM}
+),
+sh_hits AS (
+  SELECT p.doc_id, p.sh,
+         CAST(COUNT(*) FILTER (WHERE b.bit IS NOT NULL) = {BLOOM_K} AS INTEGER)
+           AS maybe
+  FROM probes p LEFT JOIN eval_bits b ON p.bit = b.bit
+  GROUP BY p.doc_id, p.sh
+),
+flags AS (
+  SELECT doc_id,
+         CAST(MAX(maybe) AS INTEGER) AS bloom_flagged,
+         CAST(SUM(maybe) AS BIGINT) AS n_maybe_shingles
+  FROM sh_hits GROUP BY doc_id
+),
+exact AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s
+  JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM}) e
+    USING (sh)
+  WHERE s.doc_id % {EVAL_MOD} <> {EVAL_REM}
+)
+SELECT f.doc_id, f.n_maybe_shingles, f.bloom_flagged,
+       CAST(e.doc_id IS NOT NULL AS INTEGER) AS is_contaminated_exact,
+       CAST(f.bloom_flagged = 1 AND e.doc_id IS NULL AS INTEGER) AS false_positive
+FROM flags f LEFT JOIN exact e USING (doc_id)
+""",
+)
+def sk_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a BLOOM_M-bit / BLOOM_K-hash Bloom
+    filter instead of broadcasting raw eval shingles: when the held-out
+    set is too large to ship verbatim, its shingles compress to a
+    constant-size bit set (<= BLOOM_M rows however big the eval corpus
+    gets) that broadcast-joins against the training shingle stream —
+    the corpus side still never shuffles for the membership test, and
+    per-shard bit sets merge by union. One-sided error by construction:
+    every truly contaminated doc is flagged (no false negatives); the
+    query emits the exact verdict alongside so the false-positive rate
+    (~(1-e^{{-kn/m}})^k per probe) is measurable in the result. Docs
+    with fewer than SHINGLE_N tokens have nothing to probe and yield no
+    row (same domain as sh_hits on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    sh = _shingles(docs)
+    js = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    eval_bits = (
+        sh.filter(is_eval)
+        .select("sh")
+        .distinct()
+        .select(F.explode(js).alias("j"), "sh")
+        .select(_bloom_bit(F.col("sh"), F.col("j")))
+        .distinct()
+    )
+    probes = (
+        sh.filter(~is_eval)
+        .select("doc_id", "sh", F.explode(js).alias("j"))
+        .select("doc_id", "sh", _bloom_bit(F.col("sh"), F.col("j")))
+    )
+    sh_hits = (
+        probes.join(
+            F.broadcast(eval_bits.withColumn("set_bit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id", "sh")
+        .agg(
+            (F.count("set_bit") == BLOOM_K).cast("int").alias("maybe")
+        )
+    )
+    flags = sh_hits.groupBy("doc_id").agg(
+        F.max("maybe").cast("int").alias("bloom_flagged"),
+        F.sum("maybe").cast("bigint").alias("n_maybe_shingles"),
+    )
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    exact = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    return flags.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_maybe_shingles",
+        "bloom_flagged",
+        F.coalesce(F.col("exact_hit"), F.lit(0)).cast("int").alias(
+            "is_contaminated_exact"
+        ),
+        ((F.col("bloom_flagged") == 1) & F.col("exact_hit").isNull())
+        .cast("int")
+        .alias("false_positive"),
+    )

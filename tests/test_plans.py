@@ -121,3 +121,12 @@ def test_cms_sketch_joins_broadcast(spark, sf_oracle):
     plan = _plan(spark, "sk_cms_heavy_hitters", sf_oracle)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_bits(spark, sf_oracle):
+    """The constant-size Bloom bit set must broadcast; the training
+    shingle stream never shuffles for the membership probe."""
+    plan = _plan(spark, "sk_bloom_decontaminate", sf_oracle)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,63 @@
+"""Count-min sketch properties beyond the oracle parity check: the
+one-sided error bound and cell-wise mergeability (the reason to use a
+sketch instead of exact counts at 100 TB — per-shard sketches add up).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ftp_blueprints_spark.functions import text as T
+from ftp_blueprints_spark.operators import sketches as S
+from ftp_blueprints_spark.session import load_table
+
+
+def _tf(docs):
+    toks = docs.select(F.explode(T.lower_tokens(F.col("text"))).alias("tok"))
+    return toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tf"))
+
+
+def test_cms_never_undercounts(spark, sf_oracle):
+    out = S.sk_cms_heavy_hitters(spark, sf_oracle)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["never_undercounts"] for r in rows)
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+
+
+def test_cms_sketch_is_constant_size(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    sk = S.cms_sketch(_tf(docs))
+    assert sk.count() <= S.CMS_DEPTH * S.CMS_WIDTH
+
+
+def test_cms_sketches_merge_cellwise(spark, sf_oracle):
+    """sketch(A) + sketch(B) == sketch(A u B) cell-for-cell: the
+    distributive property that lets per-shard / per-day sketches
+    combine without reprocessing raw data."""
+    docs = load_table(spark, sf_oracle, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        S.cms_sketch(_tf(a))
+        .unionByName(S.cms_sketch(_tf(b)))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cell").cast("bigint").alias("cell"))
+    )
+    whole = S.cms_sketch(_tf(docs))
+    diff = merged.join(whole, ["d", "bucket"], "full").filter(
+        (merged["cell"].isNull())
+        | (whole["cell"].isNull())
+        | (merged["cell"] != whole["cell"])
+    )
+    assert diff.count() == 0
+
+
+def test_bloom_no_false_negatives(spark, sf_oracle):
+    """Every exactly-contaminated doc must be bloom-flagged (the
+    one-sided Bloom guarantee); false positives are allowed but counted."""
+    out = S.sk_bloom_decontaminate(spark, sf_oracle).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["is_contaminated_exact"] == 1:
+            assert r["bloom_flagged"] == 1, f"false negative at doc {r['doc_id']}"
