@@ -47,6 +47,9 @@ HEADLINE = [
     "mm_decode_meta",
     "ev_tumbling_counts",
     "ev_ttl_dedup",
+    "ev_view_click_join",
+    "sk_cms_heavy_hitters",
+    "dd_embedding_neardup_keepers",
     "pipe_download",
     "pipe_ingest_csv",
 ]
@@ -78,6 +81,10 @@ BUDGETS = {
     # first measured in r3 — budgets set from initial runs + headroom
     "pipe_download": 5.5,
     "pipe_ingest_csv": 6.0,
+    "ev_view_click_join": 2.0,
+    "sk_cms_heavy_hitters": 2.0,
+    # iterative component convergence adds run-to-run variance
+    "dd_embedding_neardup_keepers": 9.0,
 }
 
 
