@@ -92,6 +92,10 @@ _EARLY_NAMES = {
     # same: the portable-md5-bucket scheme is driver-checked via
     # sk_cms_heavy_hitters; the Bloom variant rotates in at r4
     "sk_bloom_decontaminate": 6,
+    # round-3 additions AFTER the window froze on the 43 never-checked
+    # queries + mf_real pair: deferred to the r4 rotation pool so they
+    # don't displace queries still waiting for first driver evidence
+    "dd_semantic": 6,
     # headline relational queries re-verified each round (whatever of
     # these still fits under row 50 after the never-verified families)
     "q01_pricing_summary": 7,

@@ -490,3 +490,81 @@ def dd_embedding_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper",
         (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
     )
+
+
+# --- SemDedup: cluster-scoped semantic dedup ------------------------------
+
+SEM_K = 16  # clusters; scale as ~n/target_cluster_size so clusters stay bounded
+SEM_COS = 0.3  # within-cluster duplicate threshold (168/500 dupes at sf0.01)
+
+
+def _dd_semantic_oracle() -> str:
+    from .similarity import _COS_SQL
+
+    cos_ab = _COS_SQL.replace("q.", "a.").replace("c.", "b.")
+    cos_vs = _COS_SQL.replace("q.", "v.").replace("c.", "s.")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K}
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({cos_vs}, 6) DESC, s.cid
+           ) AS rn
+    FROM embeddings v CROSS JOIN (SELECT cid, embedding FROM seeds) s
+  ) WHERE rn = 1
+),
+dupes AS (
+  SELECT DISTINCT y.vec_id
+  FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+  WHERE ROUND({cos_ab}, 6) >= {SEM_COS}
+)
+SELECT t.vec_id, t.cid, d.vec_id IS NULL AS is_kept
+FROM assigned t LEFT JOIN dupes d ON d.vec_id = t.vec_id
+"""
+
+
+@query("dd_semantic", _dd_semantic_oracle())
+def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): k-means-style clusters bound the
+    quadratic — a vector is a duplicate iff an EARLIER vector in the
+    SAME cluster sits within cosine >= SEM_COS. No transitive closure:
+    one equi-self-join per cluster, one distinct, one left join.
+
+    Scale: assignment is the zero-shuffle literal-projection argmax
+    (ivf_assign, rounded to the oracle's tie surface); the pair join is
+    keyed on cid, so the shuffle moves each vector once and the
+    quadratic is n/K per cluster — at 100 TB pick K ~ n/1000 (cluster
+    size stays ~1000 regardless of corpus size). Keeper choice is the
+    lowest vec_id per epsilon-ball, deterministic."""
+    from ..functions.vectors import cosine
+    from .similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assigned = ivf_assign(emb, seeds, round_digits=6)
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "cid"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "cid"
+    )
+    dupes = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= SEM_COS)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assigned.join(dupes, "vec_id", "left")
+        .select("vec_id", "cid", F.col("dup").isNull().alias("is_kept"))
+    )

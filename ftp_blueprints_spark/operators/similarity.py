@@ -195,10 +195,19 @@ IVF_LITERAL_MAX_K = 256
 
 
 def ivf_assign(
-    emb: DataFrame, centroids: DataFrame, literal_max_k: int = IVF_LITERAL_MAX_K
+    emb: DataFrame,
+    centroids: DataFrame,
+    literal_max_k: int = IVF_LITERAL_MAX_K,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (argmax cosine;
     ties -> lowest cid, matching the original window order).
+
+    ``round_digits`` rounds each cosine before the argmax compare —
+    oracle-checked callers (dd_semantic) need the same tie surface as
+    DuckDB's ROUND(...,6) so last-ulp dot-product divergence between
+    engines cannot flip an assignment. Approximate-by-construction
+    callers (IVF) keep full precision.
 
     Small K (the common case — IVF centroid counts are ~sqrt(n)):
     collect the tiny centroid table (bounded by IVF_LITERAL_MAX_K+1
@@ -228,13 +237,14 @@ def ivf_assign(
             for r in cents
         )
         lit_cents = F.expr(f"array({structs})")
-        scores = F.transform(
-            lit_cents,
-            lambda c: F.struct(
-                cosine(F.col("embedding"), c["c_emb"]).alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
+
+        def _score(c):  # noqa: ANN001 - Catalyst lambda
+            cos = cosine(F.col("embedding"), c["c_emb"])
+            if round_digits is not None:
+                cos = F.round(cos, round_digits)
+            return F.struct(cos.alias("cos"), c["cid"].alias("cid"))
+
+        scores = F.transform(lit_cents, _score)
         best = F.aggregate(
             scores,
             F.struct(
@@ -244,12 +254,15 @@ def ivf_assign(
             lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
         )
         return emb.select("vec_id", "embedding", best["cid"].alias("cid"))
+    agg_cos = cosine(F.col("embedding"), F.col("c_emb"))
+    if round_digits is not None:
+        agg_cos = F.round(agg_cos, round_digits)
     scored = emb.join(
         F.broadcast(centroids.select(F.col("cid"), F.col("c_emb"))),
         how="cross",
     ).select(
         "vec_id", "embedding", "cid",
-        cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+        agg_cos.alias("c_cos"),
     )
     return scored.groupBy("vec_id").agg(
         F.first("embedding").alias("embedding"),  # constant within the group

@@ -85,3 +85,27 @@ def test_capped_shingles_drop_hot_keys(spark, sf_oracle):
         .agg(F.max("df").alias("m")).collect()[0]["m"]
     )
     assert max_df <= 5
+
+
+def test_semantic_dedup_plan_is_cluster_bounded(spark, sf_oracle):
+    """dd_semantic's quadratic must be cluster-scoped: the pair join is
+    an equi-join on cid (never a cartesian), the centroid assignment is
+    the literal-projection argmax (no Window anywhere), and exactly the
+    earlier-in-cluster neighbors mark duplicates."""
+    df = D.dd_semantic(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    kept = sum(r["is_kept"] for r in rows)
+    assert 0 < kept < 500  # non-trivial: some dupes, some keepers
+    # every cluster keeps at least its lowest member
+    import collections
+    by_cid = collections.defaultdict(list)
+    for r in rows:
+        by_cid[r["cid"]].append(r)
+    for cid, members in by_cid.items():
+        lowest = min(m["vec_id"] for m in members)
+        assert next(m for m in members if m["vec_id"] == lowest)["is_kept"]
