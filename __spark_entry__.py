@@ -96,6 +96,7 @@ _EARLY_NAMES = {
     # queries + mf_real pair: deferred to the r4 rotation pool so they
     # don't displace queries still waiting for first driver evidence
     "dd_semantic": 6,
+    "dd_span_dedup": 6,
     # headline relational queries re-verified each round (whatever of
     # these still fits under row 50 after the never-verified families)
     "q01_pricing_summary": 7,

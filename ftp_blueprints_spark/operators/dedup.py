@@ -568,3 +568,94 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(dupes, "vec_id", "left")
         .select("vec_id", "cid", F.col("dup").isNull().alias("is_kept"))
     )
+
+
+# --- span-level (sub-document) dedup --------------------------------------
+
+SPAN_TOKENS = 10  # non-overlapping token span width
+# composite (doc_id, span_idx) order key: span_idx < 2^20 spans per doc
+_SPAN_KEY_MULT = 1 << 20
+
+_DD_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id, u.i AS span_idx,
+         array_to_string(t[u.i*{SPAN_TOKENS}+1 : u.i*{SPAN_TOKENS}+{SPAN_TOKENS}], ' ') AS span_text
+  FROM toks,
+       UNNEST(generate_series(0, CAST(CEIL(len(t)/{SPAN_TOKENS}.0) AS INT) - 1)) AS u(i)
+),
+firsts AS (
+  SELECT span_text, MIN(doc_id * {_SPAN_KEY_MULT} + span_idx) AS first_key
+  FROM spans GROUP BY span_text
+),
+marked AS (
+  SELECT s.doc_id, s.span_idx, s.span_text,
+         (s.doc_id * {_SPAN_KEY_MULT} + s.span_idx = f.first_key) AS keep
+  FROM spans s JOIN firsts f ON f.span_text = s.span_text
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_spans,
+       sha256(COALESCE(
+         string_agg(span_text, ' ' ORDER BY span_idx) FILTER (WHERE keep), ''
+       )) AS clean_sha
+FROM marked GROUP BY doc_id
+"""
+
+
+@query("dd_span_dedup", _DD_SPAN_ORACLE)
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (the distributed form of Lee et al. 2022
+    substring dedup): chop each doc into non-overlapping SPAN_TOKENS
+    token spans, keep only each span's GLOBAL first occurrence (min
+    (doc_id, span_idx), folded to one integer key so partial-agg min
+    works map-side), and re-emit per-doc stats plus the sha256 of the
+    cleaned text (kept spans rejoined in order — equals the original
+    text when a doc has no duplicated span).
+
+    Scale: candidate marking is groupBy(span_text) min-agg (map-side
+    combine collapses each mapper to its distinct spans) + one
+    equi-join back on span_text; boilerplate-hot spans skew that join,
+    which AQE skew-join splits — unlike a rank-window over span_text,
+    which would pin every occurrence of a hot span on one reducer. The
+    per-doc reassembly keys on doc_id, bounded by document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(SPAN_TOKENS)).cast("int")
+    entries = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("span_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), i * SPAN_TOKENS + 1, SPAN_TOKENS)
+            ).alias("span_text"),
+        ),
+    )
+    occ = (
+        toks.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", "e.span_idx", "e.span_text")
+    )
+    firsts = occ.groupBy("span_text").agg(
+        F.min(
+            F.col("doc_id") * _SPAN_KEY_MULT + F.col("span_idx")
+        ).alias("first_key")
+    )
+    marked = occ.join(firsts, "span_text").withColumn(
+        "keep",
+        F.col("doc_id") * _SPAN_KEY_MULT + F.col("span_idx")
+        == F.col("first_key"),
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(  # collect_list drops the when()'s nulls
+            F.when(F.col("keep"), F.struct("span_idx", "span_text"))
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dup_spans"),
+        F.sha2(
+            F.concat_ws(
+                " ", F.transform(kept_sorted, lambda s: s["span_text"])
+            ),
+            256,
+        ).alias("clean_sha"),
+    )

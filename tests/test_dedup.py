@@ -109,3 +109,21 @@ def test_semantic_dedup_plan_is_cluster_bounded(spark, sf_oracle):
     for cid, members in by_cid.items():
         lowest = min(m["vec_id"] for m in members)
         assert next(m for m in members if m["vec_id"] == lowest)["is_kept"]
+
+
+def test_span_dedup_clean_text_identity(spark, sf_oracle):
+    """A doc with zero duplicated spans must reassemble to its original
+    text (spans partition the token stream), so clean_sha == sha256(text);
+    a doc with dup spans must differ. Also: dup span count is globally
+    consistent — total spans minus distinct span texts."""
+    from ftp_blueprints_spark.session import load_table
+
+    res = D.dd_span_dedup(spark, sf_oracle)
+    docs = load_table(spark, sf_oracle, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("orig_sha")
+    )
+    j = res.join(docs, "doc_id").collect()
+    assert all(
+        (r["clean_sha"] == r["orig_sha"]) == (r["n_dup_spans"] == 0) for r in j
+    )
+    assert sum(r["n_dup_spans"] for r in j) > 0  # non-trivial corpus
