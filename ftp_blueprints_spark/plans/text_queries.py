@@ -724,3 +724,97 @@ def tx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= TOP_TERMS_K
     )
+
+
+# --- top-p quality-mass corpus selection ----------------------------------
+
+TOPP_PCT = 80  # keep best-quality docs until 80% of each lang's token mass
+_TOPP_BUCKETS = 20  # score buckets for the two-pass distributed prefix sum
+
+_TX_TOPP_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {_QUALITY_SQL} AS quality_score
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY quality_score DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS BIGINT) AS lang_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, quality_score, cum_tokens,
+       (cum_tokens * 100 <= lang_tokens * {TOPP_PCT}) AS is_kept
+FROM c
+"""
+
+
+@query("tx_quality_topp", _TX_TOPP_ORACLE)
+def tx_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p corpus selection: per language, keep the highest-quality
+    documents until TOPP_PCT% of that language's token mass is covered
+    (integer mass compare — no float accumulation can diverge).
+
+    The oracle states it as one running-sum window per language, but a
+    per-lang window means ONE reducer per language at 100 TB. This
+    implementation computes the identical cumulative sum distributed:
+    (1) bucket docs by quality-score range (scores are rounded to 6
+    digits, so bucket boundaries are engine-stable), (2) aggregate
+    per-(lang, bucket) token sums — a few hundred rows, collected and
+    prefix-summed on the driver (bounded by lang x bucket count, never
+    corpus size), (3) running-sum WITHIN each (lang, bucket) partition
+    + broadcast-joined offset. Same two-pass shape as the manifest file
+    numbering (operators/manifest.py A2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count(t).cast("bigint").alias("n_tokens"),
+        T.quality_score(t).alias("quality_score"),
+    )
+    b = F.least(
+        F.floor(F.col("quality_score") * _TOPP_BUCKETS), F.lit(_TOPP_BUCKETS)
+    ).cast("int")
+    scored = scored.withColumn("b", b)
+    per_bucket = (
+        scored.groupBy("lang", "b").agg(F.sum("n_tokens").alias("bt")).collect()
+    )
+    # driver-side prefix over lang x bucket rows (bounded, tiny)
+    offs = []
+    langs = {r["lang"] for r in per_bucket}
+    for lang in langs:
+        rows = sorted(
+            (r for r in per_bucket if r["lang"] == lang),
+            key=lambda r: -r["b"],  # higher score bucket = earlier in order
+        )
+        total = sum(r["bt"] for r in rows)
+        acc = 0
+        for r in rows:
+            offs.append((lang, r["b"], acc, total))
+            acc += r["bt"]
+    off_df = scored.sparkSession.createDataFrame(
+        offs, "lang string, b int, off bigint, lang_tokens bigint"
+    )
+    w = (
+        Window.partitionBy("lang", "b")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.join(F.broadcast(off_df), ["lang", "b"])
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("off"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            "cum_tokens",
+            (
+                F.col("cum_tokens") * 100
+                <= F.col("lang_tokens") * TOPP_PCT
+            ).alias("is_kept"),
+        )
+    )

@@ -68,3 +68,32 @@ def test_pack_sequences_matches_driver_simulation(spark, sf_oracle):
         for r in tx_pack_sequences(spark, sf_oracle).collect()
     }
     assert got == want_stats
+
+
+def test_quality_topp_kept_is_score_prefix_and_window_is_bucketed(spark, sf_oracle):
+    """(1) Per language the kept set must be exactly a prefix of the
+    (quality desc, doc_id) order — no gaps. (2) The running-sum window
+    must partition on (lang, bucket), not lang alone: the per-lang
+    sequential region is a score bucket, so no one-reducer-per-language
+    bottleneck at scale."""
+    from ftp_blueprints_spark.plans.text_queries import tx_quality_topp
+
+    df = tx_quality_topp(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spec = plan[plan.index("Window") :][:400]
+    assert "lang" in spec and "b#" in spec, spec
+    rows = df.collect()
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, members in by_lang.items():
+        members.sort(key=lambda r: (-r["quality_score"], r["doc_id"]))
+        flags = [r["is_kept"] for r in members]
+        assert flags == sorted(flags, reverse=True), f"kept not a prefix for {lang}"
+        # cumulative token count is consistent with the sort order
+        acc = 0
+        for r in members:
+            acc += r["n_tokens"]
+            assert r["cum_tokens"] == acc
