@@ -99,6 +99,7 @@ _EARLY_NAMES = {
     "dd_span_dedup": 6,
     "tx_quality_topp": 6,
     "sim_kmeans": 6,
+    "sim_pq_topk": 6,
     # headline relational queries re-verified each round (whatever of
     # these still fits under row 50 after the never-verified families)
     "q01_pricing_summary": 7,

@@ -215,3 +215,39 @@ def test_kmeans_inertia_improves_over_seeds(spark, sf_oracle):
         )
 
     assert mean_cos(S.KM_ITERS) >= mean_cos(0) + 0.01
+
+
+def test_pq_recall_and_reconstruction(spark, sf_oracle):
+    """PQ with seed codebooks + PQ_RERANK exact re-rank: recall@10 vs
+    brute force must clear 0.5 (4-bit codebooks from 16 seeds are
+    coarse; the re-rank recovers what the shortlist retains), every
+    reported pair's cos_sim must EQUAL the brute-force value (re-rank
+    is exact), and encode must pick the true argmin-L2 code (checked
+    against numpy on a sample)."""
+    import numpy as np
+
+    want = {
+        (r["query_id"], r["cand_id"]): r["cos_sim"]
+        for r in S.sim_topk_bruteforce(spark, sf_oracle).collect()
+    }
+    got = {
+        (r["query_id"], r["cand_id"]): r["cos_sim"]
+        for r in S.sim_pq_topk(spark, sf_oracle).collect()
+    }
+    recall = len(set(got) & set(want)) / len(want)
+    assert recall >= 0.5, f"PQ recall@10 = {recall:.3f}"
+    for pair in set(got) & set(want):
+        assert got[pair] == want[pair]
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    books = S.pq_codebooks(emb)
+    sample = S.pq_encode(emb, books).orderBy("vec_id").limit(20).collect()
+    M, KS, d_sub = books.shape
+    for r in sample:
+        x = np.array(r["embedding"], dtype=np.float64)
+        for m in range(M):
+            sub = x[m * d_sub : (m + 1) * d_sub]
+            d2 = ((books[m] - sub) ** 2).sum(axis=1)
+            assert r["codes"][m] == int(d2.argmin())
