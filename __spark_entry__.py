@@ -100,6 +100,7 @@ _EARLY_NAMES = {
     "tx_quality_topp": 6,
     "sim_kmeans": 6,
     "sim_pq_topk": 6,
+    "tx_gopher_rules": 6,
     # headline relational queries re-verified each round (whatever of
     # these still fits under row 50 after the never-verified families)
     "q01_pricing_summary": 7,

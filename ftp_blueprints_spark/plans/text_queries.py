@@ -818,3 +818,100 @@ def tx_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_kept"),
         )
     )
+
+
+# --- Gopher-style threshold rule filters ----------------------------------
+
+# integer-exact rule thresholds (Rae et al. 2021 "Gopher" rules adapted
+# to this corpus's ranges so each rule discriminates at sf0.01)
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 30, 10_000
+GOPHER_MIN_WORDLEN_X10, GOPHER_MAX_WORDLEN_X10 = 42, 100  # mean chars/token x10
+GOPHER_MIN_ALPHA_PCT = 80  # % tokens containing a letter
+GOPHER_MIN_STOPWORDS = 1  # distinct stopwords present (5-word list, sparse synthetic vocab)
+GOPHER_MAX_DUP_PCT = 70  # % non-distinct tokens
+
+_GOPHER_STOP_INLIST = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+_TX_GOPHER_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+    CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_tokens,
+    CAST(len(list_distinct(list_filter({_LTOKS}, t -> t IN ({_GOPHER_STOP_INLIST})))) AS BIGINT) AS n_distinct_stop,
+    CAST(len(list_distinct({_LTOKS})) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}) AS r_len,
+  (n_chars_nospace * 10 BETWEEN n_tokens * {GOPHER_MIN_WORDLEN_X10}
+                            AND n_tokens * {GOPHER_MAX_WORDLEN_X10}) AS r_wordlen,
+  (n_alpha_tokens * 100 >= n_tokens * {GOPHER_MIN_ALPHA_PCT}) AS r_alpha,
+  (n_distinct_stop >= {GOPHER_MIN_STOPWORDS}) AS r_stop,
+  ((n_tokens - n_distinct) * 100 <= n_tokens * {GOPHER_MAX_DUP_PCT}) AS r_dup,
+  ((n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+   AND (n_chars_nospace * 10 BETWEEN n_tokens * {GOPHER_MIN_WORDLEN_X10}
+                                 AND n_tokens * {GOPHER_MAX_WORDLEN_X10})
+   AND (n_alpha_tokens * 100 >= n_tokens * {GOPHER_MIN_ALPHA_PCT})
+   AND (n_distinct_stop >= {GOPHER_MIN_STOPWORDS})
+   AND ((n_tokens - n_distinct) * 100 <= n_tokens * {GOPHER_MAX_DUP_PCT})) AS pass_all
+FROM m
+"""
+
+
+@query("tx_gopher_rules", _TX_GOPHER_ORACLE)
+def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule filters — the thresholded counterpart of
+    tx_quality's soft score. Every rule is an INTEGER comparison
+    (counts cross-multiplied against percent/x10 thresholds), so no
+    float ratio can diverge between engines. One narrow projection:
+    the token arrays are staged once (lambda boundaries defeat
+    codegen CSE — see functions/text.py lower_tokens) and all five
+    rules + the conjunction read the same staged counts. Pure
+    map-side; filter pushes to the scan when composed."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    staged = docs.select(
+        "doc_id",
+        T.ws_tokens(t).alias("tk"),
+        T.lower_tokens(t).alias("ltk"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("bigint").alias(
+            "n_chars_nospace"
+        ),
+    ).select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        "n_chars_nospace",
+        F.size(F.filter(F.col("tk"), lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("n_alpha_tokens"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.col("ltk"), lambda x: x.isin(*T.STOPWORDS["en"]))
+            )
+        )
+        .cast("bigint")
+        .alias("n_distinct_stop"),
+        F.size(F.array_distinct("ltk")).cast("bigint").alias("n_distinct"),
+    )
+    r_len = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    r_wordlen = (F.col("n_chars_nospace") * 10).between(
+        F.col("n_tokens") * GOPHER_MIN_WORDLEN_X10,
+        F.col("n_tokens") * GOPHER_MAX_WORDLEN_X10,
+    )
+    r_alpha = F.col("n_alpha_tokens") * 100 >= F.col("n_tokens") * GOPHER_MIN_ALPHA_PCT
+    r_stop = F.col("n_distinct_stop") >= GOPHER_MIN_STOPWORDS
+    r_dup = (
+        (F.col("n_tokens") - F.col("n_distinct")) * 100
+        <= F.col("n_tokens") * GOPHER_MAX_DUP_PCT
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_dup.alias("r_dup"),
+        (r_len & r_wordlen & r_alpha & r_stop & r_dup).alias("pass_all"),
+    )

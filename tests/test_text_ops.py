@@ -97,3 +97,22 @@ def test_quality_topp_kept_is_score_prefix_and_window_is_bucketed(spark, sf_orac
         for r in members:
             acc += r["n_tokens"]
             assert r["cum_tokens"] == acc
+
+
+def test_gopher_rules_is_pure_narrow_scan(spark, sf_oracle):
+    """All five rules + conjunction must evaluate in one map-side
+    projection over the scan: no Exchange, no Join, no Window — and
+    every rule must discriminate (some pass, some fail) at sf0.01."""
+    from ftp_blueprints_spark.plans.text_queries import tx_gopher_rules
+
+    df = tx_gopher_rules(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    rows = df.collect()
+    n_pass = sum(r["pass_all"] for r in rows)
+    assert 0 < n_pass < len(rows)
+    for rule in ("r_len", "r_wordlen", "r_stop", "r_dup"):
+        vals = {r[rule] for r in rows}
+        assert vals == {True, False}, f"{rule} does not discriminate"
