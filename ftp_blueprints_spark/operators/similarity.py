@@ -848,3 +848,110 @@ def sim_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= RETRIEVAL_K
     )
+
+
+# --- hybrid lexical + vector retrieval (reciprocal-rank fusion) ------------
+
+RRF_K = 60  # standard RRF dampening constant (Cormack et al. 2009)
+
+
+def _hybrid_oracle() -> str:
+    from ..plans.text_queries import _BM25_RANKED_SQL, BM25_QUERIES
+
+    n_q = len(BM25_QUERIES)
+    return f"""
+WITH {_BM25_RANKED_SQL},
+vec_ranked AS (
+  SELECT query_id, cand_id AS doc_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL}, 6) DESC, c.vec_id
+           ) AS BIGINT) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_q}
+  ) WHERE rank <= {TOP_K}
+),
+fused AS (
+  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(1000000 // ({RRF_K} + t.rank), 0)
+            + COALESCE(1000000 // ({RRF_K} + v.rank), 0) AS BIGINT) AS rrf_mu,
+         t.rank IS NOT NULL AS in_text,
+         v.rank IS NOT NULL AS in_vec
+  FROM bm25_ranked t
+  FULL OUTER JOIN vec_ranked v
+    ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rrf_mu, in_text, in_vec,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY rrf_mu DESC, doc_id
+       ) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {TOP_K}
+"""
+
+
+@query("sim_hybrid_rrf", _hybrid_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse BM25 lexical ranks (plans/text_queries.py
+    tx_bm25) with brute-force cosine ranks over the aligned embedding
+    table via reciprocal-rank fusion, rrf = sum 1e6 // (60 + rank) in
+    integer micro-units (Cormack et al. 2009). The standard first stage
+    of a RAG / hard-negative-mining pipeline: lexical catches exact
+    term overlap that embeddings smooth over, and vice versa.
+
+    Scale shape: both inputs are already top-k tables (k rows per
+    query), so the fusion join + final window touch O(queries x k)
+    rows — negligible next to the upstream retrieval ops, which carry
+    their own 100 TB stories (tx_bm25: broadcast-pruned tf; cosine:
+    broadcast queries, partitioned candidates). doc_id == vec_id is the
+    documents-embeddings alignment (TESTDATA.md)."""
+    from ..plans.text_queries import BM25_QUERIES, tx_bm25
+
+    n_q = len(BM25_QUERIES)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb"))
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    vec_ranked = (
+        F.broadcast(q)
+        .join(c, F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_vec).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "doc_id", F.col("rank").alias("rank_v"))
+    )
+    text_ranked = tx_bm25(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_t")
+    )
+    fused = text_ranked.join(
+        vec_ranked, ["query_id", "doc_id"], "full_outer"
+    ).select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000 DIV ({RRF_K} + rank_t)"), F.lit(0)
+            )
+            + F.coalesce(F.expr(f"1000000 DIV ({RRF_K} + rank_v)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_mu"),
+        F.col("rank_t").isNotNull().alias("in_text"),
+        F.col("rank_v").isNotNull().alias("in_vec"),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_mu"), F.asc("doc_id")
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w_fused).cast("bigint")
+    ).filter(F.col("fused_rank") <= TOP_K)

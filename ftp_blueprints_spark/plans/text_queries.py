@@ -915,3 +915,267 @@ def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_dup.alias("r_dup"),
         (r_len & r_wordlen & r_alpha & r_stop & r_dup).alias("pass_all"),
     )
+
+
+# --- BM25 lexical retrieval ------------------------------------------------
+
+# Three fixed retrieval queries over the corpus vocabulary; query 1 mixes
+# the rare term 'dup' (df ~5% of docs) with a common one, exercising the
+# idf contrast. Integer ids join against embedding queries in the hybrid
+# fusion op (operators/similarity.py sim_hybrid_rrf).
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("hash", "join", "fast")),
+    (1, ("dup", "merge")),
+    (2, ("window", "agg", "stream")),
+)
+BM25_TOP_K = 10
+
+_BM25_QTERM_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+# BM25 with k1=1.2, b=0.75 in exact integer arithmetic (micro-units):
+#   idf       ~ (N - df + 0.5)/(df + 0.5)        -> (2(N-df)+1)*1e6 // (2df+1)
+#   tf factor = tf(k1+1)/(tf + k1(1-b+b*dl/avgdl))
+#             = 22*tf*L // (10*tf*L + 3*L + 9*dl*N)   [avgdl = L/N,
+#               multiplied through by 10*L so every operand is integral]
+# The idf is the raw Robertson ratio (no log): a monotone surrogate that
+# keeps the score a pure BIGINT so both engines hash identically.
+_BM25_RANKED_SQL = f"""
+base AS (
+  SELECT doc_id, {_LTOKS} AS tk, CAST(len({_LTOKS}) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS l_total
+  FROM base
+),
+qterms AS (SELECT * FROM (VALUES {_BM25_QTERM_VALUES}) AS v(query_id, tok)),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+  FROM (SELECT doc_id, dl, UNNEST(tk) AS tok FROM base)
+  WHERE tok IN (SELECT tok FROM qterms)
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY tok),
+term_scores AS (
+  SELECT q.query_id, t.doc_id,
+         ((2 * (s.n_docs - d.dfreq) + 1) * 1000000) // (2 * d.dfreq + 1)
+           AS idf_mu,
+         (22 * t.tf * s.l_total * 1000000)
+           // (10 * t.tf * s.l_total + 3 * s.l_total + 9 * t.dl * s.n_docs)
+           AS tf_mu
+  FROM tf t
+  JOIN dfreq d USING (tok)
+  JOIN qterms q USING (tok)
+  CROSS JOIN stats s
+),
+doc_scores AS (
+  SELECT query_id, doc_id,
+         CAST(SUM((idf_mu * tf_mu) // 1000000) AS BIGINT) AS score_mu
+  FROM term_scores GROUP BY query_id, doc_id
+),
+bm25_ranked AS (
+  SELECT query_id, doc_id, score_mu,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_mu DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM doc_scores
+  QUALIFY rank <= {BM25_TOP_K}
+)"""
+
+
+@query("tx_bm25", f"WITH {_BM25_RANKED_SQL}\nSELECT * FROM bm25_ranked")
+def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval (k1=1.2, b=0.75) in exact integer
+    micro-units — the retrieval primitive for hard-negative mining and
+    eval-set construction over a training corpus.
+
+    Plan shape for 100 TB: tokens are filtered to the (tiny, broadcast)
+    query-term set BEFORE the tf aggregation, so the only corpus-sized
+    shuffle is the (doc_id, tok) partial-combinable count of MATCHING
+    tokens; df and corpus stats (N, L) are one-row/vocabulary-sized and
+    broadcast back. Top-k per query avoids the single-reducer per-query
+    window via the two-pass trick (local top-k per physical partition,
+    then a window over the <= k * n_partitions survivors) — same shape
+    as the manifest file numbering (operators/manifest.py A2). No
+    floats, no libm: both engines floor-divide nonneg BIGINTs.
+    Reference scope: text-analysis extension (SURVEY.md §2B); the
+    reference engine has no retrieval op (SURVEY.md §2A)."""
+    all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
+    qdf_rows = [(qid, t) for qid, terms in BM25_QUERIES for t in terms]
+    qdf = spark.createDataFrame(qdf_rows, "query_id int, tok string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", T.lower_tokens(F.col("text")).alias("tk")
+    ).withColumn("dl", F.size("tk").cast("bigint"))
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("l_total"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("dfreq"))
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(qdf), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_mu",
+            F.expr("((2 * (n_docs - dfreq) + 1) * 1000000) DIV (2 * dfreq + 1)"),
+        )
+        .withColumn(
+            "tf_mu",
+            F.expr(
+                "(22 * tf * l_total * 1000000)"
+                " DIV (10 * tf * l_total + 3 * l_total + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    doc_scores = term_scores.groupBy("query_id", "doc_id").agg(
+        F.expr("CAST(SUM((idf_mu * tf_mu) DIV 1000000) AS BIGINT)").alias(
+            "score_mu"
+        )
+    )
+    # two-pass per-query top-k: local top-k per physical partition is a
+    # superset of the global top-k, so the final window only ever sees
+    # <= k * n_partitions rows per query (never one reducer per query).
+    local = doc_scores.withColumn("p", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "p").orderBy(
+        F.desc("score_mu"), F.asc("doc_id")
+    )
+    survivors = (
+        local.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= BM25_TOP_K)
+        .drop("r", "p")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("score_mu"), F.asc("doc_id")
+    )
+    return survivors.withColumn(
+        "rank", F.row_number().over(w_global).cast("bigint")
+    ).filter(F.col("rank") <= BM25_TOP_K)
+
+
+# --- bigram-LM quality bucketing (CCNet shape) -----------------------------
+
+_LM_BUCKET_WIDTH = 50_000  # score_mu in [0, 1e6] -> 21 coarse buckets
+
+_TX_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, {_LTOKS} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, lang, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT doc_id, lang, tk, UNNEST(range(1, len(tk))) AS i FROM toks)
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((c2.c2 * 1000000) // c1.c1) // COUNT(*) AS BIGINT)
+           AS score_mu
+  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY b.doc_id, b.lang
+),
+ranked AS (
+  SELECT doc_id, lang, n_bigrams, score_mu,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score_mu DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS tot
+  FROM scored
+)
+SELECT doc_id, lang, n_bigrams, score_mu,
+       CASE WHEN rnk * 3 <= tot THEN 'head'
+            WHEN rnk * 3 <= tot * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+@query("tx_lm_bigram", _TX_LM_ORACLE)
+def tx_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality bucketing: score each document
+    by its mean bigram probability under a corpus-trained MLE bigram LM
+    (micro-units: mean over bigrams of c(w1,w2)*1e6 // c(w1·)), then cut
+    each language into head / middle / tail thirds by score rank —
+    the published CCNet shape (Wenzek et al. 2020) with the perplexity
+    sort replaced by an integer mean-probability sort so the oracle
+    hashes identically (a monotone transform either way for ranking).
+
+    100 TB notes: the bigram tables here are vocabulary-sized and
+    broadcast; on open-vocabulary text you hash (w1,w2) into 2^22
+    buckets first (CCNet's trick) and the SAME plan applies with the
+    hash as the join key — partial-combinable counts, one shuffle each.
+    The per-lang tercile rank avoids a one-reducer-per-language window
+    with the bucketed two-pass prefix sum (tx_quality_topp shape):
+    coarse score buckets -> per-(lang, bucket) counts prefix-summed on
+    the driver (bounded by langs x 21, never corpus size) -> rank =
+    within-bucket row_number + broadcast offset."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", T.lower_tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    bg = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    lm = F.broadcast(c2.join(c1, "w1"))
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST(SUM((c2 * 1000000) DIV c1) DIV COUNT(*) AS BIGINT)"
+            ).alias("score_mu"),
+        )
+        .withColumn(
+            "b", (F.col("score_mu") / _LM_BUCKET_WIDTH).cast("int")
+        )
+    )
+    per_bucket = (
+        scored.groupBy("lang", "b").agg(F.count("*").alias("cnt")).collect()
+    )
+    offs = []
+    for lang in {r["lang"] for r in per_bucket}:
+        rows = sorted(
+            (r for r in per_bucket if r["lang"] == lang),
+            key=lambda r: -r["b"],  # higher score bucket ranks earlier
+        )
+        tot = sum(r["cnt"] for r in rows)
+        acc = 0
+        for r in rows:
+            offs.append((lang, r["b"], acc, tot))
+            acc += r["cnt"]
+    off_df = scored.sparkSession.createDataFrame(
+        offs, "lang string, b int, off bigint, tot bigint"
+    )
+    w = Window.partitionBy("lang", "b").orderBy(
+        F.desc("score_mu"), F.asc("doc_id")
+    )
+    ranked = scored.join(F.broadcast(off_df), ["lang", "b"]).withColumn(
+        "rnk", F.row_number().over(w) + F.col("off")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "score_mu",
+        F.when(F.col("rnk") * 3 <= F.col("tot"), "head")
+        .when(F.col("rnk") * 3 <= F.col("tot") * 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

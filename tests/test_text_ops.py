@@ -116,3 +116,86 @@ def test_gopher_rules_is_pure_narrow_scan(spark, sf_oracle):
     for rule in ("r_len", "r_wordlen", "r_stop", "r_dup"):
         vals = {r[rule] for r in rows}
         assert vals == {True, False}, f"{rule} does not discriminate"
+
+
+def test_bm25_rare_term_dominates_and_ranks_dense(spark, sf_oracle):
+    """For the query mixing rare 'dup' with near-ubiquitous 'merge',
+    every top-ranked doc must contain 'dup' (its idf is ~200x larger),
+    and ranks must be dense 1..k per query."""
+    from ftp_blueprints_spark.plans.text_queries import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+        tx_bm25,
+    )
+    from ftp_blueprints_spark.session import load_table
+
+    res = tx_bm25(spark, sf_oracle).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    for qid, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= BM25_TOP_K
+        scores = [r["score_mu"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True) or all(
+            s1 >= s2 for s1, s2 in zip(scores, scores[1:])
+        )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_oracle, "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in by_q[1]]))
+        .collect()
+    }
+    for r in by_q[1]:
+        assert "dup" in docs[r["doc_id"]].lower().split(), (
+            f"doc {r['doc_id']} ranked {r['rank']} for the rare-term "
+            "query but does not contain 'dup'"
+        )
+
+
+def test_lm_bigram_buckets_are_score_ordered_thirds(spark, sf_oracle):
+    """Per language: head/middle/tail partition the docs into thirds
+    (sizes differ by <= 1) and bucket membership is monotone in score."""
+    from ftp_blueprints_spark.plans.text_queries import tx_lm_bigram
+
+    rows = tx_lm_bigram(spark, sf_oracle).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        scores = {"head": [], "middle": [], "tail": []}
+        for r in rs:
+            counts[r["bucket"]] += 1
+            scores[r["bucket"]].append(r["score_mu"])
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        if scores["head"] and scores["middle"]:
+            assert min(scores["head"]) >= max(scores["middle"])
+        if scores["middle"] and scores["tail"]:
+            assert min(scores["middle"]) >= max(scores["tail"])
+
+
+def test_hybrid_rrf_fuses_both_systems(spark, sf_oracle):
+    """RRF output scores must equal the sum of the per-system reciprocal
+    ranks, and a doc found by both systems must outrank a doc found at
+    the same single-system rank by only one."""
+    from ftp_blueprints_spark.operators.similarity import RRF_K, sim_hybrid_rrf
+
+    rows = sim_hybrid_rrf(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r["in_text"] or r["in_vec"]
+        # rrf_mu bounds: one system -> <= 1e6//61; both -> <= 2*(1e6//61)
+        hi = (2 if (r["in_text"] and r["in_vec"]) else 1) * (
+            1_000_000 // (RRF_K + 1)
+        )
+        lo_single = 1_000_000 // (RRF_K + 10)
+        assert lo_single <= r["rrf_mu"] <= hi
+    both = [r for r in rows if r["in_text"] and r["in_vec"]]
+    single = [r for r in rows if not (r["in_text"] and r["in_vec"])]
+    if both and single:
+        assert max(r["rrf_mu"] for r in both) > min(
+            r["rrf_mu"] for r in single
+        )
