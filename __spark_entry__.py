@@ -82,9 +82,17 @@ _FAMILY_RANK = {
     "sk_": 5,
 }
 _EARLY_NAMES = {
-    # past the 50-row window in r1/r2 despite the mf_ family being verified
+    # past the 50-row window in r1/r2 despite the mf_ family being verified;
+    # VERDICT r2 task 3 wants mf_real_listing_connector driver-green in r3,
+    # so these two take the last two window slots (rank 5.5 < deferred pool)
+    # ahead of the newest round-3 text queries below.
     "mf_real_listing_connector": 6,
     "mf_real_listing_datasource": 6,
+    # newest round-3 additions (last commit before the freeze): locally green,
+    # rotate into the window at r4
+    "tx_bm25": 7,
+    "tx_lm_bigram": 7,
+    "tx_top_terms": 7,
     # 51st never-checked query — overflows the 50-row window this round;
     # its building blocks (udtf_chunks chunking, bruteforce top-k) are
     # driver-checked individually, so it waits for the r4 rotation
