@@ -61,14 +61,35 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def normalize_timestamps(df):
+    """Coerce every timestamp-typed column to session-zoned TIMESTAMP.
+
+    The driver regenerates the parquet fixtures between rounds and the
+    physical timestamp encoding has drifted (TIMESTAMP(NANOS) ->
+    TIMESTAMP(MICROS)); Spark 4 reads the MICROS form as TIMESTAMP_NTZ,
+    which `unix_micros()` and the windowing functions reject at
+    analysis.  Under the UTC session timezone a plain cast from
+    TIMESTAMP_NTZ to TIMESTAMP is value-identical to DuckDB's naive
+    `epoch_us`, so normalizing here keeps every downstream call site
+    (and the oracle comparison) agnostic to the fixture's encoding.
+    """
+    from pyspark.sql import functions as F
+
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-generated parquet tables.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which the
-    Spark vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read
-    it as a raw nanosecond LONG and truncate to microseconds with
-    exact integer division — the same ns->us truncation DuckDB applies
-    — so both engines see identical timestamps.
+    ``events.ts`` has been written as parquet TIMESTAMP(NANOS) (rounds
+    1-3) and TIMESTAMP(MICROS) (round 4+); handle both: NANOS is read
+    as a raw nanosecond LONG and truncated to microseconds (the same
+    ns->us truncation DuckDB applies), and any TIMESTAMP_NTZ column —
+    Spark 4's reading of plain TIMESTAMP(MICROS) — is cast to
+    session-zoned TIMESTAMP via :func:`normalize_timestamps`.
     """
     if name == "events":
         from pyspark.sql import functions as F
@@ -77,5 +98,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_timestamps(df)
+    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))

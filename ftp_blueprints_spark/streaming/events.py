@@ -181,12 +181,20 @@ def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` through readStream. The parquet stores TIMESTAMP(NANOS)
-    (see session.load_table): the stream reads it as nanosecond LONG
-    and truncates to microseconds — identical rows to the batch path."""
+    """`events` through readStream, normalized to the batch path's rows.
+
+    The fixture's physical ``ts`` encoding has drifted across rounds
+    (TIMESTAMP(NANOS) then TIMESTAMP(MICROS)); a streaming source needs
+    an explicit schema, so peek at the batch reader's resolved dtype and
+    declare the matching streaming schema: NANOS reads as a nanosecond
+    LONG (legacy conf) and truncates to microseconds, MICROS reads as
+    TIMESTAMP_NTZ and casts to session-zoned TIMESTAMP (value-identical
+    under the UTC session — see session.normalize_timestamps).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        f"event_id bigint, ts {batch_ts}, user_id bigint, "
         "event_type string, value double, props string"
     )
     # streaming file source wants a directory: point at sf_dir and
@@ -196,7 +204,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if batch_ts == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
