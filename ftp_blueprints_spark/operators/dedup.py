@@ -551,14 +551,20 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     size stays ~1000 regardless of corpus size). Keeper choice is the
     lowest vec_id per epsilon-ball, deterministic.
 
-    Per-pair scoring hoists the norms OUT of the pair loop: vectors are
-    unit-normalized once per row (staged norm column — a lambda-closed
-    norm would re-evaluate per element), so each of the O(cluster^2)
-    pairs costs one zip_with dot instead of dot+two norms. Interpreted
-    HOF cost per pair drops ~3x (measured 6.2s -> ~2s at sf0.1); the
-    oracle applies the identical formulation so ROUND(,6) stays
-    engine-portable."""
-    from ..functions.vectors import dot
+    Per-cluster pair scoring runs as ONE Arrow-batched applyInPandas
+    BLAS matmul per cluster (the published SemDedup implementation is
+    exactly this dense within-cluster gram matrix): unit-normalize the
+    cluster's vectors once, ``U @ U.T``, round to the oracle's 6-digit
+    tie surface, and a vector is a dupe iff any LOWER vec_id row in its
+    cluster clears SEM_COS. This replaces r3's interpreted per-pair
+    zip_with dot — Spark HOFs evaluate per element in the interpreter,
+    ~100x slower than the matmul (same measurement as
+    similarity.band_signatures) — and the shuffle story is unchanged:
+    one exchange keyed on cid, each vector moves once, O((n/K)^2) work
+    bounded by cluster size."""
+    import numpy as np
+    import pandas as pd
+
     from .similarity import ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -566,26 +572,20 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     assigned = ivf_assign(emb, seeds, round_digits=6)
-    unit = (
-        assigned.withColumn(
-            "nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        )
-        .withColumn(
-            "u",
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
-            ),
-        )
-        .select("vec_id", "cid", "u")
-    )
-    a = unit.select(F.col("vec_id").alias("va"), F.col("u").alias("ua"), "cid")
-    b = unit.select(F.col("vec_id").alias("vb"), F.col("u").alias("ub"), "cid")
+
+    def cluster_dupes(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        u = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        g = np.round(u @ u.T, 6)
+        # row j is a dupe iff some i<j (lower vec_id) has cos >= SEM_COS
+        dup = np.triu(g >= SEM_COS, k=1).any(axis=0)
+        return pdf.loc[dup, ["vec_id"]]
+
     dupes = (
-        a.join(b, "cid")
-        .filter(F.col("va") < F.col("vb"))
-        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= SEM_COS)
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
+        assigned.select("cid", "vec_id", "embedding")
+        .groupBy("cid")
+        .applyInPandas(cluster_dupes, "vec_id long")
         .withColumn("dup", F.lit(True))
     )
     return (
