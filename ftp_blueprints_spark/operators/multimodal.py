@@ -144,7 +144,13 @@ FROM documents
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode plumbing end-to-end (Arrow batches, schema
-    projection) with the fake decoder — oracle mirrors the formula."""
+    projection) with the fake decoder — oracle mirrors the formula.
+
+    SIMULATED DECODER: this query runs ``decode_media(fake=True)`` — a
+    deterministic arithmetic stand-in, NOT a real image/audio codec
+    (codec libs are absent in this container; the real path raises
+    NotImplementedError). A green driver row certifies the Spark-side
+    plumbing (schema, Arrow batching, partitioning), not codec output."""
     media = to_media_table(load_table(spark, sf_dir, "documents"))
     return decode_media(media, fake=True)
 
@@ -176,7 +182,11 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing end-to-end (mapInPandas over binary
     payloads, one output row per sampled frame). The oracle re-derives
     each sampled byte from the hex dump of the same payload — byte
-    positions, not codepoints, so multi-byte UTF-8 text agrees too."""
+    positions, not codepoints, so multi-byte UTF-8 text agrees too.
+
+    SIMULATED DECODER: "frames" are raw bytes sampled at fixed offsets,
+    not demuxed video frames — real container parsing is stubbed (see
+    module docstring); the mapInPandas shape is what a codec would use."""
     media = to_media_table(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_n_bytes=97, max_frames=8)
 
@@ -264,7 +274,11 @@ FROM documents
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing end-to-end; the thumb digest is taken over the
-    hex dump (DuckDB cannot slice BLOBs, hex strings agree byte-exactly)."""
+    hex dump (DuckDB cannot slice BLOBs, hex strings agree byte-exactly).
+
+    SIMULATED DECODER: "resize" is a deterministic byte truncation, not
+    pixel resampling — the Pandas-UDF batch shape is real, the codec
+    isn't (see module docstring)."""
     media = to_media_table(load_table(spark, sf_dir, "documents"))
     out = resize_media(media, max_bytes=256)
     return out.select(
@@ -314,7 +328,11 @@ def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding is projected as a comma-joined string + L1 checksum for
     the hash check (array-typed output columns have no established
     cross-engine hash representation); `embed_media` itself returns the
-    real array<bigint> column."""
+    real array<bigint> column.
+
+    SIMULATED ENCODER: the "embedding" is a byte-histogram feature, not
+    a neural embedding — model inference is stubbed in this container;
+    the Arrow-batched mapInPandas plumbing is the real scale path."""
     media = to_media_table(load_table(spark, sf_dir, "documents"))
     out = embed_media(media)
     return out.select(
