@@ -86,21 +86,20 @@ BUDGETS = {
     "mm_decode_meta": 1.0,
     "ev_tumbling_counts": 1.0,
     "ev_ttl_dedup": 1.2,
-    # first measured in r3 — budgets set from initial runs + headroom.
-    # pipe_download: ~2.9s standalone-warm, but 5.9-7.0s inside the full
-    # bench session (23 queries of accumulated JVM/GC state run first);
-    # budget covers the in-bench number, which is what the driver records
-    "pipe_download": 8.0,
-    "pipe_ingest_csv": 6.0,
+    # the r3 "accumulated-session overhead" drift disappeared once the
+    # per-query GC purge landed: r4 clean in-bench times are 2.3s
+    # (download) / 1.3s (ingest); budgets are ~2x those
+    "pipe_download": 5.0,
+    "pipe_ingest_csv": 3.0,
     "ev_view_click_join": 2.0,
     "sk_cms_heavy_hitters": 2.0,
     # iterative component convergence adds run-to-run variance
-    "dd_embedding_neardup_keepers": 9.0,
+    # (r4 clean: 3.3s; 2x + slack for extra label-propagation rounds)
+    "dd_embedding_neardup_keepers": 7.0,
     # r3 additions (warm sf0.1 measurements + ~60% headroom)
     "dd_span_dedup": 2.5,
-    # within-cluster pair scoring: ~780k interpreted HOF dots at sf0.1
-    # (the SemDedup quadratic, bounded by cluster size at scale)
-    "dd_semantic": 8.0,
+    # per-cluster matmul pair scoring (r4 clean: 1.8s at sf0.1)
+    "dd_semantic": 3.6,
     "tx_quality_topp": 3.4,
     "tx_gopher_rules": 1.2,
     "sim_pq_topk": 2.8,

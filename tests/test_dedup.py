@@ -127,3 +127,26 @@ def test_span_dedup_clean_text_identity(spark, sf_oracle):
         (r["clean_sha"] == r["orig_sha"]) == (r["n_dup_spans"] == 0) for r in j
     )
     assert sum(r["n_dup_spans"] for r in j) > 0  # non-trivial corpus
+
+def test_connected_keepers_truncates_lineage_and_converges(spark):
+    """The min-label-propagation loop must not regrow lineage per round:
+    edges are localCheckpointed once and each round's labels are
+    localCheckpointed, so the final plan reads cached RDDs — NOT a
+    re-derivation of the pair-generation pipeline (at 100 TB, a lineage
+    that re-runs LSH bucketing every iteration is a scale-killer).
+    A 5-node chain (diameter 4 > the 2-4 typical rounds) proves
+    convergence is driven by the change-count, not a fixed round count."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], ["doc_id"]
+    )
+    lab = D.connected_keepers(pairs, docs)
+    got = {r["doc_id"]: r["keeper"] for r in lab.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+    plan = lab._jdf.queryExecution().executedPlan().toString()
+    # localCheckpoint materializes as an RDD scan; the original input
+    # lineage (createDataFrame's LocalTableScan / parquet) must be gone
+    assert "ExistingRDD" in plan
+    assert "LocalTableScan" not in plan
