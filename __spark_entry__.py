@@ -104,6 +104,10 @@ _EARLY_NAMES = {
     "q_asof_join": 2,
     "q_asof_tolerance": 2,
     "q_window_time_range": 2,
+    # new in r4 (cluster-balanced diversity sample, DSIR importance
+    # weights): first driver evidence this round, ahead of re-verification
+    "sim_cluster_sample": 2,
+    "tx_dsir_weights": 2,
     # real-FTP listing pair: green r3, distinct rank (ADVICE r3) so their
     # window placement is enforced by rank, not module-import-order tiebreak
     "mf_real_listing_connector": 8,

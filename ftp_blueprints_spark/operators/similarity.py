@@ -955,3 +955,83 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "fused_rank", F.row_number().over(w_fused).cast("bigint")
     ).filter(F.col("fused_rank") <= TOP_K)
+
+
+# --- cluster-balanced diversity sampling ------------------------------------
+
+CS_K = 16  # clusters (scale as ~n/target_cluster_size, like SemDedup)
+CS_PER_CLUSTER = 8  # sample size per cluster
+
+
+def _sim_cluster_sample_oracle() -> str:
+    cos_vs = _COS_SQL.replace("q.", "v.").replace("c.", "s.")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {CS_K}
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({cos_vs}, 6) DESC, s.cid
+           ) AS rn
+    FROM embeddings v CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, a.cid, ROUND({cos_vs}, 6) AS c
+  FROM assigned a
+  JOIN embeddings v ON v.vec_id = a.vec_id
+  JOIN seeds s ON s.cid = a.cid
+)
+SELECT vec_id, cid,
+       CAST(ROUND(c * 1000000) AS BIGINT) AS cos_micros,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT vec_id, cid, c,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY c ASC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {CS_PER_CLUSTER}
+"""
+
+
+@query("sim_cluster_sample", _sim_cluster_sample_oracle())
+def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample: assign every vector to its
+    nearest of CS_K deterministic seed centroids, then keep each
+    cluster's CS_PER_CLUSTER LEAST prototypical members (lowest cosine
+    to the centroid — the cluster-edge examples that data-pruning work
+    such as Sorscher et al. 2022 shows matter most at scale; flip the
+    sort for prototype selection). Balanced-per-cluster selection is
+    the standard guard against a global score cut collapsing onto one
+    dense region of embedding space.
+
+    Scale: assignment is the zero-shuffle literal-argmax projection
+    (ivf_assign); centroid re-scoring is a broadcast hash join (K rows);
+    the ONLY exchange is the per-cid top-m window, which moves each
+    vector once and sorts clusters of ~n/K rows — pick CS_K ~ n/1000 at
+    100 TB and the per-reducer work stays bounded regardless of corpus
+    size. The rounded-to-6 cosine is the oracle's exact tie surface, so
+    ranks are engine-portable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(CS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assigned = ivf_assign(emb, seeds, round_digits=6)
+    scored = assigned.join(F.broadcast(seeds), "cid").select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("c"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.asc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= CS_PER_CLUSTER)
+        .select(
+            "vec_id",
+            "cid",
+            F.round(F.col("c") * 1_000_000).cast("bigint").alias("cos_micros"),
+            "rank",
+        )
+    )

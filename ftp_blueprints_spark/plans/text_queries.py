@@ -1179,3 +1179,96 @@ def tx_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --- DSIR-style importance weighting ---------------------------------------
+
+# Target-domain stand-in: the sources whose unigram distribution defines
+# "high quality" (DSIR's target corpus — e.g. Wikipedia in the paper).
+DSIR_TARGETS = ("src0", "src1", "src2")
+_DSIR_IN = ", ".join(f"'{s}'" for s in DSIR_TARGETS)
+
+
+@query(
+    "tx_dsir_weights",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS c_r,
+         COUNT(*) FILTER (WHERE source IN ({_DSIR_IN})) AS c_t
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT COUNT(*) AS v, CAST(SUM(c_r) AS BIGINT) AS n_r,
+         CAST(SUM(c_t) AS BIGINT) AS n_t
+  FROM vocab
+),
+ratio AS (
+  SELECT tok,
+         CAST(FLOOR((ln(c_t + 1) - ln(n_t + v) - ln(c_r + 1) + ln(n_r + v))
+                    * 1000000) AS BIGINT) AS r_mu
+  FROM vocab, tot
+),
+dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT dt.doc_id,
+       CAST(SUM(dt.c * ratio.r_mu) AS BIGINT) AS weight_micros,
+       CAST(SUM(dt.c * ratio.r_mu) AS BIGINT) >= 0 AS selected
+FROM dt JOIN ratio USING (tok)
+GROUP BY dt.doc_id
+""",
+)
+def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weights (Xie et al. 2023): per-document
+    log-likelihood ratio between a smoothed unigram LM of the TARGET
+    domain (DSIR_TARGETS sources) and the RAW corpus LM; documents with
+    weight >= 0 look more target-like than raw-like and are `selected`
+    for importance resampling.
+
+    Engine-portable numerics: each token's Laplace-smoothed log ratio
+    ln((c_t+1)/(N_t+V)) - ln((c_r+1)/(N_r+V)) is floored to integer
+    micro-units FIRST, then the per-doc sum is pure integer arithmetic
+    — order-independent, so Spark's partial aggregation and DuckDB's
+    serial sum cannot diverge on float association.
+
+    Scale: two token-keyed shuffles (vocab counts, per-doc token
+    counts — both map-side combinable), one 1-row totals broadcast,
+    one equi-join on tok (hot/stopword tokens are exactly the AQE
+    skew-join case), and a doc_id-keyed final agg. No collect, no
+    window, no cartesian; vocab is the only intermediate bigger than
+    the output and it shrinks with Zipf."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("c_r"),
+        F.count(F.when(F.col("source").isin(*DSIR_TARGETS), 1)).alias("c_t"),
+    )
+    tot = vocab.agg(
+        F.count("*").alias("v"),
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+    )
+    ratio = vocab.join(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            (
+                F.log(F.col("c_t") + 1)
+                - F.log(F.col("n_t") + F.col("v"))
+                - F.log(F.col("c_r") + 1)
+                + F.log(F.col("n_r") + F.col("v"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("r_mu"),
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    w = F.sum(F.col("c") * F.col("r_mu")).cast("bigint")
+    return (
+        dt.join(ratio, "tok")
+        .groupBy("doc_id")
+        .agg(w.alias("weight_micros"), (w >= 0).alias("selected"))
+    )

@@ -130,3 +130,30 @@ def test_bloom_probe_broadcasts_bits(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_sample_no_cartesian_single_window(spark, sf_oracle):
+    """sim_cluster_sample: assignment is the literal-argmax projection
+    (no join for assignment), centroid re-scoring is a broadcast hash
+    join, and the only wide op is the per-cid top-m window."""
+    plan = _plan(spark, "sim_cluster_sample", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # top-m per cid runs as WindowGroupLimit with a Partial pass BEFORE
+    # the exchange: each mapper ships <= m rows per cid, so the single
+    # shuffle carries O(K*m) rows, not the corpus
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # K seed rows must broadcast
+
+
+def test_dsir_weights_no_cartesian_no_window(spark, sf_oracle):
+    """tx_dsir_weights: token-keyed hash aggs + one equi-join; the
+    1-row totals frame joins as a broadcast, never a cartesian of the
+    corpus; no window anywhere (pure aggregation pipeline)."""
+    plan = _plan(spark, "tx_dsir_weights", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
