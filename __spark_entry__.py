@@ -105,9 +105,11 @@ _EARLY_NAMES = {
     "q_asof_tolerance": 2,
     "q_window_time_range": 2,
     # new in r4 (cluster-balanced diversity sample, DSIR importance
-    # weights): first driver evidence this round, ahead of re-verification
+    # weights, KMV distinct sketch): first driver evidence this round,
+    # ahead of re-verification
     "sim_cluster_sample": 2,
     "tx_dsir_weights": 2,
+    "sk_kmv_distinct": 2,
     # real-FTP listing pair: green r3, distinct rank (ADVICE r3) so their
     # window placement is enforced by rank, not module-import-order tiebreak
     "mf_real_listing_connector": 8,

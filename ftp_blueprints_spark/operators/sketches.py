@@ -134,12 +134,12 @@ def _bloom_bit(s: Column, j: Column) -> Column:
     )
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): token SHINGLE_N-grams, same construction as
+def _shingles(docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(*keys, sh): token SHINGLE_N-grams, same construction as
     tx_decontaminate (docs shorter than SHINGLE_N yield no rows)."""
-    toks = docs.select("doc_id", T.lower_tokens(F.col("text")).alias("t"))
+    toks = docs.select(*keys, T.lower_tokens(F.col("text")).alias("t"))
     return toks.select(
-        "doc_id",
+        *keys,
         F.explode(
             F.when(
                 F.size("t") >= SHINGLE_N,
@@ -265,4 +265,91 @@ def sk_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("bloom_flagged") == 1) & F.col("exact_hit").isNull())
         .cast("int")
         .alias("false_positive"),
+    )
+
+
+# --- KMV (k-minimum-values) distinct-count sketch ---------------------------
+
+KMV_K = 64  # kept minima per group; stderr ~ 1/sqrt(K-2) ~ 12.7%
+_KMV_HASH_SPACE = 1 << 48  # h = first 12 md5 hex chars -> uniform in [0, 2^48)
+
+
+@query(
+    "sk_kmv_distinct",
+    f"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT source, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS sh
+  FROM toks, UNNEST(range(1, len(t) - {SHINGLE_N - 2})) AS u(i)
+  WHERE len(t) >= {SHINGLE_N}
+),
+hs AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) AS h
+  FROM sh
+),
+ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)
+                 ELSE {(KMV_K - 1) * _KMV_HASH_SPACE} // MAX(h) END
+            AS BIGINT) AS est_distinct
+FROM ranked WHERE rn <= {KMV_K}
+GROUP BY source
+""",
+)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality via a KMV sketch
+    (Bar-Yossef et al. 2002): hash every distinct token 3-gram
+    uniformly into [0, 2^48), keep the K smallest hashes per group,
+    estimate distinct as (K-1) * 2^48 / h_(K) — pure integer arithmetic
+    on the portable md5-prefix hash, so unlike approx_count_distinct
+    (HLL internals are engine-specific) the driver hash-checks the
+    sketch EXACTLY. Shingles, not tokens, because distinct-shingle
+    counts are what near-dup/decontamination budgeting needs — and the
+    synthetic corpus's token vocab (~30) would degenerate to the exact
+    path, while its thousands of shingles exercise the estimator.
+
+    Scale: one (source, h) distinct shuffle with map-side partial
+    aggregation, then the per-group K minima run as WindowGroupLimit —
+    each mapper ships <= K rows per group, so the final exchange
+    carries O(groups * K) regardless of corpus size. KMV sketches from
+    disjoint corpora merge by unioning and re-taking the K minima (the
+    property exact COUNT(DISTINCT) lacks); accuracy asserted vs exact
+    distinct counts in tests/test_sketches.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        _shingles(docs, keys=("source",))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    kept = hs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    n_kept = F.count("*")
+    kth = F.max("h")
+    return kept.groupBy("source").agg(
+        n_kept.cast("bigint").alias("n_kept"),
+        kth.cast("bigint").alias("kth_hash"),
+        F.when(n_kept < KMV_K, n_kept)
+        .otherwise(
+            F.expr(f"{(KMV_K - 1) * _KMV_HASH_SPACE} DIV max(h)")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
     )

@@ -61,3 +61,28 @@ def test_bloom_no_false_negatives(spark, sf_oracle):
     for r in out:
         if r["is_contaminated_exact"] == 1:
             assert r["bloom_flagged"] == 1, f"false negative at doc {r['doc_id']}"
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark, sf_oracle):
+    """KMV estimate vs exact distinct-shingle count per source: with
+    K=64 the stderr is ~12.7%, so mean relative error must stay well
+    under 2 sigma and every group must engage the estimator path
+    (n_kept == K) on this corpus."""
+    from ftp_blueprints_spark.session import load_table
+
+    est = {r["source"]: r for r in S.sk_kmv_distinct(spark, sf_oracle).collect()}
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {
+        r["source"]: r["d"]
+        for r in S._shingles(docs, keys=("source",))
+        .groupBy("source")
+        .agg(F.count_distinct("sh").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    errs = [
+        abs(est[s]["est_distinct"] - exact[s]) / exact[s] for s in exact
+    ]
+    assert all(r["n_kept"] == S.KMV_K for r in est.values())
+    assert sum(errs) / len(errs) <= 0.25, f"mean rel err {sum(errs)/len(errs):.3f}"
+    assert max(errs) <= 0.6, f"max rel err {max(errs):.3f}"
