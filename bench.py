@@ -58,6 +58,10 @@ HEADLINE = [
     "tx_bm25",
     "tx_lm_bigram",
     "sim_hybrid_rrf",
+    "sim_cluster_sample",
+    "tx_dsir_weights",
+    "sk_kmv_distinct",
+    "sim_ivfpq_topk",
     "pipe_download",
     "pipe_ingest_csv",
 ]
@@ -107,6 +111,13 @@ BUDGETS = {
     "tx_bm25": 3.0,
     "tx_lm_bigram": 4.8,
     "sim_hybrid_rrf": 3.6,
+    # r4 additions (warm sf0.1 measurements x ~2)
+    "sim_cluster_sample": 5.2,
+    "tx_dsir_weights": 2.1,
+    "sk_kmv_distinct": 3.0,
+    # ~2.1s of this is the shared IVF substructure (centroids+assign);
+    # at scale codes are precomputed, here they rebuild per run
+    "sim_ivfpq_topk": 8.6,
 }
 
 

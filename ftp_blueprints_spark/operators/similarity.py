@@ -563,16 +563,30 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF lists prune the scan to IVF_NPROBE/IVF_K of the corpus, PQ codes
     of the RESIDUAL (vector minus its list centroid — tighter than raw
     PQ because residual norms shrink) give the in-list approximate
-    scores, and the per-query shortlist re-ranks against true vectors.
-    This is the composition that serves billion-vector corpora: the
-    probed fraction bounds compute, the 4-byte codes bound memory, the
-    re-rank bounds the approximation error.
+    scores via ADC lookup tables, and the per-query shortlist re-ranks
+    against true vectors by exact cosine. This is the composition that
+    serves billion-vector corpora: the probed fraction bounds compute,
+    the 4-byte codes bound memory, the re-rank bounds the error.
 
-    Scale: every stage reuses the audited pieces — zero-shuffle argmax
-    assignment, broadcast probes joined equi-keyed on cid (never a
-    corpus cartesian), narrow Arrow encode pass, and only
-    PQ_RERANK x queries full vectors move in the re-rank join.
-    Recall@10 vs brute force asserted in tests/test_similarity.py."""
+    ADC (asymmetric distance computation) is the part that makes PQ
+    fast, not just small: each query precomputes a (M x KS) table of
+    subspace dot products against every codebook entry — per candidate
+    the approximate inner product is dot(q, centroid) + M table
+    lookups, NOT a 64-dim vector reconstruction. A first formulation
+    decoded c+r per row and scored with interpreted HOF cosine: 6.4s
+    at sf0.1; the LUT pandas_udf runs the same shortlist in ~1s. The
+    shortlist ranks by approximate INNER PRODUCT (FAISS's IVFADC
+    metric); the exact re-rank restores cosine order.
+
+    Scale: zero-shuffle argmax assignment, broadcast probes joined
+    equi-keyed on cid (never a corpus cartesian), narrow Arrow encode +
+    ADC passes, and only PQ_RERANK x queries full vectors move in the
+    re-rank join. The LUT closure is N_QUERIES x M x KS doubles —
+    constant-size, like the centroid literals. Recall@10 vs brute
+    force asserted in tests/test_similarity.py."""
+    from ..functions.vectors import dot
+    from pyspark.sql.types import DoubleType
+
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb).cache()
     assigned = ivf_assign(emb, cents)
@@ -584,41 +598,62 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books = pq_codebooks(with_res, emb_col="residual")
     coded = pq_encode(with_res, books, emb_col="residual").select(
-        F.col("vec_id").alias("cand_id"), "cid", "c_emb", "codes"
+        F.col("vec_id").alias("cand_id"), "cid", "codes"
     )
-    # decoded approximation = list centroid + decoded residual
-    decoded = coded.withColumn(
-        "dec",
-        F.zip_with(
-            "c_emb", pq_decode_expr(books), lambda c, r: c.cast("double") + r
-        ),
+    # bounded collect: exactly N_QUERIES rows (a constant), same class
+    # as the centroid collects — never corpus-proportional
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
     )
+    M, KS, d_sub = books.shape
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # lut[qi, m, k] = dot(q_sub_m, books[m][k])
+    lut = np.stack(
+        [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(M)],
+        axis=1,
+    )
+    qidx = {r["vec_id"]: i for i, r in enumerate(q_rows)}
+
+    @F.pandas_udf(DoubleType())
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy())  # (n, M) int codes
+        qi = qid.map(qidx).to_numpy(dtype=np.int64)
+        return pd.Series(
+            lut[qi[:, None], np.arange(M)[None, :], C].sum(axis=1)
+        )
+
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     q_cent = q.join(F.broadcast(cents), how="cross").select(
         "query_id", "q_emb", "cid",
         cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+        dot(F.col("q_emb"), F.col("c_emb")).alias("dot_qc"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
     probes = (
         q_cent.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "q_emb", "cid")
+        .select("query_id", "q_emb", "cid", "dot_qc")
     )
     approx = (
         F.broadcast(probes)
-        .join(decoded.select("cand_id", "cid", "dec"), "cid")
+        .join(coded, "cid")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "q_emb",
             "cand_id",
-            cosine(F.col("q_emb"), F.col("dec")).alias("approx_cos"),
+            (F.col("dot_qc") + adc(F.col("query_id"), F.col("codes"))).alias(
+                "approx_ip"
+            ),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_cos"), F.asc("cand_id")
+        F.desc("approx_ip"), F.asc("cand_id")
     )
     short = (
         approx.withColumn("rn", F.row_number().over(wa))
