@@ -110,6 +110,7 @@ _EARLY_NAMES = {
     "sim_cluster_sample": 2,
     "tx_dsir_weights": 2,
     "sk_kmv_distinct": 2,
+    "mm_phash_neardup": 2,
     # real-FTP listing pair: green r3, distinct rank (ADVICE r3) so their
     # window placement is enforced by rank, not module-import-order tiebreak
     "mf_real_listing_connector": 8,

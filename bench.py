@@ -62,6 +62,7 @@ HEADLINE = [
     "tx_dsir_weights",
     "sk_kmv_distinct",
     "sim_ivfpq_topk",
+    "mm_phash_neardup",
     "pipe_download",
     "pipe_ingest_csv",
 ]
@@ -118,6 +119,7 @@ BUDGETS = {
     # ~2.1s of this is the shared IVF substructure (centroids+assign);
     # at scale codes are precomputed, here they rebuild per run
     "sim_ivfpq_topk": 8.6,
+    "mm_phash_neardup": 5.5,
 }
 
 

