@@ -3,8 +3,9 @@
 - exact dedup (sha256 hash-groupBy)                 -> oracle-checked
 - normalized exact dedup (lower + whitespace fold)  -> oracle-checked
 - exact n-gram Jaccard near-dup pairs               -> oracle-checked
-- MinHash + LSH banding near-dup candidates         -> rows-only (no
-  portable hash in DuckDB; validated in tests against exact Jaccard)
+- MinHash + LSH banding near-dup candidates         -> oracle-checked
+  (permutations are universal hashes of one md5 prefix — portable
+  integer arithmetic, so DuckDB reproduces the signatures exactly)
 - SimHash + banded Hamming near-dup candidates      -> rows-only
 
 Scale design: exact dedup is a single hash-shuffle on the digest.
@@ -173,17 +174,48 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 8 bands x 4 rows
 
+# Universal-hash permutation family over a single md5-prefix base hash:
+# perm_i(s) = (A_i * h31(s) + B_i) mod M, with h31 = first 8 md5 hex
+# chars mod 2^31 and M the Mersenne prime 2^31-1. Every quantity stays
+# below 2^62 (A_i, h31 < 2^31), so the arithmetic is exact BIGINT in
+# both Spark and DuckDB — the signatures (and therefore the LSH
+# candidates and est_jaccard) are engine-identical, which is what lets
+# the driver hash-check a MinHash sketch at all. Constants are fixed-
+# seed so every run/engine derives the same family.
+_MH_M = (1 << 31) - 1
+_MH_SHIFT = 1 << 31
+
+
+def _mh_constants() -> tuple[list[int], list[int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, _MH_M, MINHASH_PERMS)
+    b = rng.integers(0, _MH_M, MINHASH_PERMS)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+_MH_A, _MH_B = _mh_constants()
+
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_PERMS) -> DataFrame:
-    """K-permutation MinHash signature per doc as ONE array column.
-    Permutation i is xxhash64(i, shingle) — one pass over exploded
-    shingles, K min-aggs (map-side partial agg keeps shuffle at
-    O(docs * K)); packing into an array keeps downstream join rows
-    narrow (doc_id + 1 column instead of K)."""
+    """K-permutation MinHash signature per doc as ONE array column:
+    one md5 per shingle row, then K exact-integer universal hashes —
+    one pass over exploded shingles, K min-aggs (map-side partial agg
+    keeps the shuffle at O(docs * K)); packing into an array keeps
+    downstream join rows narrow (doc_id + 1 column instead of K)."""
+    h31 = (
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(_MH_SHIFT)
+    )
+    with_h = sh.withColumn("_h", h31)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)
+        F.min((F.lit(_MH_A[i]) * F.col("_h") + F.lit(_MH_B[i])) % _MH_M).alias(
+            f"h{i}"
+        )
+        for i in range(k)
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = with_h.groupBy("doc_id").agg(*aggs)
     return wide.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
@@ -219,8 +251,12 @@ def lsh_candidates(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                # band key = the row minima themselves (joined as one
+                # string): engine-portable, unlike a builtin hash of
+                # them — the oracle reproduces identical keys
+                F.concat_ws(
+                    "_",
+                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
                 ).alias("bh"),
             )
             for b in range(bands)
@@ -246,11 +282,72 @@ def lsh_candidates(
     )
 
 
-@query("dd_minhash_lsh")  # probabilistic hashes: no portable SQL oracle
+def _dd_minhash_oracle() -> str:
+    a_list = ", ".join(str(x) for x in _MH_A)
+    b_list = ", ".join(str(x) for x in _MH_B)
+    rows = MINHASH_PERMS // LSH_BANDS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+hot AS (
+  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}
+),
+sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {_MH_SHIFT} AS h
+  FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+),
+perms AS (
+  SELECT UNNEST(range(0, {MINHASH_PERMS})) AS i,
+         UNNEST([{a_list}]) AS a,
+         UNNEST([{b_list}]) AS b
+),
+mins AS (
+  SELECT doc_id, p.i, MIN((p.a * sh.h + p.b) % {_MH_M}) AS m
+  FROM sh CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bandkey AS (
+  SELECT doc_id, i // {rows} AS band,
+         string_agg(m::VARCHAR, '_' ORDER BY i) AS bh
+  FROM mins GROUP BY doc_id, i // {rows}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM bandkey a JOIN bandkey b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+agree AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         COUNT(*) FILTER (WHERE x.m = y.m) AS eq
+  FROM mins x JOIN mins y ON x.i = y.i AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       ROUND(g.eq / {MINHASH_PERMS}.0, 6) AS est_jaccard
+FROM cand c JOIN agree g ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+"""
+
+
+@query("dd_minhash_lsh", _dd_minhash_oracle())
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with estimated Jaccard (fraction
-    of agreeing signature components). Driver runs rows-only check;
-    tests/test_dedup.py validates recall against dd_ngram_jaccard."""
+    of agreeing signature components). The portable universal-hash
+    permutations make the whole sketch engine-exact, so the oracle
+    recomputes signatures, band buckets, AND the estimate — the driver
+    hash-check covers the LSH pipeline end to end (its all-pairs
+    formulation is equivalent because the bucket-size cap cannot
+    trigger at sf0.01 where max bucket = doc count).
+    tests/test_dedup.py additionally validates recall against
+    dd_ngram_jaccard ground truth."""
     docs = load_table(spark, sf_dir, "documents")
     sh = capped_shingles(docs, 3)  # same df-capped universe as the ground truth
     sig = minhash_signatures(sh).cache()
