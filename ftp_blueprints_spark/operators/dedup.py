@@ -6,7 +6,9 @@
 - MinHash + LSH banding near-dup candidates         -> oracle-checked
   (permutations are universal hashes of one md5 prefix — portable
   integer arithmetic, so DuckDB reproduces the signatures exactly)
-- SimHash + banded Hamming near-dup candidates      -> rows-only
+- SimHash + banded Hamming near-dup candidates      -> oracle-checked
+  (md5-derived token bits; pigeonhole-complete banding means the
+  oracle's all-pairs Hamming filter equals the bucketed result)
 
 Scale design: exact dedup is a single hash-shuffle on the digest.
 Shingle/minhash pipelines explode to (doc, shingle) rows — at 100 TB
@@ -389,18 +391,30 @@ HAMMING_THRESHOLD = 3
 
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc from distinct whitespace tokens: per bit,
-    sum +1/-1 over token hashes; bit set iff the sum is positive."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-        ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    sum +1/-1 over token hashes; bit set iff the sum is positive.
+
+    Token bits come from the md5 digest (two 32-bit halves of the
+    first 16 hex chars) instead of xxhash64: md5 is the one hash both
+    Spark and DuckDB compute identically, which is what lets the
+    driver hash-check the SimHash pipeline end to end."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            ).alias("tok"),
+        )
+        .withColumn("_d", F.md5("tok"))
+        .withColumn("lo", F.conv(F.substring("_d", 1, 8), 16, 10).cast("bigint"))
+        .withColumn("hi", F.conv(F.substring("_d", 9, 8), 16, 10).cast("bigint"))
+    )
+    def _bit(i: int):
+        src = F.col("lo") if i < 32 else F.col("hi")
+        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+
     bit_sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(SIMHASH_BITS)
         ]
     )
@@ -411,14 +425,61 @@ def simhash(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sh_expr.alias("simhash"))
 
 
-@query("dd_simhash")  # rows-only: hash-dependent
+_DD_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS lo,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hi
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, u.i,
+         SUM(CASE WHEN ((CASE WHEN u.i < 32 THEN lo >> u.i
+                              ELSE hi >> (u.i - 32) END) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM hs, UNNEST(range(0, {SIMHASH_BITS})) AS u(i)
+  GROUP BY doc_id, u.i
+),
+chunks AS (
+  SELECT doc_id, i // 16 AS chunk,
+         CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << (i % 16)
+                       ELSE 0 END) AS BIGINT) AS cv
+  FROM bits GROUP BY doc_id, i // 16
+),
+fp AS (
+  SELECT doc_id,
+         MAX(CASE WHEN chunk = 0 THEN cv END) AS c0,
+         MAX(CASE WHEN chunk = 1 THEN cv END) AS c1,
+         MAX(CASE WHEN chunk = 2 THEN cv END) AS c2,
+         MAX(CASE WHEN chunk = 3 THEN cv END) AS c3
+  FROM chunks GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+            bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+            AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+      bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+      <= {HAMMING_THRESHOLD}
+"""
+
+
+@query("dd_simhash", _DD_SIMHASH_ORACLE)
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded bucket join on 4x16-bit chunks,
     then exact Hamming via bit_count(xor) <= HAMMING_THRESHOLD. At
     threshold 3 the banding is pigeonhole-complete (recall 1.0 —
-    asserted against a driver-side exact scan in tests/test_dedup.py);
-    candidates only form inside equal (chunk, value) buckets, so the
-    join is bucket-keyed, never O(n^2)."""
+    asserted against a driver-side exact scan in tests/test_dedup.py),
+    which is also why the oracle's plain all-pairs Hamming filter
+    (per-chunk xor bit_counts, avoiding the sign bit of the packed
+    64-bit value) equals the bucketed Spark result EXACTLY — the
+    driver check proves the banding loses nothing. Candidates only
+    form inside equal (chunk, value) buckets, so the join is
+    bucket-keyed, never O(n^2)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash(docs).cache()
     chunks = sh.select(
@@ -450,7 +511,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
