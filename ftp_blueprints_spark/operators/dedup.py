@@ -700,14 +700,14 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (Abbas et al. 2023): k-means-style clusters bound the
     quadratic — a vector is a duplicate iff an EARLIER vector in the
     SAME cluster sits within cosine >= SEM_COS. No transitive closure:
-    one equi-self-join per cluster, one distinct, one left join.
+    one grouped matmul per cluster, one left join back.
 
     Scale: assignment is the zero-shuffle literal-projection argmax
-    (ivf_assign, rounded to the oracle's tie surface); the pair join is
-    keyed on cid, so the shuffle moves each vector once and the
-    quadratic is n/K per cluster — at 100 TB pick K ~ n/1000 (cluster
-    size stays ~1000 regardless of corpus size). Keeper choice is the
-    lowest vec_id per epsilon-ball, deterministic.
+    (ivf_assign, rounded to the oracle's tie surface); the grouped
+    scoring is keyed on cid, so the shuffle moves each vector once and
+    the quadratic is n/K per cluster — at 100 TB pick K ~ n/1000
+    (cluster size stays ~1000 regardless of corpus size). Keeper
+    choice is the lowest vec_id per epsilon-ball, deterministic.
 
     Per-cluster pair scoring runs as ONE Arrow-batched applyInPandas
     BLAS matmul per cluster (the published SemDedup implementation is

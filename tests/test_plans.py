@@ -165,3 +165,13 @@ def test_phash_neardup_bucketed_never_allpairs(spark, sf_oracle):
     plan = _plan(spark, "mm_phash_neardup", sf_oracle)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_minima_plan_as_window_group_limit(spark, sf_oracle):
+    """sk_kmv_distinct: the per-group K minima must plan as
+    WindowGroupLimit with a Partial pass before the exchange, so each
+    mapper ships <= K rows per group."""
+    plan = _plan(spark, "sk_kmv_distinct", sf_oracle)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert "CartesianProduct" not in plan
