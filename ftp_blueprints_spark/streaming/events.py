@@ -310,14 +310,44 @@ def ttl_dedup_batch(ev: DataFrame, ttl_us: int = TTL_DEDUP_TTL_US) -> DataFrame:
         "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
     )
     ranged = slim.repartition("user_id", "event_type").sortWithinPartitions(
-        "user_id", "event_type", "ts_us"
+        "user_id", "event_type", "ts_us", "event_id"
     )
     return ranged.mapInPandas(gen, _TTL_OUT_SCHEMA)
 
 
-@query("ev_ttl_dedup")  # rows-only: recursive kept-set, no portable SQL oracle
+_EV_TTL_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+keep AS (
+  SELECT user_id, event_type, event_id, us FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT nxt.user_id, nxt.event_type, nxt.event_id, nxt.us
+  FROM keep k, LATERAL (
+    SELECT e.user_id, e.event_type, e.event_id, e.us
+    FROM ev e
+    WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+      AND e.us > k.us + {TTL_DEDUP_TTL_US}
+    ORDER BY e.us, e.event_id LIMIT 1
+  ) nxt
+)
+SELECT user_id, event_type, event_id, us AS ts_us FROM keep
+"""
+
+
+@query("ev_ttl_dedup", _EV_TTL_ORACLE)
 def ev_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TTL-renewal dedup over events (see module comment)."""
+    """TTL-renewal dedup over events (see module comment). The kept set
+    is defined recursively (each acceptance renews the suppression
+    window), which no window/lag SQL expresses — but DuckDB's recursive
+    CTE + LATERAL walks the per-key kept chain exactly: anchor = each
+    key's first event, step = the next event more than TTL after the
+    last kept one. That turns the custom stateful operator from
+    rows-only into a full driver hash-check. The batch scan sorts with
+    an event_id tiebreak so ties are deterministic in both engines."""
     return ttl_dedup_batch(_events(spark, sf_dir))
 
 
