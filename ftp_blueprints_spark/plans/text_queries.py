@@ -278,7 +278,38 @@ def tx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_TOKEN_BUDGET = 512
 
 
-@query("tx_pack_sequences")  # resettable cumulative state: no SQL oracle
+PACK_BLOCK_DOCS = 256  # docs per independent packing block (doc_id DIV this)
+
+_TX_PACK_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT)
+           AS n_tok,
+         doc_id // {PACK_BLOCK_DOCS} AS blk,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // {PACK_BLOCK_DOCS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT blk, rn, doc_id, n_tok, 0 AS bin_no, n_tok AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT e.blk, e.rn, e.doc_id, e.n_tok,
+         CASE WHEN w.used > 0 AND w.used + e.n_tok > {PACK_TOKEN_BUDGET}
+              THEN w.bin_no + 1 ELSE w.bin_no END,
+         CASE WHEN w.used > 0 AND w.used + e.n_tok > {PACK_TOKEN_BUDGET}
+              THEN e.n_tok ELSE w.used + e.n_tok END
+  FROM walk w JOIN d e ON e.blk = w.blk AND e.rn = w.rn + 1
+)
+SELECT blk::VARCHAR || '-' || bin_no::VARCHAR AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM walk GROUP BY 1
+"""
+
+
+@query("tx_pack_sequences", _TX_PACK_ORACLE)
 def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: walk documents in doc_id order and
     assign each to the current bin until adding it would exceed
@@ -286,41 +317,45 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining-prep operator that turns a corpus into fixed-budget
     training sequences. Bin assignment is a RESETTABLE running sum
     (whether a doc opens a new bin depends on every prior assignment),
-    so like TTL dedup it is not expressible with plain window SQL;
-    execution reuses the partition-sorted mapInPandas scan with
-    cross-batch carry-over. Bins are per-partition (prefixed by
-    partition id) — at 100 TB a global sequential pack would serialize
-    the corpus; per-partition packing wastes at most one bin's tail per
-    partition, which is the standard distributed trade.
-    tests/test_streaming.py-style reference simulation lives in
-    tests/test_text_ops.py."""
+    not expressible with plain window SQL — but, like TTL dedup,
+    walkable by a recursive CTE, so the driver hash-checks it.
+
+    Packing blocks are FIXED doc_id ranges (doc_id DIV PACK_BLOCK_DOCS)
+    rather than Spark partitions: an earlier formulation keyed bins by
+    spark_partition_id over repartitionByRange, whose sampled
+    boundaries change with cluster size/data layout — fixed blocks make
+    bin ids reproducible across engines AND cluster sizes (the same
+    determinism contract as the md5-nibble samplers). At 100 TB a
+    global sequential pack would serialize the corpus; block-local
+    packing wastes at most one bin tail per PACK_BLOCK_DOCS docs and
+    every block packs in parallel (one shuffle keyed on blk)."""
     docs = load_table(spark, sf_dir, "documents")
     from ..functions import text as T
 
     slim = docs.select(
-        "doc_id", F.size(T.lower_tokens(F.col("text"))).alias("n_tok")
+        "doc_id",
+        F.size(T.lower_tokens(F.col("text"))).alias("n_tok"),
+        F.expr(f"doc_id DIV {PACK_BLOCK_DOCS}").alias("blk"),
     )
-    ranged = slim.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
 
-    def gen(batches):
-        from pyspark import TaskContext
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id")
+        blk = int(pdf["blk"].iloc[0])
+        bin_no, used, bins = 0, 0, []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if used > 0 and used + n > PACK_TOKEN_BUDGET:
+                bin_no += 1
+                used = 0
+            bins.append(f"{blk}-{bin_no}")
+            used += n
+        out = pdf[["doc_id", "n_tok"]].copy()
+        out["bin_id"] = bins
+        return out
 
-        pid = TaskContext.get().partitionId()
-        bin_no, used = 0, 0
-        for pdf in batches:
-            bins = []
-            for n in pdf["n_tok"]:
-                n = int(n)
-                if used > 0 and used + n > PACK_TOKEN_BUDGET:
-                    bin_no += 1
-                    used = 0
-                bins.append(bin_no)
-                used += n
-            out = pdf.copy()
-            out["bin_id"] = [f"{pid}-{b}" for b in bins]
-            yield out
-
-    packed = ranged.mapInPandas(gen, "doc_id bigint, n_tok int, bin_id string")
+    packed = slim.groupBy("blk").applyInPandas(
+        pack, "doc_id bigint, n_tok int, bin_id string"
+    )
     return packed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),

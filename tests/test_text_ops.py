@@ -33,31 +33,31 @@ def test_pack_sequences_respects_budget_and_covers_corpus(spark, sf_oracle):
 
 
 def test_pack_sequences_matches_driver_simulation(spark, sf_oracle):
-    """Per-partition greedy packing == a driver-side simulation over the
-    same doc_id-ordered partition contents."""
+    """Block-local greedy packing == a driver-side simulation over the
+    same doc_id-ordered block contents (blocks are fixed doc_id ranges,
+    so the simulation needs no knowledge of Spark partitioning)."""
     from ftp_blueprints_spark.functions.text import lower_tokens
+    from ftp_blueprints_spark.plans.text_queries import PACK_BLOCK_DOCS
     from ftp_blueprints_spark.session import load_table
 
     docs = load_table(spark, sf_oracle, "documents")
-    slim = (
+    rows = (
         docs.select("doc_id", F.size(lower_tokens(F.col("text"))).alias("n_tok"))
-        .repartitionByRange("doc_id")
-        .sortWithinPartitions("doc_id")
+        .collect()
     )
-    per_part = slim.withColumn(
-        "pid", F.spark_partition_id()
-    ).collect()
-    by_pid: dict = {}
-    for r in sorted(per_part, key=lambda r: (r["pid"], r["doc_id"])):
-        by_pid.setdefault(r["pid"], []).append((r["doc_id"], r["n_tok"]))
+    by_blk: dict = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_blk.setdefault(r["doc_id"] // PACK_BLOCK_DOCS, []).append(
+            (r["doc_id"], r["n_tok"])
+        )
     want = {}
-    for pid, rows in by_pid.items():
+    for blk, docs_in_blk in by_blk.items():
         bin_no, used = 0, 0
-        for doc_id, n in rows:
+        for doc_id, n in docs_in_blk:
             if used > 0 and used + n > PACK_TOKEN_BUDGET:
                 bin_no += 1
                 used = 0
-            want.setdefault(f"{pid}-{bin_no}", []).append((doc_id, n))
+            want.setdefault(f"{blk}-{bin_no}", []).append((doc_id, n))
             used += n
     want_stats = {
         b: (len(v), sum(n for _, n in v), min(d for d, _ in v))
