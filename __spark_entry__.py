@@ -111,6 +111,12 @@ _EARLY_NAMES = {
     "tx_dsir_weights": 2,
     "sk_kmv_distinct": 2,
     "mm_phash_neardup": 2,
+    "tx_temperature_mix": 2,
+    # upgraded from rows-only to oracle-checked in r4 — first hash-check
+    "ev_ttl_dedup": 2,
+    "tx_pack_sequences": 2,
+    "dd_minhash_lsh": 2,
+    "dd_simhash": 2,
     # real-FTP listing pair: green r3, distinct rank (ADVICE r3) so their
     # window placement is enforced by rank, not module-import-order tiebreak
     "mf_real_listing_connector": 8,

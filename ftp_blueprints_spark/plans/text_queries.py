@@ -1307,3 +1307,72 @@ def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(w.alias("weight_micros"), (w >= 0).alias("selected"))
     )
+
+
+# --- temperature-weighted source mixing ------------------------------------
+
+
+@query(
+    "tx_temperature_mix",
+    """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(sqrt(COUNT(*)) * 1000) AS BIGINT) AS sq
+  FROM toks GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total,
+         CAST(SUM(sq) AS BIGINT) AS sq_total
+  FROM per_src
+)
+SELECT source, n_tokens,
+       CAST(FLOOR(CAST(sq AS DOUBLE) / sq_total * 1000000) AS BIGINT)
+         AS weight_micros,
+       CAST(FLOOR(CAST(sq AS DOUBLE) / sq_total
+                  / (CAST(n_tokens AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+         AS multiplier_micros
+FROM per_src, tot
+""",
+)
+def tx_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/pretraining
+    sampling scheme of Arivazhagan et al. 2019 / GPT-3's data curation):
+    sample source s with probability proportional to (token share)^alpha,
+    flattening the head and boosting the tail relative to natural
+    frequency. alpha = 0.5 EXACTLY because sqrt is the one power IEEE
+    requires correctly rounded — both engines produce bit-identical
+    sq = floor(sqrt(n)*1000) from the same integer counts, and every
+    later step is either integer arithmetic or a single correctly-
+    rounded double division chain written identically on both sides
+    (order-dependent float SUMS are confined to integers).
+    multiplier_micros = (temperature share / natural share) * 1e6 is
+    the per-source upsampling factor a mixing loader consumes.
+
+    Scale: one token-keyed combinable count shuffle, a source-count
+    aggregate (rows = #sources), and a 1-row totals broadcast — the
+    corpus is scanned once and nothing wide ever forms."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"))
+        .withColumn(
+            "sq", F.floor(F.sqrt(F.col("n_tokens")) * 1000).cast("bigint")
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("n_total"), F.sum("sq").alias("sq_total")
+    )
+    t_share = F.col("sq").cast("double") / F.col("sq_total")
+    n_share = F.col("n_tokens").cast("double") / F.col("n_total")
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(t_share * 1_000_000).cast("bigint").alias("weight_micros"),
+        F.floor(t_share / n_share * 1_000_000)
+        .cast("bigint")
+        .alias("multiplier_micros"),
+    )
