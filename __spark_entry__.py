@@ -112,6 +112,7 @@ _EARLY_NAMES = {
     "sk_kmv_distinct": 2,
     "mm_phash_neardup": 2,
     "tx_temperature_mix": 2,
+    "q_salted_join": 2,
     # upgraded from rows-only to oracle-checked in r4 — first hash-check
     "ev_ttl_dedup": 2,
     "tx_pack_sequences": 2,

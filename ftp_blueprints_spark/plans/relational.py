@@ -1117,3 +1117,37 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
     )
+
+
+@query(
+    "q_salted_join",
+    """
+SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-to-dim join (operators/layout.salted_join): the
+    big side gets a deterministic per-row salt, the dim side replicates
+    across all salt values, and the join keys on (suppkey, salt) so one
+    pathological key spreads over salt_buckets tasks. The oracle is the
+    PLAIN join — salting is an execution-layout choice that must not
+    change a single output row, and the driver hash-check proves it.
+    This is the explicit fallback for skew beyond what AQE's skew-join
+    splitting handles; at 100 TB the replicated side must stay
+    broadcast-sized (it is: supplier is a dim)."""
+    from ..operators.layout import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, su, "suppkey", salt_buckets=8)
+    return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        dsum("l_extendedprice", "revenue"),
+    )

@@ -175,3 +175,12 @@ def test_kmv_minima_plan_as_window_group_limit(spark, sf_oracle):
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_keys_on_salt(spark, sf_oracle):
+    """q_salted_join: the physical join must key on (suppkey, _salt) —
+    the salt actually reaches the exchange — and the output equals the
+    plain join (oracle-checked), so salting is pure layout."""
+    plan = _plan(spark, "q_salted_join", sf_oracle)
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
