@@ -357,3 +357,33 @@ def test_ingest_jsonl_over_ftp(spark, tmp_path):
     rows = {r["line_no"]: r for r in spark.read.parquet(dest).collect()}
     assert rows[1]["text"] == "hello" and rows[2]["score"] == 1.5
     assert rows[3]["id"] is None and rows[3]["src_path"] == "in/a.jsonl"
+
+
+def test_ingest_parquet_over_ftp(spark, tmp_path):
+    """Parquet-over-FTP: bytes fetched executor-side via the manifest
+    DataSource, parsed with pyarrow in mapInPandas, lineage preserved,
+    column projection honored."""
+    import pandas as pd
+
+    from ftp_blueprints_spark.sources.ingest import ingest_parquet
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    pd.DataFrame(
+        {"id": [1, 2, 3], "text": ["a", "b", "c"], "extra": [9.0, 8.0, 7.0]}
+    ).to_parquet(root / "in" / "p1.parquet")
+    pd.DataFrame({"id": [4], "text": ["d"], "extra": [6.0]}).to_parquet(
+        root / "in" / "p2.parquet"
+    )
+    dest = str(tmp_path / "pq_out.parquet")
+    with FtpStubServer(str(root), USERS) as (host, port):
+        n = ingest_parquet(
+            spark, spec_for(host, port), "in",
+            schema="id int, text string", dest=dest,
+        )
+    assert n == 4
+    out = spark.read.parquet(dest)
+    assert sorted(out.columns) == ["id", "row_no", "src_path", "text"]  # extra pruned
+    rows = {(r["src_path"], r["row_no"]): r for r in out.collect()}
+    assert rows[("in/p1.parquet", 2)]["text"] == "b"
+    assert rows[("in/p2.parquet", 1)]["id"] == 4
