@@ -169,11 +169,13 @@ def delete_main(argv: list[str] | None = None) -> int:
 
 
 def ingest_main(argv: list[str] | None = None) -> int:
-    """Beyond the reference's byte-copy blueprints: land remote CSVs as
-    a parquet dataset (sources/ingest.py pipeline)."""
+    """Beyond the reference's byte-copy blueprints: land remote
+    CSV/JSONL/parquet trees as a parquet dataset (sources/ingest.py
+    pipeline); --format selects the parser."""
     p = _parser("ftp-ingest")
     p.add_argument("--schema", required=True, help="e.g. 'id int, name string'")
     p.add_argument("--dest", required=True, help="parquet output path")
+    p.add_argument("--format", choices=["csv", "jsonl", "parquet"], default="csv")
     p.add_argument("--no-header", dest="header", action="store_false")
     p.add_argument("--sep", default=",")
     p.add_argument("--partition-by", dest="partition_by", default="",
@@ -181,19 +183,27 @@ def ingest_main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     def go():
-        from ..sources.ingest import ingest_csv
+        from ..sources import ingest as ing
 
-        n = ingest_csv(
-            _spark(),
-            _spec(args),
-            args.source_folder_name,
+        common = dict(
             schema=args.schema,
             dest=args.dest,
             pattern=args.source_file_name,
-            header=args.header,
-            sep=args.sep,
             partition_cols=[c for c in args.partition_by.split(",") if c] or None,
         )
+        if args.format == "csv":
+            n = ing.ingest_csv(
+                _spark(), _spec(args), args.source_folder_name,
+                header=args.header, sep=args.sep, **common,
+            )
+        elif args.format == "jsonl":
+            n = ing.ingest_jsonl(
+                _spark(), _spec(args), args.source_folder_name, **common
+            )
+        else:
+            n = ing.ingest_parquet(
+                _spark(), _spec(args), args.source_folder_name, **common
+            )
         print(f"ingested {n} row(s) -> {args.dest}")
 
     return _run(go)

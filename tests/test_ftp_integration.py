@@ -387,3 +387,26 @@ def test_ingest_parquet_over_ftp(spark, tmp_path):
     rows = {(r["src_path"], r["row_no"]): r for r in out.collect()}
     assert rows[("in/p1.parquet", 2)]["text"] == "b"
     assert rows[("in/p2.parquet", 1)]["id"] == 4
+
+
+def test_cli_ingest_format_parquet(spark, tmp_path):
+    import pandas as pd
+
+    from ftp_blueprints_spark.cli.blueprints import ingest_main
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    pd.DataFrame({"id": [7, 8], "name": ["x", "y"]}).to_parquet(
+        root / "in" / "t.parquet"
+    )
+    dest = str(tmp_path / "cli_pq.parquet")
+    rc = ingest_main([
+        "--kind", "local", "--root", str(root),
+        "--source-folder-name", "in",
+        "--source-file-name", r".*\.parquet$",
+        "--format", "parquet",
+        "--schema", "id int, name string",
+        "--dest", dest,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(dest).count() == 2
