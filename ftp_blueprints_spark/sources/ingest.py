@@ -83,7 +83,7 @@ def ingest_csv(
     partitioned (directory-pruned on read-back)."""
     mf = _manifest_with_content(spark, spec, folder)
     files = mf.filter((~F.col("is_dir")) & F.col("path").rlike(pattern))
-    rows = parse_csv_files(files, schema, header=header, sep=sep)
+    rows = parse_csv_files(with_decompressed(files), schema, header=header, sep=sep)
     writer = rows.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -123,7 +123,7 @@ def ingest_jsonl(
     ``dest``; returns the row count written."""
     mf = _manifest_with_content(spark, spec, folder)
     files = mf.filter((~F.col("is_dir")) & F.col("path").rlike(pattern))
-    rows = parse_jsonl_files(files, schema)
+    rows = parse_jsonl_files(with_decompressed(files), schema)
     writer = rows.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -187,3 +187,28 @@ def ingest_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(dest)
     return spark.read.parquet(dest).count()
+
+
+def with_decompressed(files: DataFrame) -> DataFrame:
+    """Transparently gunzip compressed payloads: any ``content`` whose
+    magic bytes are 1f 8b is decompressed executor-side in one
+    Arrow-batched mapInPandas pass (no Catalyst gunzip expression
+    exists); other payloads pass through untouched, so mixed trees of
+    plain and .gz files ingest in one job. Magic-byte detection, not
+    extension matching — server-side renames can't break it."""
+
+    def gen(batches):
+        import gzip
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [
+                gzip.decompress(bytes(c))
+                if c is not None and bytes(c[:2]) == b"\x1f\x8b"
+                else c
+                for c in out["content"]
+            ]
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in files.schema)
+    return files.mapInPandas(gen, schema)

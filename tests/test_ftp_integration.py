@@ -410,3 +410,28 @@ def test_cli_ingest_format_parquet(spark, tmp_path):
     ])
     assert rc == 0
     assert spark.read.parquet(dest).count() == 2
+
+
+def test_ingest_gzipped_csv_over_ftp(spark, tmp_path):
+    """Mixed plain + gzipped CSVs ingest in one job: payloads are
+    gunzipped executor-side by magic-byte detection (not extension)."""
+    import gzip
+
+    from ftp_blueprints_spark.sources.ingest import ingest_csv
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    (root / "in" / "plain.csv").write_text("id,name\n1,ant\n")
+    (root / "in" / "zipped.csv.gz").write_bytes(
+        gzip.compress(b"id,name\n2,bee\n3,cat\n")
+    )
+    dest = str(tmp_path / "gz_out.parquet")
+    with FtpStubServer(str(root), USERS) as (host, port):
+        n = ingest_csv(
+            spark, spec_for(host, port), "in",
+            schema="id int, name string", dest=dest,
+            pattern=r".*\.csv(\.gz)?$",
+        )
+    assert n == 3
+    names = {r["name"] for r in spark.read.parquet(dest).collect()}
+    assert names == {"ant", "bee", "cat"}
