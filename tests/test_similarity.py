@@ -267,3 +267,22 @@ def test_pq_recall_and_reconstruction(spark, sf_oracle):
             sub = x[m * d_sub : (m + 1) * d_sub]
             d2 = ((books[m] - sub) ** 2).sum(axis=1)
             assert r["codes"][m] == int(d2.argmin())
+
+
+def test_ivfpq_recall_sf01(spark):
+    """IVFPQ recall at bench scale (sf0.1, 2000 vectors): the coarse
+    nprobe pruning + residual-PQ ADC shortlist + exact re-rank must
+    hold recall@10 >= 0.5 vs brute force on 4x the corpus the sf0.01
+    test sees — evidence the approximation degrades gracefully with
+    scale rather than only working at the small SF."""
+    sf_dir = "/root/testdata/sf0.1"
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in S.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in S.sim_ivfpq_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVFPQ sf0.1 recall@{S.TOP_K} = {recall:.3f}"
