@@ -205,7 +205,13 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_PERMS) -> DataFrame:
     one md5 per shingle row, then K exact-integer universal hashes —
     one pass over exploded shingles, K min-aggs (map-side partial agg
     keeps the shuffle at O(docs * K)); packing into an array keeps
-    downstream join rows narrow (doc_id + 1 column instead of K)."""
+    downstream join rows narrow (doc_id + 1 column instead of K).
+
+    Perf note (r5 profile at sf0.1): the K codegen'd min-aggs add only
+    ~0.3 s on top of the shingle pipeline — folding them into one
+    Arrow/array pass cannot recover the r2->r4 delta, which is the
+    md5+conv portability cost of the oracle-exact permutation family
+    (accepted: it is what makes the sketch driver-checkable)."""
     h31 = (
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
         % F.lit(_MH_SHIFT)
@@ -235,6 +241,7 @@ def lsh_candidates(
     bands: int = LSH_BANDS,
     k: int = MINHASH_PERMS,
     max_bucket: int = MAX_LSH_BUCKET,
+    broadcast_census: bool | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on all rows of
     any band become candidate pairs (doc_a < doc_b, n_shared_bands).
@@ -247,7 +254,24 @@ def lsh_candidates(
     cluster, orders of magnitude smaller than the corpus) broadcasts
     back onto the exploded rows, so the guard adds NO full-row
     exchange; per-key join fan-out stays bounded on mass-duplicated
-    corpora."""
+    corpora.
+
+    ``broadcast_census`` is the size guard for that broadcast: on a
+    pathological corpus (near-everything duplicated in 2..max_bucket
+    clusters) the census is corpus-proportional and the explicit hint
+    would OOM the driver. ``False`` drops the hint and lets AQE pick
+    the join strategy from the census's RUNTIME size — broadcast when
+    it is small, shuffled hash join when it is not — which is the
+    correct 100 TB behavior when corpus statistics are unknown.
+    Default (None) resolves from env SPARK_GRAFT_LSH_BROADCAST_CENSUS
+    ("1" = hint, anything else = AQE), so the scale path is a config
+    switch, not a code change."""
+    import os
+
+    if broadcast_census is None:
+        broadcast_census = (
+            os.environ.get("SPARK_GRAFT_LSH_BROADCAST_CENSUS", "1") == "1"
+        )
     rows = k // bands
     band_cols = F.array(
         *[
@@ -273,7 +297,10 @@ def lsh_candidates(
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
         .drop("_n")
     )
-    capped = exploded.join(F.broadcast(ok_buckets), ["band", "bh"])
+    capped = exploded.join(
+        F.broadcast(ok_buckets) if broadcast_census else ok_buckets,
+        ["band", "bh"],
+    )
     a = capped.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = capped.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
@@ -320,10 +347,21 @@ bandkey AS (
          string_agg(m::VARCHAR, '_' ORDER BY i) AS bh
   FROM mins GROUP BY doc_id, i // {rows}
 ),
+census AS (
+  -- mirror of lsh_candidates' bucket-size guard: only buckets with
+  -- 2..MAX_LSH_BUCKET members pair up, so the oracle stays equivalent
+  -- even on a fixture with a mass-duplicated hot band key
+  SELECT band, bh FROM bandkey
+  GROUP BY band, bh HAVING COUNT(*) BETWEEN 2 AND {MAX_LSH_BUCKET}
+),
+okband AS (
+  SELECT k.doc_id, k.band, k.bh
+  FROM bandkey k JOIN census c ON k.band = c.band AND k.bh = c.bh
+),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-  FROM bandkey a JOIN bandkey b
+  FROM okband a JOIN okband b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -345,11 +383,12 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of agreeing signature components). The portable universal-hash
     permutations make the whole sketch engine-exact, so the oracle
     recomputes signatures, band buckets, AND the estimate — the driver
-    hash-check covers the LSH pipeline end to end (its all-pairs
-    formulation is equivalent because the bucket-size cap cannot
-    trigger at sf0.01 where max bucket = doc count).
-    tests/test_dedup.py additionally validates recall against
-    dd_ngram_jaccard ground truth."""
+    hash-check covers the LSH pipeline end to end, INCLUDING the
+    bucket-size skew guard (the oracle's census CTE applies the same
+    2..MAX_LSH_BUCKET membership rule before pairing, so equivalence
+    holds at any scale / on mass-duplicated fixtures, not just where
+    the cap can't trigger). tests/test_dedup.py additionally validates
+    recall against dd_ngram_jaccard ground truth."""
     docs = load_table(spark, sf_dir, "documents")
     sh = capped_shingles(docs, 3)  # same df-capped universe as the ground truth
     sig = minhash_signatures(sh).cache()
@@ -719,7 +758,17 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~100x slower than the matmul (same measurement as
     similarity.band_signatures) — and the shuffle story is unchanged:
     one exchange keyed on cid, each vector moves once, O((n/K)^2) work
-    bounded by cluster size."""
+    bounded by cluster size.
+
+    Accepted residual risk (r4 ADVICE): the matmul's BLAS/pairwise
+    summation order differs from DuckDB's sequential list_dot_product,
+    and np.round is half-to-even where DuckDB ROUND is half-away — so
+    the 6-digit tie surface at SEM_COS is agreed-by-measurement, not
+    identical-by-construction; a cosine within ~1 ulp of a .5e-6
+    boundary could classify differently across engines. If a flaky
+    check ever appears here, switch to integer micro-unit comparison
+    after an engine-agreed rounding step (the fixed-point discipline
+    in operators/similarity.py)."""
     import numpy as np
     import pandas as pd
 

@@ -359,7 +359,7 @@ PHASH_HAMMING_MAX = 4
 
 
 def phash_media(media: DataFrame) -> DataFrame:
-    """Append ``fp``: a PHASH_BITS-bit perceptual fingerprint — bit i
+    """Project ``(media_id, fp)``: a PHASH_BITS-bit perceptual fingerprint — bit i
     set iff the payload's histogram share of bin i (bytes ≡ i mod
     PHASH_BITS) exceeds the CORPUS-WIDE share of that bin, compared by
     integer cross-multiply (cnt_i * total_bytes > corpus_cnt_i * len).
@@ -375,7 +375,16 @@ def phash_media(media: DataFrame) -> DataFrame:
     collected and baked into the bit compare — the same bounded-collect
     class as the IVF centroid literals. Int64 headroom: per-doc count x
     corpus bytes must stay < 2^63 (fine to ~10^14 corpus bytes with
-    10^4-byte docs; shard the totals beyond that)."""
+    10^4-byte docs; shard the totals beyond that).
+
+    Cache lifecycle: the (payload, hist) cache feeds exactly the two
+    passes above; the narrow fingerprint projection is materialized
+    eagerly (localCheckpoint) and the cache is released BEFORE
+    returning, so nothing payload-sized stays pinned for the rest of a
+    long-lived session (r4 ADVICE). Callers needing other media
+    columns join ``fp`` back on media_id — a broadcast-sized join at
+    any corpus scale where the fingerprints fit one machine, a plain
+    equi-join beyond."""
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -412,7 +421,11 @@ def phash_media(media: DataFrame) -> DataFrame:
         f"{corpus_cnt[i]}L * (byte_len - 1) THEN {1 << i}L ELSE 0L END"
         for i in range(PHASH_BITS)
     )
-    return with_hist.withColumn("fp", F.expr(bit_terms)).drop("hist")
+    fp = with_hist.select("media_id", F.expr(bit_terms).alias("fp")).localCheckpoint(
+        eager=True
+    )
+    with_hist.unpersist()
+    return fp
 
 
 def _mm_phash_oracle() -> str:

@@ -1267,6 +1267,16 @@ def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     — order-independent, so Spark's partial aggregation and DuckDB's
     serial sum cannot diverge on float association.
 
+    Accepted residual risk (r4 ADVICE): ln is not IEEE
+    correctly-rounded, so JVM Math.log and DuckDB's libm can disagree
+    in the last ulp; a disagreement only surfaces if a token's true
+    log-ratio lies within ~1 ulp (~1e-10 relative) of a 1e-6 flooring
+    boundary — per-run flip probability ~1e-5 over this vocab. The
+    exact-integer alternative (cross-multiplying smoothed likelihoods)
+    can reproduce the SIGN portably but not the log magnitude the DSIR
+    weight sums, so the 1-ulp exposure is kept and documented rather
+    than changing the paper's definition.
+
     Scale: two token-keyed shuffles (vocab counts, per-doc token
     counts — both map-side combinable), one 1-row totals broadcast,
     one equi-join on tok (hot/stopword tokens are exactly the AQE

@@ -150,3 +150,39 @@ def test_connected_keepers_truncates_lineage_and_converges(spark):
     # lineage (createDataFrame's LocalTableScan / parquet) must be gone
     assert "ExistingRDD" in plan
     assert "LocalTableScan" not in plan
+
+
+def test_lsh_census_broadcast_guard_paths_agree(spark):
+    """The census size guard (dedup.py lsh_candidates broadcast_census):
+    on a mass-duplicated fixture both the hinted-broadcast path and the
+    AQE fallback must produce identical candidate pairs, the hinted
+    plan must carry the broadcast on the census join, and the fallback
+    plan must NOT hard-code it (strategy left to AQE runtime stats —
+    the correct behavior when the census could exceed driver memory)."""
+    # 40 docs in 8 clusters of 5 near-identical texts -> every cluster
+    # is a dense LSH bucket; plus a hot 600-copy cluster that must be
+    # dropped by the 2..MAX_LSH_BUCKET rule on BOTH paths.
+    rows = [
+        (cid * 10 + i, f"cluster {cid} shared shingle text body " * 5 + f"tail{i}")
+        for cid in range(8)
+        for i in range(5)
+    ]
+    rows += [(1000 + i, "hot duplicated body everywhere " * 6) for i in range(600)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = D.capped_shingles(docs, 3, max_df=10_000)  # keep hot shingles: the
+    # bucket cap, not the shingle-df cap, must be what drops the 600-cluster
+    sig = D.minhash_signatures(sh).cache()
+    try:
+        hinted = D.lsh_candidates(sig, broadcast_census=True)
+        fallback = D.lsh_candidates(sig, broadcast_census=False)
+        got_h = {(r["doc_a"], r["doc_b"]) for r in hinted.collect()}
+        got_f = {(r["doc_a"], r["doc_b"]) for r in fallback.collect()}
+        assert got_h == got_f and got_h, "paths disagree or empty"
+        # no pair from the 600-copy hot cluster survives the bucket cap
+        assert not any(a >= 1000 and b >= 1000 for a, b in got_h)
+        plan_h = hinted._jdf.queryExecution().optimizedPlan().toString()
+        plan_f = fallback._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" in plan_h or "broadcast" in plan_h.lower()
+        assert "ResolvedHint" not in plan_f
+    finally:
+        sig.unpersist()
