@@ -66,78 +66,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness rows in queries() order and caps the file
-# at 50 rows per round.  Round-4 window plan (VERDICT r3 tasks 1 and 3):
-#   rank 0 — the 11 queries that have NEVER had driver evidence (passed only
-#            the local tests/test_oracle_parity.py equivalent through r3);
-#   rank 1 — the 8 ev_* queries, all ERR in r3 on the TIMESTAMP_NTZ fixture
-#            drift, now fixed in session.load_table — first possible green;
-#   rank 2 — the three relational queries that regressed with the same drift
-#            (green r2, fail r3): as-of pair + time-range window;
-#   rank 3+ — re-verification rotation over the already-green families,
-#            whatever fits under row 50.
-_NEVER_DRIVER_CHECKED = {
-    "dd_semantic": 0,
-    "dd_span_dedup": 0,
-    "sim_kmeans": 0,
-    "sim_pq_topk": 0,
-    "sim_chunk_retrieval": 0,
-    "sk_bloom_decontaminate": 0,
-    "tx_quality_topp": 0,
-    "tx_gopher_rules": 0,
-    "tx_bm25": 0,
-    "tx_lm_bigram": 0,
-    "tx_top_terms": 0,
+# at 50 rows per round.  From round 5 on, the window is STALENESS-DRIVEN and
+# self-maintaining: each query's rank is the last round it appears in a
+# CORRECTNESS_r{N}.json on disk (never-checked -> first), so whatever the
+# driver checks this round automatically rotates to the back next round.
+# Two explicit boosts on top:
+#   rank -2 — queries whose oracle was added/upgraded THIS round (listed
+#             below): their first hash-check beats re-verification;
+#   the r3-stale set (VERDICT r4 task 1: mm_*/udf_*/udtf/sk_cms/9 tx_/mf_real
+#             pair, last checked before the r4 session.load_table timestamp
+#             fix) sorts as rank 0, ahead of the r2-stale backlog, via the
+#             _STALE_BOOST remap; the 47 r2-checked queries fill the rest of
+#             the 50-row window and the remainder rotates in next round.
+_FIRST_HASH_CHECK_THIS_ROUND = {
+    # upgraded from rows-only to exact oracles in round 5
+    "sim_kmeans",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_query",
 }
-_FAMILY_RANK = {
-    "ev_": 1,  # fixed this round; never green before
-    "dd_": 3,
-    "sim_": 4,
-    "tx_": 5,
-    "mm_": 6,
-    "udf_": 7,
-    "udtf_": 7,
-    "sk_": 7,
-}
-_EARLY_NAMES = {
-    **_NEVER_DRIVER_CHECKED,
-    # NTZ-regressed in r3 (green r2) — re-prove right after the ev_ family
-    "q_asof_join": 2,
-    "q_asof_tolerance": 2,
-    "q_window_time_range": 2,
-    # new in r4 (cluster-balanced diversity sample, DSIR importance
-    # weights, KMV distinct sketch): first driver evidence this round,
-    # ahead of re-verification
-    "sim_cluster_sample": 2,
-    "tx_dsir_weights": 2,
-    "sk_kmv_distinct": 2,
-    "mm_phash_neardup": 2,
-    "tx_temperature_mix": 2,
-    "q_salted_join": 2,
-    # upgraded from rows-only to oracle-checked in r4 — first hash-check
-    "ev_ttl_dedup": 2,
-    "tx_pack_sequences": 2,
-    "dd_minhash_lsh": 2,
-    "dd_simhash": 2,
-    # real-FTP listing pair: green r3, distinct rank (ADVICE r3) so their
-    # window placement is enforced by rank, not module-import-order tiebreak
-    "mf_real_listing_connector": 8,
-    "mf_real_listing_datasource": 8,
-    # headline relational queries re-verified each round (whatever of
-    # these still fits under row 50 after the families above)
-    "q01_pricing_summary": 9,
-    "q03_shipping_priority": 9,
-    "q05_region_volume": 9,
-    "q_window_rank": 9,
-}
+# Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
+# the r3 window was checked under the broken NTZ session, so those 21 are
+# the verdict-named refresh set.
+_STALE_BOOST = {3: 0, 2: 1, 4: 10}
+
+
+def _last_checked() -> dict[str, int]:
+    """Map query name -> last round with driver correctness evidence."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    last: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST_CHECKED = _last_checked()
 
 
 def _rank(name: str) -> int:
-    if name in _EARLY_NAMES:
-        return _EARLY_NAMES[name]
-    for prefix, rank in _FAMILY_RANK.items():
-        if name.startswith(prefix):
-            return rank
-    return 100
+    if name in _FIRST_HASH_CHECK_THIS_ROUND:
+        return -2
+    if name not in _LAST_CHECKED:
+        return -1  # brand-new query: first driver evidence beats rotation
+    rnd = _LAST_CHECKED[name]
+    return _STALE_BOOST.get(rnd, rnd)
 
 
 def _ordered(names: list[str]) -> list[str]:
