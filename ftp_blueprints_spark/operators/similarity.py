@@ -373,29 +373,150 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_ITERS = 3
 
 
-@query("sim_kmeans")  # float means: no portable SQL oracle; numpy-parity tested
-def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means clustering (KM_ITERS Lloyd rounds, seeded
-    by the K lowest vec_ids) with per-cluster diagnostics: member
-    count and mean cosine-to-centroid in exact micro-units. The whole
-    refinement is lazy — one job runs all rounds; per-round cost is a
-    zero-collect assignment plus a (cid,pos)-keyed partial-combinable
-    avg of K x dim cells. tests/test_similarity.py proves assignment
-    parity with a numpy Lloyd reference and monotone inertia."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, IVF_K, iters=KM_ITERS)
-    assigned = ivf_assign(emb, cents, literal_max_k=0)
-    cos_c = cosine(F.col("embedding"), F.col("c_emb"))
+def _km_cells(assigned: DataFrame, xq: DataFrame) -> DataFrame:
+    """(cid, pos) -> integer micro-unit component sum over the cluster's
+    members. posexplode + two-level groupBy: partial-combinable BIGINT
+    sums, K x dim result cells — tiny at any corpus size."""
     return (
-        assigned.join(F.broadcast(cents), "cid")
+        assigned.select("vec_id", "cid")
+        .join(xq, "vec_id")
+        .select("cid", F.posexplode("vq").alias("pos", "sv"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("sv").alias("s"))
+    )
+
+
+def _km_oracle() -> str:
+    cos = (
+        "list_dot_product(x.v, {c}) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product({c}, {c})))"
+    )
+    return f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xq AS (SELECT vec_id,
+              list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+       FROM x),
+seeds AS (SELECT vec_id AS cid, v AS c FROM x ORDER BY vec_id LIMIT {IVF_K}),
+a1 AS (SELECT vec_id, cid FROM (
+    SELECT x.vec_id, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({cos.format(c='s.c')}, 6) DESC, s.cid) AS rn
+    FROM x CROSS JOIN seeds s) WHERE rn = 1),
+cells1 AS (SELECT a1.cid, t.i AS pos, SUM(xq.vq[t.i + 1]) AS s
+           FROM a1 JOIN xq USING (vec_id)
+           CROSS JOIN (SELECT UNNEST(range(0, {DIM})) AS i) t
+           GROUP BY a1.cid, t.i),
+n1 AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
+c1 AS (SELECT c.cid,
+              list(CAST(c.s AS DOUBLE) / CAST(n.n * 1000000 AS DOUBLE)
+                   ORDER BY c.pos) AS c
+       FROM cells1 c JOIN n1 n USING (cid) GROUP BY c.cid),
+a2 AS (SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({cos.format(c='c1.c')}, 6) DESC, c1.cid) AS rn
+    FROM x CROSS JOIN c1) WHERE rn = 1),
+stats AS (SELECT a2.cid, COUNT(*) AS n_members,
+                 CAST(SUM(CAST(FLOOR(ROUND({cos.format(c='c1.c')}, 6)
+                                     * 1000000) AS BIGINT)) AS BIGINT)
+                   AS cos_sum_micros
+          FROM a2 JOIN x USING (vec_id) JOIN c1 USING (cid)
+          GROUP BY a2.cid),
+cells2 AS (SELECT a2.cid, t.i AS pos, SUM(xq.vq[t.i + 1]) AS s
+           FROM a2 JOIN xq USING (vec_id)
+           CROSS JOIN (SELECT UNNEST(range(0, {DIM})) AS i) t
+           GROUP BY a2.cid, t.i),
+sums2 AS (SELECT cid, array_to_string(list(s ORDER BY pos), ',') AS centroid_sums
+          FROM cells2 GROUP BY cid)
+SELECT stats.cid, stats.n_members, stats.cos_sum_micros, sums2.centroid_sums
+FROM stats JOIN sums2 USING (cid)
+"""
+
+
+@query("sim_kmeans", _km_oracle())
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, ENGINE-PORTABLE k-means (2 Lloyd rounds, seeded by
+    the IVF_K lowest vec_ids) — upgraded round 5 from a rows-only float
+    check to an exact DuckDB oracle.
+
+    Portability discipline (the MinHash md5-permutation playbook applied
+    to Lloyd): assignments argmax the ROUND(cos, 6) tie surface (the
+    proven sim_cluster_sample / dd_semantic pattern); the refinement
+    mean is computed from INTEGER micro-unit component sums — FLOOR(x *
+    1e6) per component summed as BIGINT is order-independent, unlike a
+    float avg whose partial-agg order diverges engines — and the round-2
+    centroid is the bit-identical double CAST(sum)/CAST(n * 1e6).
+    Clusters that lose every member drop out (inner join) identically in
+    both engines. Output per cluster: member count, the integer sum of
+    member-centroid cosines in micro-units, and the comma-joined
+    micro-unit component sums (centroid = sums / (n * 1e6), recoverable
+    exactly offline).
+
+    Scale shape: each round is a zero-shuffle literal-argmax assignment
+    (ivf_assign) + a (cid, pos)-keyed partial-combinable BIGINT sum of
+    K x dim cells; the only collect is the K-row centroid table between
+    rounds (constant-size, same class as the IVF centroid literals).
+    tests/test_similarity.py proves assignment parity with an
+    independent numpy implementation of the same quantized algorithm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda e: F.floor(e.cast("double") * 1_000_000),
+        ).alias("vq"),
+    )
+    seeds = emb.orderBy("vec_id").limit(IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    a1 = ivf_assign(emb, seeds, round_digits=6)
+    cells1 = _km_cells(a1, xq)
+    n1 = a1.groupBy("cid").agg(F.count("*").alias("n"))
+    cents1 = (
+        cells1.join(n1, "cid")
+        .select(
+            "cid",
+            "pos",
+            (
+                F.col("s").cast("double")
+                / (F.col("n") * F.lit(1_000_000)).cast("double")
+            ).alias("m"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("c_emb")
+        )
+    )
+    a2 = ivf_assign(emb, cents1, round_digits=6)
+    cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
+    stats = (
+        a2.join(F.broadcast(cents1), "cid")
         .groupBy("cid")
         .agg(
             F.count("*").alias("n_members"),
-            F.floor(F.avg(cos_c) * 1_000_000).cast("bigint").alias(
-                "mean_cos_micros"
+            F.sum(F.floor(cos_c * 1_000_000)).cast("bigint").alias(
+                "cos_sum_micros"
             ),
         )
-        .orderBy("cid")
+    )
+    sums2 = (
+        _km_cells(a2, xq)
+        .groupBy("cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"].cast("string"),
+                ),
+                ",",
+            ).alias("centroid_sums")
+        )
+    )
+    return stats.join(sums2, "cid").select(
+        "cid", "n_members", "cos_sum_micros", "centroid_sums"
     )
 
 

@@ -171,12 +171,13 @@ def test_band_signatures_shape(spark, sf_oracle):
 
 
 def test_kmeans_matches_numpy_lloyd(spark, sf_oracle):
-    """Spark k-means (3 Lloyd rounds, deterministic seeds) must agree
-    with an independent numpy implementation: identical cluster sizes
-    and >= 99% identical assignments (last-ulp cosine ties may flip an
-    assignment between engines), and within-cluster mean cosine must
-    not decrease versus the unrefined seed assignment (Lloyd improves
-    or holds the objective)."""
+    """Spark k-means (2 quantized Lloyd rounds, deterministic seeds)
+    must agree with an independent numpy implementation of the SAME
+    algorithm — round-6 cosine argmax, integer micro-unit component
+    sums, centroid = sums / (n * 1e6) — on cluster sizes, cosine-sum
+    micro-units, and the centroid sums themselves (the operator is
+    exactly reproducible, which is what makes its DuckDB oracle
+    possible; >= 99% slack only for last-ulp rounding ties)."""
     import numpy as np
     from ftp_blueprints_spark.session import load_table
 
@@ -188,30 +189,40 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_oracle):
     )
     ids = np.array([r["vec_id"] for r in emb_rows])
     M = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    Mq = np.floor(M * 1_000_000).astype(np.int64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    K, ITERS = S.IVF_K, S.KM_ITERS
-    cents = M[:K].copy()
+    K = S.IVF_K
 
     def assign(C):
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        sims = Mn @ Cn.T
+        sims = np.round(Mn @ Cn.T, 6)
         # argmax with lowest-cid tiebreak == np.argmax (first max wins)
         return sims.argmax(axis=1)
 
-    for _ in range(ITERS):
-        a = assign(cents)
-        for c in range(K):
-            if (a == c).any():
-                cents[c] = M[a == c].astype(np.float32).mean(axis=0)
-        cents = cents.astype(np.float32).astype(np.float64)
-    a_final = assign(cents)
-    want_sizes = {c: int((a_final == c).sum()) for c in range(K)}
+    a1 = assign(M[:K])
+    live = sorted(set(a1.tolist()))
+    cents = np.stack(
+        [Mq[a1 == c].sum(axis=0) / ((a1 == c).sum() * 1e6) for c in live]
+    )
+    a2i = assign(cents)  # index into `live`
+    a2 = np.array([live[i] for i in a2i])
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cos2 = np.round((Mn * Cn[a2i]).sum(axis=1), 6)
+    want_sizes = {c: int((a2 == c).sum()) for c in live}
+    want_cos = {
+        c: int(np.floor(cos2[a2 == c] * 1_000_000).sum()) for c in live
+    }
+    want_sums = {
+        c: ",".join(str(v) for v in Mq[a2 == c].sum(axis=0)) for c in live
+    }
 
-    got = {r["cid"]: r["n_members"] for r in S.sim_kmeans(spark, sf_oracle).collect()}
-    got_sizes = {cid: n for cid, n in got.items()}
-    # seed cids are the K lowest vec_ids = 0..K-1 on this corpus
-    match = sum(min(got_sizes.get(c, 0), want_sizes[c]) for c in range(K))
+    rows = S.sim_kmeans(spark, sf_oracle).collect()
+    got_sizes = {r["cid"]: r["n_members"] for r in rows}
+    match = sum(min(got_sizes.get(c, 0), want_sizes[c]) for c in live)
     assert match / len(ids) >= 0.99, (got_sizes, want_sizes)
+    if got_sizes == want_sizes:  # identical assignment -> exact sums
+        assert {r["cid"]: r["cos_sum_micros"] for r in rows} == want_cos
+        assert {r["cid"]: r["centroid_sums"] for r in rows} == want_sums
 
 
 def test_kmeans_inertia_improves_over_seeds(spark, sf_oracle):
