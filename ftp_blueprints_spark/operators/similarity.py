@@ -373,6 +373,88 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_ITERS = 3
 
 
+def _micro_vecs(emb: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, vq): the vector quantized to integer micro-units —
+    FLOOR(x * 1e6) per component as BIGINT. Exact and order-independent
+    under summation, which is what makes centroid refinement and PQ
+    encoding reproducible across engines."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col(emb_col), lambda e: F.floor(e.cast("double") * 1_000_000)
+        ).alias("vq"),
+    )
+
+
+def portable_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """ONE engine-portable Lloyd round: seed with the k lowest vec_ids,
+    assign on the ROUND(cos, 6) tie surface, and refine each centroid as
+    integer micro-unit component sums divided once at the end —
+    c[j] = CAST(sum_q AS DOUBLE) / CAST(n * 1e6 AS DOUBLE). Every step
+    is bit-reproducible in DuckDB (see _portable_c1_cte), unlike the
+    float-avg kmeans_centroids path. Clusters that lose all members
+    drop out (inner join) — identically in both engines.
+
+    Scale: zero-shuffle literal-argmax assignment + a (cid, pos)-keyed
+    partial-combinable BIGINT sum of K x dim cells."""
+    xq = _micro_vecs(emb)
+    seeds = emb.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    a1 = ivf_assign(emb, seeds, round_digits=6)
+    cells1 = _km_cells(a1, xq)
+    n1 = a1.groupBy("cid").agg(F.count("*").alias("n"))
+    return (
+        cells1.join(n1, "cid")
+        .select(
+            "cid",
+            "pos",
+            (
+                F.col("s").cast("double")
+                / (F.col("n") * F.lit(1_000_000)).cast("double")
+            ).alias("m"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("c_emb")
+        )
+    )
+
+
+_ORACLE_COS = (
+    "list_dot_product(x.v, {c}) / "
+    "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product({c}, {c})))"
+)
+
+
+def _portable_c1_cte(k: int = IVF_K) -> str:
+    """Shared DuckDB CTE chain mirroring portable_centroids: x (double
+    vectors), xq (micro-unit ints), kseeds, a1 (round-6 argmax), cells1
+    / n1 (integer sums), c1 (refined double centroids)."""
+    return f"""x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xq AS (SELECT vec_id,
+              list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+       FROM x),
+kseeds AS (SELECT vec_id AS cid, v AS c FROM x ORDER BY vec_id LIMIT {k}),
+a1 AS (SELECT vec_id, cid FROM (
+    SELECT x.vec_id, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({_ORACLE_COS.format(c='s.c')}, 6) DESC, s.cid) AS rn
+    FROM x CROSS JOIN kseeds s) WHERE rn = 1),
+cells1 AS (SELECT a1.cid, t.i AS pos, SUM(xq.vq[t.i + 1]) AS s
+           FROM a1 JOIN xq USING (vec_id)
+           CROSS JOIN (SELECT UNNEST(range(0, {DIM})) AS i) t
+           GROUP BY a1.cid, t.i),
+n1 AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
+c1 AS (SELECT c.cid,
+              list(CAST(c.s AS DOUBLE) / CAST(n.n * 1000000 AS DOUBLE)
+                   ORDER BY c.pos) AS c
+       FROM cells1 c JOIN n1 n USING (cid) GROUP BY c.cid)"""
+
+
 def _km_cells(assigned: DataFrame, xq: DataFrame) -> DataFrame:
     """(cid, pos) -> integer micro-unit component sum over the cluster's
     members. posexplode + two-level groupBy: partial-combinable BIGINT
@@ -387,30 +469,9 @@ def _km_cells(assigned: DataFrame, xq: DataFrame) -> DataFrame:
 
 
 def _km_oracle() -> str:
-    cos = (
-        "list_dot_product(x.v, {c}) / "
-        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product({c}, {c})))"
-    )
+    cos = _ORACLE_COS
     return f"""
-WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-xq AS (SELECT vec_id,
-              list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
-       FROM x),
-seeds AS (SELECT vec_id AS cid, v AS c FROM x ORDER BY vec_id LIMIT {IVF_K}),
-a1 AS (SELECT vec_id, cid FROM (
-    SELECT x.vec_id, s.cid,
-           ROW_NUMBER() OVER (PARTITION BY x.vec_id
-             ORDER BY ROUND({cos.format(c='s.c')}, 6) DESC, s.cid) AS rn
-    FROM x CROSS JOIN seeds s) WHERE rn = 1),
-cells1 AS (SELECT a1.cid, t.i AS pos, SUM(xq.vq[t.i + 1]) AS s
-           FROM a1 JOIN xq USING (vec_id)
-           CROSS JOIN (SELECT UNNEST(range(0, {DIM})) AS i) t
-           GROUP BY a1.cid, t.i),
-n1 AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
-c1 AS (SELECT c.cid,
-              list(CAST(c.s AS DOUBLE) / CAST(n.n * 1000000 AS DOUBLE)
-                   ORDER BY c.pos) AS c
-       FROM cells1 c JOIN n1 n USING (cid) GROUP BY c.cid),
+WITH {_portable_c1_cte()},
 a2 AS (SELECT vec_id, cid FROM (
     SELECT x.vec_id, c1.cid,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id
@@ -459,37 +520,8 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py proves assignment parity with an
     independent numpy implementation of the same quantized algorithm."""
     emb = load_table(spark, sf_dir, "embeddings")
-    xq = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda e: F.floor(e.cast("double") * 1_000_000),
-        ).alias("vq"),
-    )
-    seeds = emb.orderBy("vec_id").limit(IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
-    )
-    a1 = ivf_assign(emb, seeds, round_digits=6)
-    cells1 = _km_cells(a1, xq)
-    n1 = a1.groupBy("cid").agg(F.count("*").alias("n"))
-    cents1 = (
-        cells1.join(n1, "cid")
-        .select(
-            "cid",
-            "pos",
-            (
-                F.col("s").cast("double")
-                / (F.col("n") * F.lit(1_000_000)).cast("double")
-            ).alias("m"),
-        )
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda st: st["m"],
-            ).alias("c_emb")
-        )
-    )
+    xq = _micro_vecs(emb)
+    cents1 = portable_centroids(emb, IVF_K)
     a2 = ivf_assign(emb, cents1, round_digits=6)
     cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
     stats = (
@@ -575,26 +607,40 @@ def pq_codebooks(emb: DataFrame, emb_col: str = "embedding") -> np.ndarray:
     return A.reshape(PQ_KS, PQ_M, d_sub).transpose(1, 0, 2)
 
 
+def quantize_books(books: np.ndarray) -> np.ndarray:
+    """Integer micro-unit codebooks: FLOOR(c * 1e6) as int64 — the same
+    quantization _micro_vecs applies to vectors, so encode distances are
+    exact integer arithmetic reproducible in any engine."""
+    return np.floor(books * 1_000_000).astype(np.int64)
+
+
 def pq_encode(emb: DataFrame, books: np.ndarray, emb_col: str = "embedding") -> DataFrame:
     """Append ``codes`` (array<int>, length M): per-subspace argmin-L2
-    code. One Arrow-batched numpy pass (M tiny matmuls per batch) — a
-    narrow projection, no shuffle; at 100 TB this is the compression
+    code over INTEGER micro-unit distances — both the vector and the
+    codebook entries are quantized to FLOOR(x*1e6) int64 before the
+    distance compare, and ties break to the lowest code, so the argmin
+    is bit-reproducible across engines (round 5: this is what upgraded
+    the PQ/IVFPQ shortlists from rows-only to exact DuckDB oracles; the
+    old float-BLAS d2 could flip a near-tie code between engines).
+    One Arrow-batched numpy pass (int64 broadcast-subtract per batch) —
+    a narrow projection, no shuffle; at 100 TB this is the compression
     pass that shrinks every vector 64x (256 B float32 -> 4 B codes)."""
     from pyspark.sql.types import ArrayType, IntegerType
 
+    books_q = quantize_books(books)
     M, KS, d_sub = books.shape
-    cnorm = (books ** 2).sum(axis=2)  # (M, KS)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(s: pd.Series) -> pd.Series:
         X = np.stack(s.to_numpy()).astype(np.float64)  # (n, dim)
+        Xq = np.floor(X * 1_000_000).astype(np.int64)
         n = X.shape[0]
         codes = np.empty((n, M), dtype=np.int32)
         for m in range(M):
-            sub = X[:, m * d_sub : (m + 1) * d_sub]
-            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
-            d2 = cnorm[m][None, :] - 2.0 * (sub @ books[m].T)
-            codes[:, m] = d2.argmin(axis=1)
+            sub = Xq[:, m * d_sub : (m + 1) * d_sub]  # (n, d_sub) int64
+            diff = sub[:, None, :] - books_q[m][None, :, :]  # (n, KS, d_sub)
+            d2 = (diff * diff).sum(axis=2)  # exact int64
+            codes[:, m] = d2.argmin(axis=1)  # first min -> lowest code
         return pd.Series(list(codes))
 
     return emb.withColumn("codes", encode(emb_col))
@@ -626,13 +672,69 @@ def pq_decode_expr(books: np.ndarray) -> F.Column:
     )
 
 
-@query("sim_pq_topk")  # approximate by construction: rows-only check
+def _pq_oracle() -> str:
+    d_sub = DIM // PQ_M
+    return f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xq AS (SELECT vec_id,
+              list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+       FROM x),
+bseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, vq
+           FROM xq ORDER BY vec_id LIMIT {PQ_KS}),
+enc AS (SELECT vec_id, m, k FROM (
+    SELECT xq.vec_id, t.m, s.k,
+           ROW_NUMBER() OVER (PARTITION BY xq.vec_id, t.m
+             ORDER BY list_sum(list_transform(range(1, {d_sub + 1}),
+               j -> (xq.vq[t.m * {d_sub} + j] - s.vq[t.m * {d_sub} + j])
+                  * (xq.vq[t.m * {d_sub} + j] - s.vq[t.m * {d_sub} + j])))
+               ASC, s.k ASC) AS rn
+    FROM xq CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) t
+    CROSS JOIN bseeds s) WHERE rn = 1),
+dec AS (SELECT e.vec_id,
+               list(CAST(s.vq[e.m * {d_sub} + t.j] AS DOUBLE) / 1000000.0
+                    ORDER BY e.m * {d_sub} + t.j) AS d
+        FROM enc e JOIN bseeds s USING (k)
+        CROSS JOIN (SELECT UNNEST(range(1, {d_sub + 1})) AS j) t
+        GROUP BY e.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM x WHERE vec_id < {N_QUERIES}),
+approx AS (SELECT q.query_id, d.vec_id AS cand_id,
+                  ROUND(list_dot_product(q.qv, d.d) /
+                        (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(d.d, d.d))), 6) AS ac
+           FROM q JOIN dec d ON d.vec_id <> q.query_id),
+short AS (SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ac DESC, cand_id) AS rn
+    FROM approx) WHERE rn <= {PQ_RERANK}),
+exact AS (SELECT s.query_id, s.cand_id,
+                 ROUND(list_dot_product(q.qv, c.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+          FROM short s JOIN q USING (query_id)
+          JOIN x c ON c.vec_id = s.cand_id)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("sim_pq_topk", _pq_oracle())
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN top-k: encode the corpus to PQ_M 4-bit codes (the 64x
     compression that makes 100 TB of embeddings hold in RAM), score
     queries against the DECODED approximation JVM-side, keep the top
     PQ_RERANK per query, then re-rank exactly against the true vectors.
-    Measured recall@10 vs brute force at sf0.01 = 0.92
+
+    Round 5: fully oracle-checked. The encode argmin runs in integer
+    micro-units (pq_encode), the decoded approximation is the exact
+    double books_q/1e6, the shortlist ranks ROUND(approx_cos, 6) with
+    cand_id tiebreak, and the re-rank is the proven brute-force surface
+    — so DuckDB reproduces codes, shortlist, and final ranking bit for
+    bit. Measured recall@10 vs brute force at sf0.01 = 0.92
     (tests/test_similarity.py asserts >= 0.5 to absorb corpus drift).
     Scale: encode is a narrow Arrow pass; approx scoring broadcasts the
     query set over code rows (4 B payloads, not 256 B vectors); only
@@ -642,7 +744,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = pq_encode(emb, books).select(
         F.col("vec_id").alias("cand_id"), "codes"
     )
-    decoded = coded.withColumn("dec", pq_decode_expr(books))
+    decoded = coded.withColumn(
+        "dec", pq_decode_expr(quantize_books(books) / 1e6)
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -653,7 +757,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q_emb",
             "cand_id",
-            cosine(F.col("q_emb"), F.col("dec")).alias("approx_cos"),
+            F.round(cosine(F.col("q_emb"), F.col("dec")), 6).alias("approx_cos"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(
@@ -678,7 +782,76 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivfpq_topk")  # approximate by construction: rows-only check
+def _ivfpq_oracle() -> str:
+    d_sub = DIM // PQ_M
+    return f"""
+WITH {_portable_c1_cte()},
+al AS (SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({_ORACLE_COS.format(c='c1.c')}, 6) DESC, c1.cid) AS rn
+    FROM x CROSS JOIN c1) WHERE rn = 1),
+res AS (SELECT al.vec_id, al.cid,
+               list_transform(range(1, {DIM + 1}),
+                 j -> CAST(FLOOR((x.v[j] - c1.c[j]) * 1000000) AS BIGINT)) AS rq
+        FROM al JOIN x USING (vec_id) JOIN c1 USING (cid)),
+bseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, rq
+           FROM res ORDER BY vec_id LIMIT {PQ_KS}),
+enc AS (SELECT vec_id, m, k FROM (
+    SELECT r.vec_id, t.m, s.k,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id, t.m
+             ORDER BY list_sum(list_transform(range(1, {d_sub + 1}),
+               j -> (r.rq[t.m * {d_sub} + j] - s.rq[t.m * {d_sub} + j])
+                  * (r.rq[t.m * {d_sub} + j] - s.rq[t.m * {d_sub} + j])))
+               ASC, s.k ASC) AS rn
+    FROM res r CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) t
+    CROSS JOIN bseeds s) WHERE rn = 1),
+decq AS (SELECT e.vec_id,
+                list(s.rq[e.m * {d_sub} + t.j] ORDER BY e.m * {d_sub} + t.j) AS dq
+         FROM enc e JOIN bseeds s USING (k)
+         CROSS JOIN (SELECT UNNEST(range(1, {d_sub + 1})) AS j) t
+         GROUP BY e.vec_id),
+cq AS (SELECT cid,
+              list_transform(c, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS cq
+       FROM c1),
+q AS (SELECT x.vec_id AS query_id, x.v AS qv, xq.vq AS qq
+      FROM x JOIN xq USING (vec_id) WHERE x.vec_id < {N_QUERIES}),
+probes AS (SELECT query_id, cid FROM (
+    SELECT q.query_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND(list_dot_product(q.qv, c1.c) /
+                            (sqrt(list_dot_product(q.qv, q.qv))
+                             * sqrt(list_dot_product(c1.c, c1.c))), 6)
+               DESC, c1.cid) AS rn
+    FROM q CROSS JOIN c1) WHERE rn <= {IVF_NPROBE}),
+approx AS (SELECT q.query_id, r.vec_id AS cand_id,
+                  CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                    j -> q.qq[j] * (cq.cq[j] + d.dq[j]))) AS BIGINT) AS ip
+           FROM q JOIN probes p USING (query_id)
+           JOIN res r ON r.cid = p.cid AND r.vec_id <> q.query_id
+           JOIN cq ON cq.cid = p.cid
+           JOIN decq d ON d.vec_id = r.vec_id),
+short AS (SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ip DESC, cand_id) AS rn
+    FROM approx) WHERE rn <= {PQ_RERANK}),
+exact AS (SELECT s.query_id, s.cand_id,
+                 ROUND(list_dot_product(q.qv, c.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+          FROM short s JOIN q USING (query_id)
+          JOIN x c ON c.vec_id = s.cand_id)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("sim_ivfpq_topk", _ivfpq_oracle())
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN (the FAISS IVFADC layout — Jegou et al. 2011): coarse
     IVF lists prune the scan to IVF_NPROBE/IVF_K of the corpus, PQ codes
@@ -695,22 +868,27 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approximate inner product is dot(q, centroid) + M table
     lookups, NOT a 64-dim vector reconstruction. A first formulation
     decoded c+r per row and scored with interpreted HOF cosine: 6.4s
-    at sf0.1; the LUT pandas_udf runs the same shortlist in ~1s. The
-    shortlist ranks by approximate INNER PRODUCT (FAISS's IVFADC
-    metric); the exact re-rank restores cosine order.
+    at sf0.1; the LUT pandas_udf runs the same shortlist in ~1s.
+
+    Round 5: end-to-end oracle-checked. The coarse quantizer is
+    portable_centroids (integer-sum Lloyd on the round-6 tie surface),
+    residuals quantize to micro-unit ints, codes argmin integer
+    distances, and the WHOLE ADC runs in exact int64 — lut entries and
+    dot(q, centroid) are micro-unit integer dot products, so the
+    shortlist order is engine-exact (ties break on cand_id). DuckDB
+    replays the identical pipeline from the base table.
 
     Scale: zero-shuffle argmax assignment, broadcast probes joined
     equi-keyed on cid (never a corpus cartesian), narrow Arrow encode +
     ADC passes, and only PQ_RERANK x queries full vectors move in the
-    re-rank join. The LUT closure is N_QUERIES x M x KS doubles —
+    re-rank join. The LUT closure is N_QUERIES x M x KS ints —
     constant-size, like the centroid literals. Recall@10 vs brute
     force asserted in tests/test_similarity.py."""
-    from ..functions.vectors import dot
-    from pyspark.sql.types import DoubleType
+    from pyspark.sql.types import LongType
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(emb).cache()
-    assigned = ivf_assign(emb, cents)
+    cents = portable_centroids(emb).cache()
+    assigned = ivf_assign(emb, cents, round_digits=6)
     with_res = assigned.join(F.broadcast(cents), "cid").withColumn(
         "residual",
         F.zip_with(
@@ -718,32 +896,42 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     books = pq_codebooks(with_res, emb_col="residual")
+    books_q = quantize_books(books)
     coded = pq_encode(with_res, books, emb_col="residual").select(
         F.col("vec_id").alias("cand_id"), "cid", "codes"
     )
-    # bounded collect: exactly N_QUERIES rows (a constant), same class
-    # as the centroid collects — never corpus-proportional
+    # bounded collects: exactly N_QUERIES + IVF_K rows (constants), same
+    # class as the centroid literals — never corpus-proportional
     q_rows = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()
     )
+    c_rows = cents.orderBy("cid").collect()
     M, KS, d_sub = books.shape
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    # lut[qi, m, k] = dot(q_sub_m, books[m][k])
+    Qq = np.floor(Q * 1_000_000).astype(np.int64)
+    Cq = np.floor(
+        np.array([r["c_emb"] for r in c_rows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    # lut[qi, m, k] = <q_sub_m, books_q[m][k]> ; dqc[qi, ci] = <qq, centq>
     lut = np.stack(
-        [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(M)],
+        [Qq[:, m * d_sub : (m + 1) * d_sub] @ books_q[m].T for m in range(M)],
         axis=1,
     )
+    dqc = Qq @ Cq.T
     qidx = {r["vec_id"]: i for i, r in enumerate(q_rows)}
+    cidx = {r["cid"]: i for i, r in enumerate(c_rows)}
 
-    @F.pandas_udf(DoubleType())
-    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+    @F.pandas_udf(LongType())
+    def adc_ip(qid: pd.Series, cid: pd.Series, codes: pd.Series) -> pd.Series:
         C = np.stack(codes.to_numpy())  # (n, M) int codes
         qi = qid.map(qidx).to_numpy(dtype=np.int64)
+        ci = cid.map(cidx).to_numpy(dtype=np.int64)
         return pd.Series(
-            lut[qi[:, None], np.arange(M)[None, :], C].sum(axis=1)
+            dqc[qi, ci]
+            + lut[qi[:, None], np.arange(M)[None, :], C].sum(axis=1)
         )
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -751,14 +939,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_cent = q.join(F.broadcast(cents), how="cross").select(
         "query_id", "q_emb", "cid",
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
-        dot(F.col("q_emb"), F.col("c_emb")).alias("dot_qc"),
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("c_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
     probes = (
         q_cent.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "q_emb", "cid", "dot_qc")
+        .select("query_id", "q_emb", "cid")
     )
     approx = (
         F.broadcast(probes)
@@ -768,7 +955,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q_emb",
             "cand_id",
-            (F.col("dot_qc") + adc(F.col("query_id"), F.col("codes"))).alias(
+            adc_ip(F.col("query_id"), F.col("cid"), F.col("codes")).alias(
                 "approx_ip"
             ),
         )

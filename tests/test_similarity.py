@@ -270,13 +270,15 @@ def test_pq_recall_and_reconstruction(spark, sf_oracle):
 
     emb = load_table(spark, sf_oracle, "embeddings")
     books = S.pq_codebooks(emb)
+    books_q = S.quantize_books(books)
     sample = S.pq_encode(emb, books).orderBy("vec_id").limit(20).collect()
     M, KS, d_sub = books.shape
     for r in sample:
         x = np.array(r["embedding"], dtype=np.float64)
+        xq = np.floor(x * 1_000_000).astype(np.int64)
         for m in range(M):
-            sub = x[m * d_sub : (m + 1) * d_sub]
-            d2 = ((books[m] - sub) ** 2).sum(axis=1)
+            sub = xq[m * d_sub : (m + 1) * d_sub]
+            d2 = ((books_q[m] - sub) ** 2).sum(axis=1)
             assert r["codes"][m] == int(d2.argmin())
 
 
