@@ -62,6 +62,7 @@ HEADLINE = [
     "tx_dsir_weights",
     "sk_kmv_distinct",
     "sim_ivfpq_topk",
+    "sim_ivfpq_query",
     "mm_phash_neardup",
     "pipe_download",
     "pipe_ingest_csv",
@@ -119,6 +120,9 @@ BUDGETS = {
     # ~2.1s of this is the shared IVF substructure (centroids+assign);
     # at scale codes are precomputed, here they rebuild per run
     "sim_ivfpq_topk": 8.6,
+    # serving path over the prebuilt index (r5: ~1.3s warm at sf0.1;
+    # builds on first call, so the min-of-two reflects pure serving)
+    "sim_ivfpq_query": 3.0,
     "mm_phash_neardup": 5.5,
 }
 

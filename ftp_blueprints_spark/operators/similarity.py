@@ -33,6 +33,8 @@ dense matrix product warrants the Python worker round trip.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -884,9 +886,17 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank join. The LUT closure is N_QUERIES x M x KS ints —
     constant-size, like the centroid literals. Recall@10 vs brute
     force asserted in tests/test_similarity.py."""
-    from pyspark.sql.types import LongType
-
     emb = load_table(spark, sf_dir, "embeddings")
+    cents, coded, books_q = ivfpq_fit(emb)
+    return _ivfpq_serve(emb, cents, coded, books_q)
+
+
+def ivfpq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """IVFPQ training/encode phase: portable coarse centroids, round-6
+    assignment, residual codebooks from the PQ_KS lowest vec_ids, and
+    integer-argmin codes. Returns (centroids, coded rows, quantized
+    codebooks) — everything the serving path needs, everything
+    ivfpq_build persists."""
     cents = portable_centroids(emb).cache()
     assigned = ivf_assign(emb, cents, round_digits=6)
     with_res = assigned.join(F.broadcast(cents), "cid").withColumn(
@@ -896,10 +906,20 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     books = pq_codebooks(with_res, emb_col="residual")
-    books_q = quantize_books(books)
     coded = pq_encode(with_res, books, emb_col="residual").select(
         F.col("vec_id").alias("cand_id"), "cid", "codes"
     )
+    return cents, coded, quantize_books(books)
+
+
+def _ivfpq_serve(
+    emb: DataFrame, cents: DataFrame, coded: DataFrame, books_q: np.ndarray
+) -> DataFrame:
+    """IVFPQ serving phase (probes -> integer ADC -> shortlist -> exact
+    re-rank) over a fitted index — shared by sim_ivfpq_topk (fits
+    in-query) and sim_ivfpq_query (reads the persisted index)."""
+    from pyspark.sql.types import LongType
+
     # bounded collects: exactly N_QUERIES + IVF_K rows (constants), same
     # class as the centroid literals — never corpus-proportional
     q_rows = (
@@ -909,7 +929,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     c_rows = cents.orderBy("cid").collect()
-    M, KS, d_sub = books.shape
+    M, KS, d_sub = books_q.shape
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     Qq = np.floor(Q * 1_000_000).astype(np.int64)
     Cq = np.floor(
@@ -982,6 +1002,81 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+def ivfpq_index_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus index location under the system temp
+    dir, fingerprinted by the embeddings file's (mtime, size) so a
+    regenerated fixture auto-invalidates the cached index."""
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_mtime_ns}_{st.st_size}"
+    return os.path.join(tempfile.gettempdir(), "spark_graft_ivfpq", tag)
+
+
+def ivfpq_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
+    """BUILD phase of the IVFPQ serving split: fit the index once and
+    persist it as three parquet tables — centroids (cid, c_emb), codes
+    (cand_id, cid, codes: the whole corpus at 4 B/vector), and the
+    quantized codebooks (m, k, sub) — then atomically rename into
+    place. At 100 TB this is the amortization that matters: training +
+    encode cost ~2.5 s of sim_ivfpq_topk's 4.5 s at sf0.1 and is pure
+    rebuild-per-call waste when queries repeat; a real corpus builds
+    once per ingest batch and serves every query from the codes table
+    (see sim_ivfpq_query). Build is deterministic from the base table,
+    so the persisted index inherits the driver-checked oracle."""
+    out = index_dir or ivfpq_index_dir(sf_dir)
+    if os.path.isdir(out):
+        return out
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, coded, books_q = ivfpq_fit(emb)
+    M, KS, d_sub = books_q.shape
+    tmp = out + ".building"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    coded.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+    book_rows = [
+        (m, k, [int(v) for v in books_q[m, k]])
+        for m in range(M)
+        for k in range(KS)
+    ]
+    spark.createDataFrame(
+        book_rows, "m int, k int, sub array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost a concurrent-build race: theirs is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query("sim_ivfpq_query", _ivfpq_oracle())
+def sim_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY phase of the IVFPQ serving split: answer top-k from the
+    PREBUILT index (ivfpq_build persists centroids + codes + codebooks;
+    builds on first call, reuses thereafter) — no retraining, the plan
+    is read-codes -> broadcast-probe join on cid -> integer ADC ->
+    exact re-rank of PQ_RERANK rows. This mirrors production ANN
+    serving: the corpus-sized input is the 4-byte-code table, full
+    vectors are touched only for the shortlist. Build determinism means
+    the same DuckDB oracle proves BOTH phases: the driver check replays
+    train+encode+serve from the base table and must match what this
+    query serves from disk."""
+    idx = ivfpq_build(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    coded = spark.read.parquet(os.path.join(idx, "codes"))
+    brows = spark.read.parquet(os.path.join(idx, "codebooks")).collect()
+    M = max(r["m"] for r in brows) + 1
+    KS = max(r["k"] for r in brows) + 1
+    books_q = np.zeros((M, KS, len(brows[0]["sub"])), dtype=np.int64)
+    for r in brows:
+        books_q[r["m"], r["k"]] = r["sub"]
+    return _ivfpq_serve(emb, cents, coded, books_q)
 
 
 @query(

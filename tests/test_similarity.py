@@ -282,6 +282,37 @@ def test_pq_recall_and_reconstruction(spark, sf_oracle):
             assert r["codes"][m] == int(d2.argmin())
 
 
+def test_ivfpq_build_query_parity(spark, sf_oracle, tmp_path):
+    """The persisted-index serving path (ivfpq_build -> sim_ivfpq_query)
+    must return exactly what the fit-in-query path returns: build is
+    deterministic from the base table, so a parquet round trip of
+    centroids/codes/codebooks cannot change a single shortlist row."""
+    import os
+    import numpy as np
+    from ftp_blueprints_spark.session import load_table
+
+    idx = S.ivfpq_build(spark, sf_oracle, str(tmp_path / "idx"))
+    assert sorted(os.listdir(idx)) == ["centroids", "codebooks", "codes"]
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    coded = spark.read.parquet(os.path.join(idx, "codes"))
+    brows = spark.read.parquet(os.path.join(idx, "codebooks")).collect()
+    M = max(r["m"] for r in brows) + 1
+    KS = max(r["k"] for r in brows) + 1
+    books_q = np.zeros((M, KS, len(brows[0]["sub"])), dtype=np.int64)
+    for r in brows:
+        books_q[r["m"], r["k"]] = r["sub"]
+    served = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["cos_sim"])
+        for r in S._ivfpq_serve(emb, cents, coded, books_q).collect()
+    }
+    fitted = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["cos_sim"])
+        for r in S.sim_ivfpq_topk(spark, sf_oracle).collect()
+    }
+    assert served == fitted
+
+
 def test_ivfpq_recall_sf01(spark):
     """IVFPQ recall at bench scale (sf0.1, 2000 vectors): the coarse
     nprobe pruning + residual-PQ ADC shortlist + exact re-rank must
