@@ -352,12 +352,23 @@ def ev_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_ttl_dedup(
-    spark: SparkSession, sf_dir: str, ttl_us: int = TTL_DEDUP_TTL_US
+    spark: SparkSession,
+    sf_dir: str,
+    ttl_us: int = TTL_DEDUP_TTL_US,
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming execution via applyInPandasWithState: per-key state is
     the last kept timestamp (bounded: one bigint per live key); the
     event-time timeout retires keys once the watermark passes their
-    suppression window, so state never grows with history."""
+    suppression window, so state never grows with history.
+
+    ``source`` overrides the default single-file events stream — the
+    multi-micro-batch integration test feeds chronologically split
+    files through maxFilesPerTrigger=1 so per-key state demonstrably
+    carries across micro-batches (correct as long as arrival is
+    time-ordered per key, which a time-partitioned source guarantees;
+    with out-of-order arrival beyond the watermark the streaming kept
+    set can diverge from batch, the standard streaming caveat)."""
     import pandas as pd
 
     def scan(key, pdf_iter, state):
@@ -382,7 +393,9 @@ def stream_ttl_dedup(
             ]
         )
 
-    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).withWatermark("ts", "1 hour")
     slim = ev.select(
         "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
     )

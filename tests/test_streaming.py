@@ -111,6 +111,55 @@ def test_ttl_dedup_stream_matches_batch(spark, sf_oracle):
     assert streamed == batch
 
 
+def test_ttl_dedup_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Real incremental execution: split events into four chronological
+    files, feed them through maxFilesPerTrigger=1 + availableNow so the
+    stream runs MULTIPLE micro-batches (asserted from query progress),
+    and require the drained kept set to equal the batch operator — i.e.
+    per-key last-kept state provably carries across micro-batch
+    boundaries, which the single-file drain tests never exercise."""
+    import os
+    from ftp_blueprints_spark.session import load_table
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    bounds = ev.selectExpr("unix_micros(ts) AS us").approxQuantile(
+        "us", [0.25, 0.5, 0.75], 0.0
+    )
+    src_dir = tmp_path / "ev_parts"
+    lo = [None, *bounds]
+    hi = [*bounds, None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        part = ev
+        if a is not None:
+            part = part.filter(F.unix_micros("ts") > a)
+        if b is not None:
+            part = part.filter(F.unix_micros("ts") <= b)
+        out = str(src_dir / f"part{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(out)
+        # FileStreamSource orders new files by modification time:
+        # stamp ascending so arrival is chronological
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    source = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = E.run_to_memory(
+        E.stream_ttl_dedup(spark, sf_oracle, source=source), "t_ttl_mb", "append"
+    )
+    n_batches = sum(
+        1 for p in q.recentProgress if p.numInputRows and p.numInputRows > 0
+    )
+    assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
+    batch = _rows(E.ttl_dedup_batch(ev))
+    streamed = _rows(spark.table("t_ttl_mb"))
+    assert streamed == batch
+
+
 def test_watermark_in_plan(spark, sf_oracle):
     """The streaming plans actually carry the watermark (state bound)."""
     plan = E.stream_tumbling_counts(spark, sf_oracle)._jdf.queryExecution().analyzed().toString()
