@@ -84,6 +84,8 @@ _FIRST_HASH_CHECK_THIS_ROUND = {
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_ivfpq_query",
+    "sim_ivf_topk",
+    "sim_ann_lsh",
 }
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session, so those 21 are

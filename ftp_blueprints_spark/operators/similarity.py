@@ -107,11 +107,26 @@ def _planes(n_planes: int, dim: int = DIM, seed: int = PLANE_SEED) -> np.ndarray
 
 
 def band_signatures(
-    df: DataFrame, bands: int, rows: int, emb_col: str = "embedding"
+    df: DataFrame,
+    bands: int,
+    rows: int,
+    emb_col: str = "embedding",
+    quantize: bool = False,
 ) -> DataFrame:
     """Explode each vector into ``bands`` rows keyed by (band, sig),
     where sig is the concatenated sign pattern of that band's ``rows``
     hyperplane projections.
+
+    ``quantize=True`` computes the projection in EXACT int64 — both the
+    vector and the plane components floor to micro-units (x * 1e6), the
+    dot product is an integer sum, and the sign compare has no float
+    tie surface. That makes bucket membership engine-reproducible
+    (DuckDB replays the identical integer arithmetic), which is what
+    lets sim_ann_lsh carry an exact oracle; a sign can only differ from
+    the float projection for points within ~1e-6 of a hyperplane, so
+    recall is unchanged. Float (default) keeps the BLAS fast path for
+    callers whose oracle doesn't depend on bucket identity
+    (sim_embedding_neardup verifies candidates by exact cosine).
 
     The projection matrix multiply runs as an Arrow-batched pandas_udf
     (one BLAS ``M @ planes.T`` per batch) — dense linear algebra is the
@@ -128,11 +143,17 @@ def band_signatures(
     from pyspark.sql.types import ArrayType, StringType
 
     planes = _planes(bands * rows)  # (bands*rows, dim); ~64 KB closure
+    planes_q = np.floor(planes * 1_000_000).astype(np.int64)
 
     @F.pandas_udf(ArrayType(StringType()))
     def band_sigs(s: pd.Series) -> pd.Series:
         m = np.stack(s.to_numpy()).astype(np.float64)
-        bits = (m @ planes.T >= 0).astype(np.uint8).astype("U1")
+        if quantize:
+            mq = np.floor(m * 1_000_000).astype(np.int64)
+            proj = mq @ planes_q.T  # exact: |terms| < 2^50, dim 64 -> < 2^56
+        else:
+            proj = m @ planes.T
+        bits = (proj >= 0).astype(np.uint8).astype("U1")
         return pd.Series(
             [
                 ["".join(r[b * rows : (b + 1) * rows]) for b in range(bands)]
@@ -275,19 +296,6 @@ def ivf_assign(
     ).select("vec_id", "embedding", "cid")
 
 
-def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
-    """Deterministic centroids: seed with the k lowest vec_ids, run one
-    Lloyd refinement (assign -> element-wise mean via posexplode /
-    groupBy(cid, pos) / collect ordered). K x dim is tiny, so the
-    refinement aggregates are cheap; determinism > convergence here.
-
-    The refinement's assignment uses the LAZY agg path (literal_max_k=0)
-    on purpose: the seed values aren't needed on the driver, so forcing
-    the projection path here would only add a blocking collect job in
-    front of the means aggregation that consumes the assignment anyway."""
-    return kmeans_centroids(emb, k, iters=1)
-
-
 def kmeans_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 1) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column: seed with
     the k lowest vec_ids, then ``iters`` rounds of assign -> elementwise
@@ -322,54 +330,6 @@ def kmeans_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 1) -> DataFram
             .select("cid", F.coalesce("m_emb", "c_emb").alias("c_emb"))
         )
     return cents
-
-
-@query("sim_ivf_topk")  # approximate by construction: rows-only check
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: assign vectors to IVF_K centroid lists, probe the
-    IVF_NPROBE nearest lists per query, exact-score only those lists.
-    Recall@10 vs sim_topk_bruteforce asserted >= 0.9 in
-    tests/test_similarity.py. At scale the probed lists hold
-    ~nprobe/K of the corpus — the scan shrinks by K/nprobe while the
-    bucket join stays equi-keyed on cid."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(emb).cache()
-    assigned = ivf_assign(emb, cents)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    # per query: the nprobe nearest centroid ids
-    q_cent = q.join(F.broadcast(cents), how="cross").select(
-        "query_id", "q_emb", "cid",
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    probes = (
-        q_cent.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "q_emb", "cid")
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(
-            assigned.select(
-                F.col("vec_id").alias("cand_id"),
-                F.col("embedding").alias("c_emb"),
-                "cid",
-            ),
-            "cid",
-        )
-        .filter(F.col("cand_id") != F.col("query_id"))
-    )
-    scored = cand.select(
-        "query_id",
-        "cand_id",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
 
 
 KM_ITERS = 3
@@ -554,18 +514,162 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle() -> str:
+    cos = _ORACLE_COS
+    return f"""
+WITH {_portable_c1_cte()},
+al AS (SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({cos.format(c='c1.c')}, 6) DESC, c1.cid) AS rn
+    FROM x CROSS JOIN c1) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM x WHERE vec_id < {N_QUERIES}),
+probes AS (SELECT query_id, cid FROM (
+    SELECT q.query_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND(list_dot_product(q.qv, c1.c) /
+                            (sqrt(list_dot_product(q.qv, q.qv))
+                             * sqrt(list_dot_product(c1.c, c1.c))), 6)
+               DESC, c1.cid) AS rn
+    FROM q CROSS JOIN c1) WHERE rn <= {IVF_NPROBE}),
+exact AS (SELECT q.query_id, al.vec_id AS cand_id,
+                 ROUND(list_dot_product(q.qv, c.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+          FROM q JOIN probes p USING (query_id)
+          JOIN al ON al.cid = p.cid AND al.vec_id <> q.query_id
+          JOIN x c ON c.vec_id = al.vec_id)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("sim_ivf_topk", _ivf_oracle())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: assign vectors to IVF_K centroid lists, probe the
+    IVF_NPROBE nearest lists per query, exact-score only those lists.
+
+    Round 5: upgraded from rows-only to an exact DuckDB oracle by
+    switching the coarse quantizer to portable_centroids (integer-sum
+    Lloyd on the ROUND(cos, 6) tie surface — the sim_kmeans playbook)
+    and ranking probes on the same rounded surface, so list membership,
+    the probed lists, and the final ranking are all engine-exact.
+    Recall@10 vs sim_topk_bruteforce asserted >= 0.9 in
+    tests/test_similarity.py. At scale the probed lists hold
+    ~nprobe/K of the corpus — the scan shrinks by K/nprobe while the
+    bucket join stays equi-keyed on cid, and assignment itself is the
+    zero-shuffle literal-argmax projection (ivf_assign)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = portable_centroids(emb).cache()
+    assigned = ivf_assign(emb, cents, round_digits=6)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # per query: the nprobe nearest centroid ids (rounded tie surface)
+    q_cent = q.join(F.broadcast(cents), how="cross").select(
+        "query_id", "q_emb", "cid",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        q_cent.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_emb"),
+                "cid",
+            ),
+            "cid",
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
 ANN_BANDS = 32
 ANN_ROWS = 4
 
 
-@query("sim_ann_lsh")  # approximate by construction: rows-only check
+def _ann_lsh_oracle() -> str:
+    planes_q = np.floor(
+        _planes(ANN_BANDS * ANN_ROWS) * 1_000_000
+    ).astype(np.int64)
+    plane_lists = ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in planes_q
+    )
+    n_planes = ANN_BANDS * ANN_ROWS
+    return f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xq AS (SELECT vec_id,
+              list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+       FROM x),
+pl AS (SELECT UNNEST(range(0, {n_planes})) AS p,
+              UNNEST([{plane_lists}]) AS pv),
+sigs AS (
+  SELECT xq.vec_id, pl.p // {ANN_ROWS} AS band,
+         string_agg(CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),
+                      j -> xq.vq[j] * pl.pv[j])) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+  FROM xq CROSS JOIN pl
+  GROUP BY xq.vec_id, pl.p // {ANN_ROWS}
+),
+q AS (SELECT vec_id AS query_id, band, sig FROM sigs
+      WHERE vec_id < {N_QUERIES}),
+cand AS (SELECT DISTINCT q.query_id, s.vec_id AS cand_id
+         FROM q JOIN sigs s ON s.band = q.band AND s.sig = q.sig
+                            AND s.vec_id <> q.query_id),
+exact AS (SELECT c.query_id, c.cand_id,
+                 ROUND(list_dot_product(qx.v, cx.v) /
+                       (sqrt(list_dot_product(qx.v, qx.v))
+                        * sqrt(list_dot_product(cx.v, cx.v))), 6) AS cos_sim
+          FROM cand c JOIN x qx ON qx.vec_id = c.query_id
+          JOIN x cx ON cx.vec_id = c.cand_id)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+"""
+
+
+@query("sim_ann_lsh", _ann_lsh_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-band hyperplane LSH (OR-construction over
     {ANN_BANDS} bands of {ANN_ROWS} planes): candidates are the union
     of same-bucket vectors across bands, scored exactly, ranked per
     query. Measured recall@10 vs sim_topk_bruteforce at sf0.01 is 1.0
-    (tests/test_similarity.py asserts >= 0.9)."""
-    emb = band_signatures(load_table(spark, sf_dir, "embeddings"), ANN_BANDS, ANN_ROWS)
+    (tests/test_similarity.py asserts >= 0.9).
+
+    Round 5: upgraded from rows-only to an exact DuckDB oracle. The
+    sign projections run in integer micro-units (band_signatures
+    quantize=True) so bucket membership is engine-exact — the oracle
+    inlines the quantized plane matrix as literals and replays the
+    identical int64 arithmetic, then the candidate union, exact round-6
+    scoring, and ranking all reproduce bit for bit. The driver check
+    therefore covers the whole LSH pipeline, including which buckets
+    collide — the strongest possible evidence for a probabilistic ANN
+    structure."""
+    emb = band_signatures(
+        load_table(spark, sf_dir, "embeddings"), ANN_BANDS, ANN_ROWS, quantize=True
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Scale probe: how do the heaviest headline queries scale from sf0.1
+to a synthesized 10x corpus (sf1-equivalent)?
+
+The driver ships fixtures up to sf0.1; the engine's claim is 100 TB
+viability, so this tool measures the next decade directly. It
+synthesizes a 10x corpus from the sf0.1 parquet deterministically —
+never touching /root/testdata — runs each probe query at both scales
+(min of two noop-sunk executions, mirroring bench.py), and reports the
+wall-time scaling exponent  e = log(t_10x / t_1x) / log(10).  e <= ~1
+means the plan scales linearly or better; e >> 1 flags a plan whose
+cost curve would sink a real scale-up and earns a fix next round.
+
+Synthesis model (10 shards, replica r = 0..9):
+- documents: replica 0 is the fixture; replica r>0 suffixes EVERY
+  token with "~r", so shingle sets are DISJOINT across replicas —
+  the 10x corpus behaves like 10 unrelated shards, each carrying the
+  original intra-shard duplicate structure (the natural shape of a
+  10x crawl, and the honest one for dedup probes: near-dup density
+  per shard is unchanged). doc_id offsets by r * stride.
+- embeddings: replica r rotates each vector's components by r
+  positions. Rotation preserves norms and all within-replica pairwise
+  dots exactly (each shard has identical neighbor structure) while
+  cross-replica cosines are decorrelated — again 10 independent
+  shards. vec_id offsets keep the N_QUERIES probe queries (lowest
+  vec_ids) in replica 0: the query set stays FIXED while the corpus
+  scales, which is the real ANN serving shape.
+- lineitem: 10 plain unions (q01 is a scan-agg; row count is all
+  that matters).
+
+Usage:  python tools/scale_probe.py [--mult 10] [--out SCALEPROBE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+BASE_SF_DIR = "/root/testdata/sf0.1"
+SCALED_DIR = "/tmp/spark_graft_scale/sf1"
+
+# The heaviest bench queries (BENCH_r04 top-5) + q01 as the known-linear
+# scan-agg control.
+PROBES = [
+    "q01_pricing_summary",
+    "dd_minhash_lsh",
+    "dd_semantic",
+    "dd_embedding_neardup_keepers",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+]
+
+
+def synthesize(spark, src: str, dest: str, mult: int) -> None:
+    """Deterministic mult-x corpus under dest (idempotent: skips if the
+    marker file already records the same mult)."""
+    import pyspark.sql.functions as F
+
+    marker = os.path.join(dest, "_SYNTH_OK")
+    if os.path.isfile(marker) and open(marker).read().strip() == str(mult):
+        return
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+
+    doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    vec_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    stride = max(doc_stride, vec_stride)
+    dim = len(emb.select("embedding").first()[0])
+
+    doc_parts = []
+    emb_parts = []
+    for r in range(mult):
+        if r == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        text_r = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit(f"~{r}")),
+            ),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * stride)).alias("doc_id"),
+                text_r.alias("text"),
+                "lang",
+                "source",
+                F.length(text_r).alias("n_chars"),
+            )
+        )
+        rot = F.concat(
+            F.slice(F.col("embedding"), r + 1, dim - r),
+            F.slice(F.col("embedding"), 1, r),
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * stride)).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+
+    def union_all(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    union_all(doc_parts).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dest, "documents.parquet")
+    )
+    union_all(emb_parts).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dest, "embeddings.parquet")
+    )
+    union_all([li] * mult).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dest, "lineitem.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write(str(mult))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(_REPO, "SCALEPROBE.json"))
+    ap.add_argument("--probes", nargs="*", default=PROBES)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("scale-probe")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    synthesize(spark, BASE_SF_DIR, SCALED_DIR, args.mult)
+
+    import math
+
+    def timed(name: str, sf_dir: str) -> float:
+        def once() -> float:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        return round(min(once(), once()), 3)
+
+    # warmup (codegen/JIT) before any timed run
+    qs["q01_pricing_summary"](spark, BASE_SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results = {}
+    for name in args.probes:
+        t_base = timed(name, BASE_SF_DIR)
+        t_scaled = timed(name, SCALED_DIR)
+        exp = round(
+            math.log(max(t_scaled, 1e-3) / max(t_base, 1e-3))
+            / math.log(args.mult),
+            3,
+        )
+        results[name] = {
+            "t_sf0.1": t_base,
+            f"t_{args.mult}x": t_scaled,
+            "exponent": exp,
+        }
+        print(f"[probe] {name}: {t_base}s -> {t_scaled}s  e={exp}", flush=True)
+
+    out = {"mult": args.mult, "base": BASE_SF_DIR, "queries": results}
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
