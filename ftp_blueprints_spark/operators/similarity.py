@@ -1661,3 +1661,164 @@ def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- maximal marginal relevance (diversified top-k) -------------------------
+
+MMR_M = 30  # relevance shortlist per query (constant, independent of corpus)
+MMR_K = 10  # final diversified picks per query
+# lambda = 0.7 scaled by 10 so the MMR objective is pure integer
+# arithmetic: score = 7 * rel_mu - 3 * max_sim_mu  (micro-unit cosines)
+_MMR_REL_W = 7
+_MMR_DIV_W = 3
+
+
+def _mmr_oracle() -> str:
+    cos_ab = _COS_SQL.replace("q.", "ea.").replace("c.", "eb.")
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(ROUND(ROUND({_COS_SQL}, 6) * 1000000) AS BIGINT) AS rel_mu
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+shortlist AS (
+  SELECT query_id, cand_id, rel_mu FROM (
+    SELECT query_id, cand_id, rel_mu,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel_mu DESC, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_M}
+),
+pairs AS (
+  SELECT s1.query_id, s1.cand_id AS a, s2.cand_id AS b,
+         CAST(ROUND(ROUND({cos_ab}, 6) * 1000000) AS BIGINT) AS sim_mu
+  FROM shortlist s1
+  JOIN shortlist s2 ON s1.query_id = s2.query_id AND s1.cand_id <> s2.cand_id
+  JOIN embeddings ea ON ea.vec_id = s1.cand_id
+  JOIN embeddings eb ON eb.vec_id = s2.cand_id
+),
+sel AS (
+  SELECT query_id, 1 AS pick_rank, cand_id,
+         {_MMR_REL_W} * rel_mu AS mmr_score, [cand_id] AS picked
+  FROM (
+    SELECT query_id, cand_id, rel_mu,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel_mu DESC, cand_id) AS rn
+    FROM shortlist
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.pick_rank + 1, c.cand_id, c.score,
+         list_append(s.picked, c.cand_id)
+  FROM sel s, LATERAL (
+    SELECT t.cand_id AS cand_id,
+           {_MMR_REL_W} * t.rel_mu
+             - {_MMR_DIV_W} * (SELECT MAX(p.sim_mu) FROM pairs p
+                               WHERE p.query_id = s.query_id
+                                 AND p.a = t.cand_id
+                                 AND list_contains(s.picked, p.b)) AS score
+    FROM shortlist t
+    WHERE t.query_id = s.query_id
+      AND NOT list_contains(s.picked, t.cand_id)
+    ORDER BY score DESC, t.cand_id
+    LIMIT 1
+  ) c
+  WHERE s.pick_rank < {MMR_K}
+)
+SELECT query_id, pick_rank, cand_id, mmr_score FROM sel
+"""
+
+
+@query("sim_mmr_topk", _mmr_oracle())
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): from each query's MMR_M-deep relevance shortlist,
+    greedily pick MMR_K results maximizing
+    7*rel - 3*max_sim_to_already_picked (lambda=0.7 in integer
+    micro-units) — the standard redundancy-suppressing re-rank for RAG
+    context assembly and diverse hard-negative mining.
+
+    Exactly oracle-checkable: cosines use the proven ROUND(.,6)
+    sequential-sum surface, then everything downstream is integer
+    arithmetic with (score DESC, cand_id) tie-breaks, mirrored by a
+    DuckDB recursive CTE + LATERAL argmax.
+
+    Scale shape: the shortlist is sim_topk_bruteforce's plan (broadcast
+    queries, candidates never shuffle, per-query top-M window); the
+    pairwise-sim self-join and the greedy selection touch only
+    O(queries x MMR_M^2) rows — constant per query, independent of
+    corpus size. Selection runs as ONE Arrow-batched cogrouped
+    applyInPandas per query_id (a bounded MMR_M x MMR_M dense problem
+    per group — the per-partition imperative case pandas UDFs exist
+    for); queries fan out across executors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    rel_mu = F.round(F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6) * 1_000_000)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", rel_mu.cast("bigint").alias("rel_mu"), "c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_mu"), F.asc("cand_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_M)
+        .select("query_id", "cand_id", "rel_mu", "c_emb")
+    )
+    s1 = shortlist.alias("s1")
+    s2 = shortlist.alias("s2")
+    pair_mu = F.round(
+        F.round(cosine(F.col("s1.c_emb"), F.col("s2.c_emb")), 6) * 1_000_000
+    )
+    pairs = s1.join(
+        s2,
+        (F.col("s1.query_id") == F.col("s2.query_id"))
+        & (F.col("s1.cand_id") != F.col("s2.cand_id")),
+    ).select(
+        F.col("s1.query_id").alias("query_id"),
+        F.col("s1.cand_id").alias("a"),
+        F.col("s2.cand_id").alias("b"),
+        pair_mu.cast("bigint").alias("sim_mu"),
+    )
+
+    def mmr_select(sl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+        if sl.empty:
+            return pd.DataFrame(
+                columns=["query_id", "pick_rank", "cand_id", "mmr_score"]
+            )
+        qid = int(sl["query_id"].iloc[0])
+        rel = {int(r.cand_id): int(r.rel_mu) for r in sl.itertuples()}
+        sim = {(int(r.a), int(r.b)): int(r.sim_mu) for r in pr.itertuples()}
+        picked: list[int] = []
+        out = []
+        first = min(rel.items(), key=lambda kv: (-kv[1], kv[0]))
+        picked.append(first[0])
+        out.append((qid, 1, first[0], _MMR_REL_W * first[1]))
+        while len(picked) < min(MMR_K, len(rel)):
+            best = None
+            for cand, r in rel.items():
+                if cand in picked:
+                    continue
+                max_sim = max(sim[(cand, s)] for s in picked)
+                score = _MMR_REL_W * r - _MMR_DIV_W * max_sim
+                key = (-score, cand)
+                if best is None or key < best[0]:
+                    best = (key, cand, score)
+            picked.append(best[1])
+            out.append((qid, len(picked), best[1], best[2]))
+        return pd.DataFrame(
+            out, columns=["query_id", "pick_rank", "cand_id", "mmr_score"]
+        )
+
+    sl_in = shortlist.select("query_id", "cand_id", "rel_mu")
+    return (
+        sl_in.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            mmr_select,
+            "query_id bigint, pick_rank int, cand_id bigint, mmr_score bigint",
+        )
+    )

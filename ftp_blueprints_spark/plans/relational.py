@@ -1151,3 +1151,99 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_items"),
         dsum("l_extendedprice", "revenue"),
     )
+
+
+# --- pivot / unpivot --------------------------------------------------------
+
+_PIVOT_FLAGS = ("A", "N", "R")  # l_returnflag domain
+
+
+@query(
+    "q_pivot",
+    f"""
+SELECT l_linestatus AS linestatus,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN l_returnflag = '{v}' "
+           f"THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) "
+           f"AS rev_{v.lower()}, "
+           f"CAST(COALESCE(SUM(CASE WHEN l_returnflag = '{v}' THEN 1 END), 0) "
+           f"AS BIGINT) AS n_{v.lower()}"
+           for v in _PIVOT_FLAGS
+       )}
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate l_returnflag values into columns per l_linestatus,
+    with revenue (exact decimal sum) and count per cell. Uses
+    DataFrame.groupBy().pivot(col, values) with the value list given
+    EXPLICITLY — at scale that skips the extra distinct-values job
+    Spark otherwise runs. The plan (verified via explain) is the right
+    one: ONE map-side-combinable aggregate keyed on (groupBy, pivot)
+    collapses the corpus to |groups| x |values| rows before a second
+    tiny pivotfirst agg rotates them — the scan reads only 3 columns
+    and never runs one job per pivot value. Oracle is the equivalent
+    ANSI conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy(F.col("l_linestatus").alias("linestatus"))
+        .pivot("l_returnflag", list(_PIVOT_FLAGS))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    cols = [F.col("linestatus")]
+    for v in _PIVOT_FLAGS:
+        cols.append(F.col(f"{v}_rev").alias(f"rev_{v.lower()}"))
+        cols.append(F.coalesce(F.col(f"{v}_n"), F.lit(0)).cast("bigint").alias(f"n_{v.lower()}"))
+    return pv.select(*cols)
+
+
+@query(
+    "q_unpivot",
+    f"""
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, charge, amount
+FROM (
+  SELECT l_orderkey, l_linenumber, 'price' AS charge,
+         l_extendedprice AS amount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount_amt',
+         ROUND(l_extendedprice * l_discount, 4) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax_amt',
+         ROUND(l_extendedprice * l_tax, 4) FROM lineitem
+) WHERE l_orderkey < 1000
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: rotate three charge columns into (charge, amount)
+    rows via DataFrame.unpivot — compiles to Expand (each input row
+    emits 3 output rows in ONE pass over the scan, no self-union that
+    would read the table three times; the oracle's UNION ALL is the
+    semantic twin DuckDB optimizes its own way). The l_orderkey
+    predicate stays pushed below the Expand into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    melted = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "discount_amt"
+        ),
+        F.round(F.col("l_extendedprice") * F.col("l_tax"), 4).alias("tax_amt"),
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["price", "discount_amt", "tax_amt"],
+        variableColumnName="charge",
+        valueColumnName="amount",
+    )
+    return melted.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        "charge",
+        "amount",
+    )

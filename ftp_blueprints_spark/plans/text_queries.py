@@ -1386,3 +1386,126 @@ def tx_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("multiplier_micros"),
     )
+
+
+# --- BPE vocabulary induction: adjacent-pair counting -----------------------
+
+BPE_TOP_PAIRS = 50
+
+
+@query(
+    "tx_bpe_pairs",
+    rf"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS wf FROM toks WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, wf
+  FROM wf, LATERAL (SELECT UNNEST(range(1, length(w))) AS i) t
+),
+agg AS (
+  SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count,
+       ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank
+FROM agg
+QUALIFY rank <= {BPE_TOP_PAIRS}
+""",
+)
+def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction step (Sennrich et al. 2016): count
+    adjacent character pairs across the corpus, weighted by word
+    frequency — the argmax pair is the next BPE merge. Exact integer
+    counts, so the oracle check is trivially portable.
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable word
+    count (tokens never leave their partition before partial agg); pair
+    explosion runs over the DISTINCT-WORD table — vocabulary-sized,
+    orders of magnitude smaller than the corpus and bounded by
+    Heaps' law regardless of corpus size. The final top-50 is a
+    TakeOrdered (per-partition heaps + driver merge of 50-row heads,
+    never a single-reducer global sort); the 50-row window after limit
+    only ranks the already-tiny head."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = toks.groupBy("w").agg(F.count("*").alias("wf"))
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wf").cast("bigint").alias("pair_count"))
+    head = agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return head.withColumn("rank", F.row_number().over(w))
+
+
+# --- hashed linear quality classifier ---------------------------------------
+
+_CLF_FEATS_SPARK = (
+    "concat(tk, CASE WHEN size(tk) >= 2 THEN "
+    "transform(sequence(1, size(tk) - 1), "
+    "i -> concat(element_at(tk, i), '_', element_at(tk, i + 1))) "
+    "ELSE array() END)"
+)
+
+
+@query(
+    "tx_quality_classifier",
+    r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         UNNEST(list_concat(tk,
+           list_transform(range(1, len(tk)),
+             i -> tk[CAST(i AS INT)] || '_' || tk[CAST(i AS INT) + 1]))) AS f
+  FROM tk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 2001 - 1000)
+            AS BIGINT) AS score,
+       SUM(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 2001 - 1000) >= 0
+         AS keep
+FROM feats GROUP BY doc_id
+""",
+)
+def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fasttext-shaped (Joulin et al.
+    2017): a linear classifier over hashed unigram + consecutive-bigram
+    features. Weights here are a deterministic md5-derived stand-in for
+    trained parameters (integer in [-1000, 1000], honest fake — the
+    plumbing, not the model, is the operator), so score and keep/drop
+    label are exactly oracle-checkable.
+
+    Scale shape: the hashing trick means NO vocabulary table and NO
+    join anywhere — each feature's weight is computed inline from its
+    own bytes, so scoring is a stateless projection (explode + weight
+    expr) followed by one map-side-combinable per-doc sum: the classic
+    reason production quality filters (CCNet, fasttext) scale linearly.
+    Per-doc feature fan-out is ~2x token count; the only shuffle is the
+    per-doc partial-agg merge, O(docs) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tk"),
+        )
+        .select("doc_id", F.explode(F.expr(_CLF_FEATS_SPARK)).alias("f"))
+    )
+    w = F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("bigint") % 2001 - 1000
+    return feats.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(w).cast("bigint").alias("score"),
+        (F.sum(w) >= 0).alias("keep"),
+    )

@@ -28,7 +28,7 @@ per-user collect. Timestamps are emitted as epoch microseconds
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..plans.registry import query
 from ..session import load_table
@@ -635,3 +635,84 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         (F.col("cohort_w") * _WEEK_US).alias("cohort_week_us"), "week_offset"
     ).agg(F.count("*").alias("n_active_users"))
+
+
+# --- watermark late-data accounting -----------------------------------------
+
+LATE_BATCH_N = 1000  # micro-batch model: events per batch in arrival order
+LATE_DELAY_US = 10 * 60 * 1_000_000  # withWatermark("ts", "10 minutes")
+
+
+@query(
+    "ev_late_data",
+    f"""
+WITH ev AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         event_id // {LATE_BATCH_N} AS batch_id
+  FROM events
+),
+bmax AS (
+  SELECT batch_id, MAX(ts_us) AS bmax FROM ev GROUP BY batch_id
+),
+wm AS (
+  SELECT batch_id,
+         MAX(bmax) OVER (ORDER BY batch_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - {LATE_DELAY_US} AS wm_us
+  FROM bmax
+),
+flagged AS (
+  SELECT e.event_type, e.ts_us, w.wm_us,
+         (w.wm_us IS NOT NULL AND e.ts_us < w.wm_us) AS late
+  FROM ev e JOIN wm w USING (batch_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       MAX(CASE WHEN late THEN wm_us - ts_us END) AS max_lateness_us
+FROM flagged GROUP BY event_type
+""",
+)
+def ev_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting: how many events would a
+    10-minute watermark drop, per event_type? Models Structured
+    Streaming's actual contract — the watermark advances BETWEEN
+    micro-batches (batch b's rows are filtered against the max event
+    time seen through batch b-1, minus the delay;
+    `numRowsDroppedByWatermark` is the metric this query makes
+    queryable). Arrival order is event_id; batches are LATE_BATCH_N
+    events each.
+
+    Scale shape: per-batch max is a map-side-combinable agg (corpus
+    touched once, narrow projection); the running max runs over the
+    1000x-smaller batch-summary table (the only ordered scan, same
+    two-pass prefix pattern as tx_pack_sequences — at extreme scale it
+    shards into per-range prefix maxes); the flag join broadcasts the
+    tiny watermark table back onto events, so events never shuffle at
+    all. Final agg is over event_type — map-side combinable."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_id") / LATE_BATCH_N).cast("bigint").alias("batch_id"),
+    )
+    bmax = ev.groupBy("batch_id").agg(F.max("ts_us").alias("bmax"))
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "batch_id", (F.max("bmax").over(w) - LATE_DELAY_US).alias("wm_us")
+    )
+    flagged = ev.join(F.broadcast(wm), "batch_id").select(
+        "event_type",
+        "ts_us",
+        "wm_us",
+        (F.col("wm_us").isNotNull() & (F.col("ts_us") < F.col("wm_us"))).alias(
+            "late"
+        ),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("wm_us") - F.col("ts_us"))).alias(
+            "max_lateness_us"
+        ),
+    )

@@ -330,3 +330,35 @@ def test_ivfpq_recall_sf01(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVFPQ sf0.1 recall@{S.TOP_K} = {recall:.3f}"
+
+
+def test_mmr_first_pick_is_top1_and_diversifies(spark, sf_oracle):
+    """MMR pick #1 equals brute-force rank-1; the full MMR list is a
+    reordering/subset drawn from the MMR_M shortlist, and the
+    diversity term must actually change the order vs pure relevance
+    somewhere in the pick list (lambda=0.7 on a near-random corpus)."""
+    top = {
+        (r.query_id, r.rank): r.cand_id
+        for r in S.sim_topk_bruteforce(spark, sf_oracle).collect()
+    }
+    mmr = S.sim_mmr_topk(spark, sf_oracle).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, []).append((r.pick_rank, r.cand_id))
+    assert len(by_q) == S.N_QUERIES
+    any_reorder = False
+    for qid, picks in by_q.items():
+        picks.sort()
+        assert len(picks) == S.MMR_K
+        assert len({c for _, c in picks}) == S.MMR_K  # no repeats
+        assert picks[0][1] == top[(qid, 1)]  # first pick = pure relevance
+        rel_order = [top[(qid, k)] for k in range(1, S.MMR_K + 1)]
+        if [c for _, c in picks] != rel_order:
+            any_reorder = True
+    assert any_reorder
+
+
+def test_mmr_deterministic(spark, sf_oracle):
+    a = sorted(map(tuple, S.sim_mmr_topk(spark, sf_oracle).collect()))
+    b = sorted(map(tuple, S.sim_mmr_topk(spark, sf_oracle).collect()))
+    assert a == b

@@ -164,3 +164,24 @@ def test_watermark_in_plan(spark, sf_oracle):
     """The streaming plans actually carry the watermark (state bound)."""
     plan = E.stream_tumbling_counts(spark, sf_oracle)._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_late_data_accounting_consistency(spark, sf_oracle):
+    """ev_late_data invariants: per-type late <= total; totals match the
+    raw table; batch 0 (no prior watermark) can never contribute late
+    rows, so strictly fewer than all events are late."""
+    import pyspark.sql.functions as F
+    from ftp_blueprints_spark.streaming import events as EV
+
+    rows = EV.ev_late_data(spark, sf_oracle).collect()
+    total = sum(r.n_events for r in rows)
+    late = sum(r.n_late for r in rows)
+    raw = spark.read.parquet(f"{sf_oracle}/events.parquet").count()
+    assert total == raw
+    assert 0 <= late < total
+    for r in rows:
+        assert r.n_late <= r.n_events
+        if r.n_late == 0:
+            assert r.max_lateness_us is None
+        else:
+            assert r.max_lateness_us > 0

@@ -199,3 +199,36 @@ def test_hybrid_rrf_fuses_both_systems(spark, sf_oracle):
         assert max(r["rrf_mu"] for r in both) > min(
             r["rrf_mu"] for r in single
         )
+
+
+def test_bpe_pairs_shape(spark, sf_oracle):
+    from ftp_blueprints_spark.plans import text_queries as TQ
+
+    rows = TQ.tx_bpe_pairs(spark, sf_oracle).collect()
+    assert len(rows) == TQ.BPE_TOP_PAIRS
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, TQ.BPE_TOP_PAIRS + 1)
+    )
+    counts = [r.pair_count for r in sorted(rows, key=lambda r: r.rank)]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
+
+
+def test_quality_classifier_feature_count_and_label(spark, sf_oracle):
+    from ftp_blueprints_spark.plans import text_queries as TQ
+    import pyspark.sql.functions as F
+
+    out = TQ.tx_quality_classifier(spark, sf_oracle)
+    # n_features = unigrams + bigrams = 2 * n_tokens - 1 for every doc
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_tok"),
+    )
+    j = out.join(docs, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r.n_features == 2 * r.n_tok - 1
+        assert r.keep == (r.score >= 0)
+    # the fake model must actually split the corpus, not constant-label it
+    labels = {r.keep for r in j}
+    assert labels == {True, False}
