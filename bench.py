@@ -66,6 +66,15 @@ HEADLINE = [
     "mm_phash_neardup",
     "pipe_download",
     "pipe_ingest_csv",
+    # r5 additions
+    "sim_mmr_topk",
+    "tx_bpe_pairs",
+    "tx_quality_classifier",
+    "mm_crossmodal_topk",
+    "ev_late_data",
+    "q_copurchase_pairs",
+    "q_pagerank",
+    "q_pivot",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -124,6 +133,16 @@ BUDGETS = {
     # builds on first call, so the min-of-two reflects pure serving)
     "sim_ivfpq_query": 3.0,
     "mm_phash_neardup": 5.5,
+    # r5 additions (clean-warm sf0.1 mins x ~2, floored at 1s)
+    "sim_mmr_topk": 2.4,
+    "tx_bpe_pairs": 1.0,
+    "tx_quality_classifier": 1.6,
+    "mm_crossmodal_topk": 1.6,
+    "ev_late_data": 1.0,
+    "q_copurchase_pairs": 5.0,
+    # 3 fixed iterations over the ~7M-edge co-purchase graph
+    "q_pagerank": 13.0,
+    "q_pivot": 1.6,
 }
 
 

@@ -170,12 +170,12 @@ def delete_main(argv: list[str] | None = None) -> int:
 
 def ingest_main(argv: list[str] | None = None) -> int:
     """Beyond the reference's byte-copy blueprints: land remote
-    CSV/JSONL/parquet trees as a parquet dataset (sources/ingest.py
+    CSV/JSONL/parquet/ORC trees as a parquet dataset (sources/ingest.py
     pipeline); --format selects the parser."""
     p = _parser("ftp-ingest")
     p.add_argument("--schema", required=True, help="e.g. 'id int, name string'")
     p.add_argument("--dest", required=True, help="parquet output path")
-    p.add_argument("--format", choices=["csv", "jsonl", "parquet"], default="csv")
+    p.add_argument("--format", choices=["csv", "jsonl", "parquet", "orc"], default="csv")
     p.add_argument("--no-header", dest="header", action="store_false")
     p.add_argument("--sep", default=",")
     p.add_argument("--partition-by", dest="partition_by", default="",
@@ -198,6 +198,10 @@ def ingest_main(argv: list[str] | None = None) -> int:
             )
         elif args.format == "jsonl":
             n = ing.ingest_jsonl(
+                _spark(), _spec(args), args.source_folder_name, **common
+            )
+        elif args.format == "orc":
+            n = ing.ingest_orc(
                 _spark(), _spec(args), args.source_folder_name, **common
             )
         else:

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -522,4 +522,106 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["media_a", "media_b"])
         .select("media_a", "media_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+# --- cross-modal retrieval (text query -> media corpus) ---------------------
+
+XM_TOP_K = 10
+# fixed query strings: the "text side" of the joint embedding space
+XM_QUERIES = (
+    ("q_network", "distributed network throughput analysis"),
+    ("q_market", "quarterly market revenue forecast"),
+    ("q_science", "protein structure simulation results"),
+)
+
+
+def _xm_embed(s: str, dim: int = EMBED_DIM) -> list[int]:
+    """Driver-side twin of embed_media's per-payload formula (same
+    numpy ops on the UTF-8 bytes) — the shared encoder both modalities
+    pass through in a real CLIP-style setup."""
+    import numpy as np
+
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    hist = np.bincount(b % dim, minlength=dim).astype("float64")
+    norm = float(np.sqrt((hist * hist).sum())) or 1.0
+    return [int(x) for x in np.floor(hist / norm * 1_000_000).astype("int64")]
+
+
+def _mm_crossmodal_oracle() -> str:
+    qvals = ", ".join(
+        f"('{name}', LIST_VALUE({', '.join(str(v) for v in _xm_embed(text))}))"
+        for name, text in XM_QUERIES
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT media_id,
+         list_transform(range(1, n + 1), i -> ({_HEXPOS}) * 16 + ({_HEXPOS2})) AS bs
+  FROM b
+),
+hist AS (
+  SELECT media_id,
+         list_transform(range(0, {EMBED_DIM}),
+                        d -> CAST(len(list_filter(bs, x -> x % {EMBED_DIM} = d)) AS DOUBLE)) AS hv
+  FROM bytes
+),
+mv AS (
+  SELECT media_id,
+         list_transform(hv, x -> CAST(floor(x / greatest(sqrt(list_dot_product(hv, hv)), 1.0)
+                                            * 1000000) AS BIGINT)) AS mv
+  FROM hist
+),
+scored AS (
+  SELECT q.query_name, m.media_id,
+         CAST(list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                i -> mv[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS BIGINT) AS dot_mu
+  FROM mv m CROSS JOIN (VALUES {qvals}) AS q(query_name, qv)
+)
+SELECT query_name, media_id, dot_mu,
+       ROW_NUMBER() OVER (PARTITION BY query_name
+                          ORDER BY dot_mu DESC, media_id) AS rank
+FROM scored
+QUALIFY rank <= {XM_TOP_K}
+"""
+
+
+@query("mm_crossmodal_topk", _mm_crossmodal_oracle())
+def mm_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: a text query embedded by the SAME encoder
+    as the media corpus (CLIP-style shared space), scored by exact
+    integer dot product in micro-units, top-k per query.
+
+    SIMULATED ENCODER: the shared encoder is embed_media's byte-histogram
+    stand-in (module docstring) — the retrieval plumbing (corpus-side
+    mapInPandas featurization, constant broadcast query vectors, integer
+    scoring, per-query top-k) is the real, tested part.
+
+    Scale shape: corpus featurization is a stateless Arrow mapInPandas
+    (no shuffle); the query side is a literal 3-row broadcast, so
+    scoring is embarrassingly parallel; the rank<=k window compiles to
+    WindowGroupLimit (per-partition top-k heads before the single
+    per-query exchange), so the shuffle carries O(partitions x k) rows,
+    not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = embed_media(to_media_table(docs))
+    qdf = spark.createDataFrame(
+        [(name, _xm_embed(text)) for name, text in XM_QUERIES],
+        "query_name string, qv array<bigint>",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding_micros"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.crossJoin(F.broadcast(qdf)).select(
+        "query_name", "media_id", dot.alias("dot_mu")
+    )
+    w = Window.partitionBy("query_name").orderBy(F.desc("dot_mu"), F.asc("media_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= XM_TOP_K
     )

@@ -168,6 +168,36 @@ def band_signatures(
 
 NEARDUP_COS = 0.9
 NEARDUP_BANDS = 16
+NEARDUP_TARGET_BUCKET = 32  # expected random-bucket occupancy ceiling
+NEARDUP_MISS_P = 0.005  # per-pair miss budget at cos = NEARDUP_COS
+
+
+def neardup_params(n: int) -> tuple[int, int]:
+    """Corpus-size-adaptive (bands, rows) for near-dup hyperplane LSH.
+
+    Fixed-width signatures do NOT scale: with rows=8 a band has only
+    2^8 buckets, so random-bucket occupancy grows as n/256 and the
+    band self-join goes QUADRATIC in n (measured: the 10x scale probe
+    put dd_embedding_neardup_keepers at exponent 1.54 before this).
+    Keep occupancy bounded instead: rows = log2(n / TARGET_BUCKET),
+    then grow bands so per-pair recall at cos=NEARDUP_COS stays
+    >= 1 - NEARDUP_MISS_P (1-(1-p^rows)^bands with p the same-side
+    probability 1 - acos(cos)/pi). Candidate work per doc is then
+    O(bands * TARGET_BUCKET) — constant in n — at the classic LSH
+    price of band count growing with corpus size. At the tested
+    sf0.01/sf0.1 sizes this returns the original (16, 8), so driver
+    evidence and bench numbers are unchanged."""
+    import math
+
+    p = 1.0 - math.acos(NEARDUP_COS) / math.pi  # 0.857 at cos 0.9
+    rows = max(
+        NEARDUP_ROWS, math.ceil(math.log2(max(n, 2) / NEARDUP_TARGET_BUCKET))
+    )
+    pr = p**rows
+    bands = max(
+        NEARDUP_BANDS, math.ceil(math.log(NEARDUP_MISS_P) / math.log(1.0 - pr))
+    )
+    return bands, rows
 NEARDUP_ROWS = 8
 
 
@@ -181,25 +211,32 @@ WHERE ROUND({_COS_SQL}, 6) >= {NEARDUP_COS}
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.9) through LSH buckets:
-    band self-join on (band, sig), distinct pairs, exact cosine check.
+    band self-join on (band, sig), exact cosine check, distinct pairs.
     No BroadcastNestedLoopJoin/cartesian anywhere in the plan
-    (asserted in tests/test_similarity.py); recall at cos>=0.9 is
-    1-(1-0.857^8)^16 ~ 99.6% per pair, and the exact-SQL oracle stays
-    the ground truth the driver checks against."""
+    (asserted in tests/test_similarity.py); (bands, rows) adapt to the
+    corpus size via neardup_params so per-pair recall stays >= 99.5%
+    while bucket occupancy — and with it candidate work per doc —
+    stays bounded as n grows ((16, 8) at all driver/bench sizes).
+
+    Order matters for scale (fixed after the 10x probe): the exact
+    cosine is computed ON the band join's output and the >= threshold
+    applied BEFORE the pair dedup, so the dropDuplicates exchange
+    carries only true near-dups (ids + one double), never the failed
+    candidates with two embedding arrays attached. A pair colliding in
+    k bands computes its cosine k times — k is ~1 for random
+    collisions, and recomputing beats shuffling the arrays."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = band_signatures(emb, NEARDUP_BANDS, NEARDUP_ROWS)
+    bands, rows = neardup_params(emb.count())
+    sig = band_signatures(emb, bands, rows)
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "band", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "band", "sig")
-    pairs = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "q_emb", "c_emb")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
     cos = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -1247,3 +1247,199 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "charge",
         "amount",
     )
+
+
+# --- market-basket co-occurrence + PageRank over the item graph -------------
+
+COPURCHASE_TOP = 40
+PAGERANK_ITERS = 3
+# damping in parts-per-million so every PageRank step is exact integer
+# arithmetic: r' = 150000 + (850000 * sum(r_u DIV outdeg_u)) DIV 1000000
+_PR_DAMP_MU = 850_000
+_PR_BASE_MU = 150_000
+
+
+@query(
+    "q_copurchase_pairs",
+    f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+agg AS (
+  SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM pairs GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n_orders,
+       ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rank
+FROM agg
+QUALIFY rank <= {COPURCHASE_TOP}
+""",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same
+    order, counted across all orders — the support-counting core of
+    frequent-itemset mining (and the edge list q_pagerank walks).
+
+    Scale shape: the self-join keys on l_orderkey, so pair explosion is
+    per-order and bounded by basket size squared (baskets are small and
+    bounded by business reality, not corpus size — the classic reason
+    market-basket pair counting scales); the pair count is map-side
+    combinable, and the final top-40 is a TakeOrdered head, never a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    agg = pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    head = agg.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(COPURCHASE_TOP)
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return head.withColumn("rank", F.row_number().over(w))
+
+
+def _pagerank_oracle() -> str:
+    """Fixed-iteration PageRank unrolled into chained CTEs (SQL
+    standard forbids aggregates in a recursive CTE's recursive term,
+    so a fixed iteration count unrolls instead — same trick as the
+    oracle side of k-means)."""
+    step = (
+        "SELECT e.dst AS part, "
+        f"{_PR_BASE_MU} + ({_PR_DAMP_MU} * CAST(SUM(p.rank_mu // d.deg) AS BIGINT)) "
+        "// 1000000 AS rank_mu "
+        "FROM {prev} p JOIN outdeg d ON d.src = p.part "
+        "JOIN edges e ON e.src = p.part "
+        "GROUP BY e.dst"
+    )
+    iters = ",\n".join(
+        f"pr{i} AS ({step.format(prev=f'pr{i - 1}')})"
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs GROUP BY part_a, part_b
+),
+outdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+pr0 AS (
+  SELECT src AS part, CAST(1000000 AS BIGINT) AS rank_mu FROM outdeg
+),
+{iters}
+SELECT part, rank_mu FROM pr{PAGERANK_ITERS}
+"""
+
+
+@query("q_pagerank", _pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85) over the co-purchase
+    item graph — the canonical iterative Spark workload, joining the
+    engine's other iterative operators (connected components, k-means).
+    All arithmetic is integer micro-units (rank_mu starts at 1e6;
+    each step is base + damp * sum(rank/deg) in exact BIGINT floor
+    division), so three iterations hash-check exactly against the
+    unrolled SQL.
+
+    Scale shape: the co-purchase edge list is per-order bounded (see
+    q_copurchase_pairs); each iteration is ONE shuffle keyed on dst
+    with map-side partial sums (the Pregel message-combine pattern),
+    and the contribution join keys on src — both AQE-managed equi
+    joins, no broadcast of anything rank-sized. Iteration count is
+    FIXED, so the lineage stays 3 deep (no checkpoint needed; the
+    component-loop operator shows the localCheckpoint pattern for
+    convergence-driven loops). The edge list is reused across
+    iterations — at 100 TB it would be persisted once; here Spark
+    re-reads the (small) shuffle output."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        # NOT cached: all iterations run in one job, so Catalyst dedups
+        # the identical edge subplan via ReusedExchange — measured
+        # faster than .cache() here (9.6s vs 6.9s at sf0.1), the same
+        # result operators/dedup.py records for the component loop
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("deg")
+    ).select(F.col("src").alias("od_part"), "deg")
+    ranks = outdeg.select(
+        F.col("od_part").alias("part"),
+        F.lit(1_000_000).cast("bigint").alias("rank_mu"),
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.join(outdeg, F.col("part") == F.col("od_part"))
+            .join(edges, F.col("src") == F.col("part"))
+            .select(
+                F.col("dst").alias("part_new"),
+                F.expr("rank_mu DIV deg").alias("share"),
+            )
+        )
+        ranks = contrib.groupBy("part_new").agg(
+            (
+                F.lit(_PR_BASE_MU)
+                + F.expr(
+                    f"({_PR_DAMP_MU} * sum(share)) DIV 1000000"
+                )
+            )
+            .cast("bigint")
+            .alias("rank_mu")
+        ).select(F.col("part_new").alias("part"), "rank_mu")
+    return ranks
+
+
+@query(
+    "q_window_ntile",
+    """
+SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WHERE o_orderkey < 5000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE quartiles, PERCENT_RANK and
+    CUME_DIST per priority partition (deterministic total order via the
+    o_orderkey tiebreak — without it both engines could place ties in
+    different quartiles). Both ratios are small-integer divisions, so
+    the doubles are bit-identical across engines. One exchange on the
+    partition key, the same scale shape as every other window query;
+    the orderkey predicate pushes to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

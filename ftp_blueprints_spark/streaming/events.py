@@ -655,10 +655,12 @@ bmax AS (
   SELECT batch_id, MAX(ts_us) AS bmax FROM ev GROUP BY batch_id
 ),
 wm AS (
+  -- (x // 1000) * 1000: EventTimeWatermarkExec collects max event time
+  -- in MILLISECONDS, so the real engine's watermark is ms-truncated
   SELECT batch_id,
-         MAX(bmax) OVER (ORDER BY batch_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           - {LATE_DELAY_US} AS wm_us
+         (MAX(bmax) OVER (ORDER BY batch_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          // 1000) * 1000 - {LATE_DELAY_US} AS wm_us
   FROM bmax
 ),
 flagged AS (
@@ -681,7 +683,11 @@ def ev_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     time seen through batch b-1, minus the delay;
     `numRowsDroppedByWatermark` is the metric this query makes
     queryable). Arrival order is event_id; batches are LATE_BATCH_N
-    events each.
+    events each. The running max is millisecond-truncated before the
+    delay is subtracted because EventTimeWatermarkExec collects event
+    time stats in ms — so the model is bit-exact against the real
+    engine (tests/test_streaming.py proves it on a live readStream
+    query's numRowsDroppedByWatermark).
 
     Scale shape: per-batch max is a map-side-combinable agg (corpus
     touched once, narrow projection); the running max runs over the
@@ -698,8 +704,10 @@ def ev_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bmax = ev.groupBy("batch_id").agg(F.max("ts_us").alias("bmax"))
     w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    run_max = F.max("bmax").over(w)
     wm = bmax.select(
-        "batch_id", (F.max("bmax").over(w) - LATE_DELAY_US).alias("wm_us")
+        "batch_id",
+        (run_max - run_max % 1000 - LATE_DELAY_US).alias("wm_us"),
     )
     flagged = ev.join(F.broadcast(wm), "batch_id").select(
         "event_type",
@@ -715,4 +723,67 @@ def ev_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("late"), F.col("wm_us") - F.col("ts_us"))).alias(
             "max_lateness_us"
         ),
+    )
+
+
+# --- gap-filled hourly resample ---------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "ev_gap_fill",
+    f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS h
+  FROM events
+),
+counts AS (
+  SELECT event_type, h, COUNT(*) AS n FROM ev GROUP BY event_type, h
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+types AS (SELECT DISTINCT event_type FROM ev),
+spine AS (
+  SELECT t.event_type, UNNEST(range(b.lo, b.hi + {_HOUR_US}, {_HOUR_US})) AS h
+  FROM types t CROSS JOIN bounds b
+)
+SELECT s.event_type, s.h AS window_start,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM spine s
+LEFT JOIN counts c ON c.event_type = s.event_type AND c.h = s.h
+""",
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: every (event_type, hour) bucket
+    between the corpus min and max hour, zero-filled where no events
+    landed — the densify/resample primitive dashboards and downstream
+    window models (which assume regular spacing) need; plain windowed
+    counts silently skip empty buckets.
+
+    Scale shape: the corpus-sized work is one map-side-combinable
+    (type, hour) count; the spine is generated (sequence + explode)
+    from a 1-row bounds agg crossed with the distinct-type table —
+    types x hours rows, orders of magnitude smaller than events — and
+    the fill is a left join of that small spine against the
+    already-aggregated counts (broadcast-able at any corpus size since
+    both sides are bucket-cardinality, never event-cardinality)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (
+            (F.unix_micros("ts") / _HOUR_US).cast("bigint") * _HOUR_US
+        ).alias("h"),
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(_HOUR_US).cast("bigint"))
+        ).alias("h"),
+    )
+    return spine.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
     )

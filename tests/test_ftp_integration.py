@@ -435,3 +435,41 @@ def test_ingest_gzipped_csv_over_ftp(spark, tmp_path):
     assert n == 3
     names = {r["name"] for r in spark.read.parquet(dest).collect()}
     assert names == {"ant", "bee", "cat"}
+
+
+def test_ingest_orc_over_ftp(spark, tmp_path):
+    """ORC-over-FTP mirrors the parquet path: executor-side fetch,
+    pyarrow ORC parse in mapInPandas, lineage + column projection."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from ftp_blueprints_spark.sources.ingest import ingest_orc
+
+    root = tmp_path / "srv"
+    (root / "in").mkdir(parents=True)
+    po.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int32()),
+                "text": ["a", "b", "c"],
+                "extra": [9.0, 8.0, 7.0],
+            }
+        ),
+        str(root / "in" / "o1.orc"),
+    )
+    po.write_table(
+        pa.table({"id": pa.array([4], pa.int32()), "text": ["d"], "extra": [6.0]}),
+        str(root / "in" / "o2.orc"),
+    )
+    dest = str(tmp_path / "orc_out.parquet")
+    with FtpStubServer(str(root), USERS) as (host, port):
+        n = ingest_orc(
+            spark, spec_for(host, port), "in",
+            schema="id int, text string", dest=dest,
+        )
+    assert n == 4
+    out = spark.read.parquet(dest)
+    assert sorted(out.columns) == ["id", "row_no", "src_path", "text"]  # extra pruned
+    rows = {(r["src_path"], r["row_no"]): r for r in out.collect()}
+    assert rows[("in/o1.orc", 3)]["text"] == "c"
+    assert rows[("in/o2.orc", 1)]["id"] == 4

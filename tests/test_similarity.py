@@ -362,3 +362,18 @@ def test_mmr_deterministic(spark, sf_oracle):
     a = sorted(map(tuple, S.sim_mmr_topk(spark, sf_oracle).collect()))
     b = sorted(map(tuple, S.sim_mmr_topk(spark, sf_oracle).collect()))
     assert a == b
+
+
+def test_neardup_params_adaptive():
+    """(16,8) at every tested fixture size; rows grow with n to bound
+    bucket occupancy; bands grow to hold per-pair recall >= 99.5%."""
+    import math
+
+    assert S.neardup_params(500) == (16, 8)
+    assert S.neardup_params(5000) == (16, 8)
+    p = 1.0 - math.acos(S.NEARDUP_COS) / math.pi
+    for n in (50_000, 1_000_000, 100_000_000):
+        bands, rows = S.neardup_params(n)
+        assert n / 2**rows <= S.NEARDUP_TARGET_BUCKET
+        recall = 1.0 - (1.0 - p**rows) ** bands
+        assert recall >= 1.0 - S.NEARDUP_MISS_P

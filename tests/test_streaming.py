@@ -185,3 +185,62 @@ def test_late_data_accounting_consistency(spark, sf_oracle):
             assert r.max_lateness_us is None
         else:
             assert r.max_lateness_us > 0
+
+
+def test_late_data_matches_live_watermark_drops(spark, sf_oracle, tmp_path):
+    """ev_late_data's micro-batch watermark model must be BIT-EXACT
+    against the real engine: feed the events table through readStream
+    in LATE_BATCH_N-sized files (maxFilesPerTrigger=1, chronological
+    mtimes), dedup on the unique event_id under the same 10-minute
+    watermark, and require (a) the live query's summed
+    numRowsDroppedByWatermark and (b) the emitted row count to equal
+    the model's totals."""
+    import os
+    from ftp_blueprints_spark.session import load_table
+
+    model = E.ev_late_data(spark, sf_oracle).collect()
+    model_late = sum(r.n_late for r in model)
+    model_total = sum(r.n_events for r in model)
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    src_dir = tmp_path / "late_parts"
+    n = model_total
+    n_files = (n + E.LATE_BATCH_N - 1) // E.LATE_BATCH_N
+    for i in range(n_files):
+        part = ev.filter(
+            (F.col("event_id") >= i * E.LATE_BATCH_N)
+            & (F.col("event_id") < (i + 1) * E.LATE_BATCH_N)
+        )
+        out = str(src_dir / f"part{i:03d}")
+        part.coalesce(1).write.mode("overwrite").parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    source = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    deduped = source.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_late_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        int(so["numRowsDroppedByWatermark"])
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    n_batches = sum(
+        1 for p in q.recentProgress if p.numInputRows and p.numInputRows > 0
+    )
+    assert n_batches >= n_files  # real multi-batch incremental run
+    emitted = spark.table("t_late_live").count()
+    assert dropped == model_late
+    assert emitted == model_total - model_late
