@@ -65,7 +65,7 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
     import pyspark.sql.functions as F
 
     marker = os.path.join(dest, "_SYNTH_OK")
-    if os.path.isfile(marker) and open(marker).read().strip() == str(mult):
+    if os.path.isfile(marker) and open(marker).read().strip() == f"v2:{mult}":
         return
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
@@ -126,11 +126,21 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
     union_all(emb_parts).repartition(32).write.mode("overwrite").parquet(
         os.path.join(dest, "embeddings.parquet")
     )
-    union_all([li] * mult).repartition(32).write.mode("overwrite").parquet(
+    # lineitem: offset l_orderkey per replica — a plain union would put
+    # 10x the lines in each EXISTING order (baskets grow with corpus
+    # size), which is not how a bigger fact table behaves and would make
+    # any orderkey-join probe (q_copurchase_pairs, q_pagerank) read as
+    # quadratic by fixture construction rather than by plan
+    ok_stride = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    li_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * ok_stride))
+        for r in range(mult)
+    ]
+    union_all(li_parts).repartition(32).write.mode("overwrite").parquet(
         os.path.join(dest, "lineitem.parquet")
     )
     with open(marker, "w") as fh:
-        fh.write(str(mult))
+        fh.write(f"v2:{mult}")
 
 
 def main() -> None:
