@@ -75,6 +75,10 @@ HEADLINE = [
     "q_copurchase_pairs",
     "q_pagerank",
     "q_pivot",
+    "ev_gap_fill",
+    "ev_cdc_compact",
+    "ev_fill_forward",
+    "q_fuzzy_match",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -143,6 +147,10 @@ BUDGETS = {
     # 3 fixed iterations over the ~7M-edge co-purchase graph
     "q_pagerank": 13.0,
     "q_pivot": 1.6,
+    "ev_gap_fill": 1.2,
+    "ev_cdc_compact": 1.0,
+    "ev_fill_forward": 1.0,
+    "q_fuzzy_match": 1.3,
 }
 
 

@@ -1443,3 +1443,72 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --- blocked fuzzy join (entity resolution) ---------------------------------
+
+FUZZY_PROBES = ("smal ring", "red widgit", "blue blot", "hot gearr", "smll gizmo")
+FUZZY_MAX_DIST = 2
+FUZZY_TOP = 3
+
+
+def _fuzzy_oracle() -> str:
+    vals = ", ".join(f"('{p}')" for p in FUZZY_PROBES)
+    return f"""
+WITH probes(probe) AS (VALUES {vals}),
+cand AS (
+  SELECT probe, p_partkey, p_name,
+         levenshtein(probe, p_name) AS dist
+  FROM part JOIN probes
+    ON substr(p_name, 1, 1) = substr(probe, 1, 1)
+   AND abs(length(p_name) - length(probe)) <= {FUZZY_MAX_DIST}
+  WHERE levenshtein(probe, p_name) <= {FUZZY_MAX_DIST}
+)
+SELECT probe, p_partkey, p_name, CAST(dist AS BIGINT) AS dist,
+       ROW_NUMBER() OVER (PARTITION BY probe
+                          ORDER BY dist, p_partkey) AS rank
+FROM cand
+QUALIFY rank <= {FUZZY_TOP}
+"""
+
+
+@query("q_fuzzy_match", _fuzzy_oracle())
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join: resolve dirty probe strings against the
+    part catalog by edit distance <= 2, top-3 per probe — the
+    entity-resolution primitive (dirty crawl values -> canonical
+    entities) that naive formulations write as a cartesian +
+    levenshtein over everything.
+
+    Scale shape: the join carries an EQUI component (first-char block
+    key) plus a length-band filter, so Catalyst plans a hash join on
+    the block key and the expensive levenshtein only runs inside
+    blocks — with real blocking keys (normalized prefix + length bin)
+    the candidate set is block-sized at any catalog size, never
+    |dirty| x |catalog|. Probes here are a literal broadcast table;
+    at scale the dirty side is a full DataFrame and the same equi-key
+    plan holds."""
+    part = load_table(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [(p,) for p in FUZZY_PROBES], "probe string"
+    )
+    dist = F.levenshtein(F.col("probe"), F.col("p_name"))
+    cand = (
+        part.join(
+            F.broadcast(probes),
+            (
+                F.substring(F.col("p_name"), 1, 1)
+                == F.substring(F.col("probe"), 1, 1)
+            )
+            & (
+                F.abs(F.length("p_name") - F.length("probe"))
+                <= FUZZY_MAX_DIST
+            ),
+        )
+        .select("probe", "p_partkey", "p_name", dist.cast("bigint").alias("dist"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    w = Window.partitionBy("probe").orderBy(F.asc("dist"), F.asc("p_partkey"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= FUZZY_TOP
+    )

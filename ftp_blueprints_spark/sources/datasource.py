@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -142,3 +148,61 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ManifestReader:
         return ManifestReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ManifestWriter":
+        return ManifestWriter(self.options)
+
+
+class _UploadCommit(WriterCommitMessage):
+    def __init__(self, n_files: int):
+        self.n_files = n_files
+
+
+class ManifestWriter(DataSourceWriter):
+    """Write side of ``ftp_manifest``: each task uploads its partition's
+    rows (``dest_path`` STRING + ``content`` BINARY) through its own
+    connection — the DataFrame-native statement of the upload sink
+    (operators/actions.upload is the imperative foreachPartition twin).
+
+    Same durability discipline as the download sink: bytes land under a
+    temp name and are renamed into place, so a killed task never leaves
+    a half-written remote file; parent dirs are mkdir-p'd once per
+    partition (memoized). Commit messages carry per-task upload counts;
+    a failed task raises and Spark retries it wholesale (uploads are
+    idempotent: the rename overwrites)."""
+
+    def __init__(self, options):
+        self.spec = _spec_from_options(options)
+
+    def write(self, iterator) -> "_UploadCommit":
+        import io
+
+        client = self.spec.connect()
+        made: set[str] = set()
+        n = 0
+        try:
+            for row in iterator:
+                dest = row["dest_path"]
+                payload = bytes(row["content"])
+                folder = dest.rsplit("/", 1)[0] if "/" in dest else ""
+                if folder and folder not in made:
+                    client.makedirs(folder)
+                    made.add(folder)
+                tmp = f"{dest}.__uploading__"
+                client.store(io.BytesIO(payload), tmp)
+                client.rename(tmp, dest)
+                n += 1
+        finally:
+            client.close()
+        return _UploadCommit(n)
+
+    def commit(self, messages) -> None:
+        total = sum(m.n_files for m in messages if m is not None)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "ftp_manifest write committed: %d file(s)", total
+        )
+
+    def abort(self, messages) -> None:  # best-effort: temp names never
+        pass  # became visible, so there is nothing durable to undo

@@ -787,3 +787,102 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("window_start"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+# --- CDC log compaction (keep-latest + tombstones) --------------------------
+
+
+@query(
+    "ev_cdc_compact",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 10000) AS BIGINT) AS value_cu,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes,
+       event_type AS last_type, ts_us AS last_ts_us, value_cu AS last_value_cu
+FROM ordered WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def ev_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: treat events as a change log keyed by
+    user_id (event_id = commit order), keep only each key's LATEST
+    change, and drop keys whose latest change is a tombstone
+    ('error' here) — the merge/compaction step every incremental
+    ingest pipeline (Hudi/Delta-style upsert semantics) runs.
+
+    Scale shape: implemented as groupBy(user_id) + max_by(state,
+    event_id), which partial-aggregates MAP-SIDE — each partition
+    collapses to one candidate row per key before the single shuffle,
+    so the exchange carries O(keys), not O(changes). (The oracle's
+    window formulation is the semantic twin; a window would shuffle
+    every change row.) Tombstone filtering happens after the agg on
+    key-cardinality rows."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 10_000).cast("bigint").alias("value_cu"),
+    )
+    last = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_changes"),
+        F.max_by(
+            F.struct("event_type", "ts_us", "value_cu"), F.col("event_id")
+        ).alias("s"),
+    )
+    return last.filter(F.col("s.event_type") != "error").select(
+        "user_id",
+        "n_changes",
+        F.col("s.event_type").alias("last_type"),
+        F.col("s.ts_us").alias("last_ts_us"),
+        F.col("s.value_cu").alias("last_value_cu"),
+    )
+
+
+# --- forward fill (last observation carried forward) ------------------------
+
+
+@query(
+    "ev_fill_forward",
+    """
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 10000) AS BIGINT) END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_cu
+FROM events
+""",
+)
+def ev_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry each user's last observed purchase
+    amount forward onto every subsequent event — the standard
+    time-series densify step before feature extraction, where most
+    rows have no fresh observation. NULL until the user's first
+    purchase, exactly as LOCF defines.
+
+    Scale shape: one exchange keyed on user_id, one running
+    last-non-null frame per key (Spark's last(ignorenulls) over an
+    UNBOUNDED PRECEDING row frame is an O(1)-per-row running
+    accumulator, not a per-row rescan). Amounts are integer cents x100
+    so the fill is exactly engine-portable."""
+    ev = _events(spark, sf_dir)
+    sampled = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 10_000).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(sampled, ignorenulls=True).over(w).alias("last_purchase_cu"),
+    )

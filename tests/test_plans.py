@@ -184,3 +184,38 @@ def test_salted_join_keys_on_salt(spark, sf_oracle):
     plan = _plan(spark, "q_salted_join", sf_oracle)
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocks_as_hash_join(spark, sf_oracle):
+    """The blocked fuzzy join must plan as a hash join on the block
+    key (equi component extracted), never a nested-loop cartesian with
+    levenshtein over everything."""
+    plan = _plan(spark, "q_fuzzy_match", sf_oracle)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_reuses_edge_exchange(spark, sf_oracle):
+    """All PageRank iterations read one materialization of the edge
+    self-join (ReusedExchange dedups the identical subplan) instead of
+    re-running the lineitem self-join per iteration. Under AQE reuse
+    only appears in the FINAL adaptive plan, so execute first."""
+    import __spark_entry__ as m
+
+    df = m.queries()["q_pagerank"](spark, sf_oracle)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or (
+        "TableCacheQueryStage" in plan
+    )
+
+
+def test_cdc_compact_partial_aggregates(spark, sf_oracle):
+    """CDC compaction must collapse map-side (max_by partial agg):
+    exactly one exchange, keyed on user_id, with a partial aggregate
+    below it — the O(keys) shuffle the docstring promises."""
+    plan = _plan(spark, "ev_cdc_compact", sf_oracle)
+    assert plan.count("Exchange") == 1
+    assert "partial_max_by" in plan or "partial" in plan.lower()
+    assert "Window" not in plan
