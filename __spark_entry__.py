@@ -86,6 +86,11 @@ _FIRST_HASH_CHECK_THIS_ROUND = {
     "sim_ivfpq_query",
     "sim_ivf_topk",
     "sim_ann_lsh",
+    # upgraded from rows-only to CONTRACT oracles in round 5 (each
+    # engine checks its own sketch against its own exact value; the
+    # boolean verdicts are the hash-compared surface)
+    "q_approx_distinct",
+    "q_approx_percentile",
 }
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session, so those 21 are

@@ -79,6 +79,7 @@ HEADLINE = [
     "ev_cdc_compact",
     "ev_fill_forward",
     "q_fuzzy_match",
+    "sim_kcenter",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -151,6 +152,8 @@ BUDGETS = {
     "ev_cdc_compact": 1.0,
     "ev_fill_forward": 1.0,
     "q_fuzzy_match": 1.3,
+    # K sequential scans with per-iteration materialization
+    "sim_kcenter": 5.5,
 }
 
 

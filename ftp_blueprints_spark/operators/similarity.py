@@ -1859,3 +1859,82 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id bigint, pick_rank int, cand_id bigint, mmr_score bigint",
         )
     )
+
+
+# --- k-center greedy coreset (farthest-point sampling) ----------------------
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    cos_tc = _COS_SQL.replace("q.", "t.")
+    return f"""
+WITH RECURSIVE sel AS (
+  SELECT 1 AS pick_rank,
+         (SELECT MIN(vec_id) FROM embeddings) AS vec_id,
+         CAST(NULL AS BIGINT) AS maxsim_mu,
+         [(SELECT MIN(vec_id) FROM embeddings)] AS picked
+  UNION ALL
+  SELECT s.pick_rank + 1, nxt.vec_id, nxt.ms, list_append(s.picked, nxt.vec_id)
+  FROM sel s, LATERAL (
+    SELECT t.vec_id,
+           (SELECT MAX(CAST(ROUND(ROUND({cos_tc}, 6) * 1000000) AS BIGINT))
+            FROM embeddings c WHERE list_contains(s.picked, c.vec_id)) AS ms
+    FROM embeddings t
+    WHERE NOT list_contains(s.picked, t.vec_id)
+    ORDER BY ms ASC, t.vec_id
+    LIMIT 1
+  ) nxt
+  WHERE s.pick_rank < {KCENTER_K}
+)
+SELECT pick_rank, vec_id, maxsim_mu FROM sel
+"""
+
+
+@query("sim_kcenter", _kcenter_oracle())
+def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-center greedy / farthest-point sampling (the 2-approximation
+    behind coreset selection for active learning and data pruning,
+    Sener & Savarese 2018): start from the lowest vec_id, then K-1
+    times pick the point LEAST similar to its nearest already-picked
+    center (argmin of running max-cosine, vec_id tiebreak) — maximal
+    coverage of embedding space with K exemplars.
+
+    Exactly oracle-checkable: micro-unit cosines on the proven
+    ROUND(.,6) surface; the greedy argmin is mirrored by a recursive
+    CTE + LATERAL. maxsim_mu is NULL for the seed pick, then the
+    selection-time coverage radius (in cosine micro-units) per pick.
+
+    Scale shape: per iteration ONE narrow codegen'd projection updates
+    the running max-sim against the single new center (a literal
+    64-float array — no join, no shuffle), and the argmin is a
+    TakeOrdered(1) reduce; localCheckpoint(eager) truncates lineage so
+    K iterations stay K scans, not O(K^2). Driver state is one
+    embedding per iteration — constant-size, same discipline as the
+    k-means/IVF training collects."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    picks: list[tuple] = [(1, int(first.vec_id), None)]
+    center = [float(x) for x in first.embedding]
+    state = emb.filter(F.col("vec_id") != int(first.vec_id)).withColumn(
+        "maxsim_mu", F.lit(None).cast("bigint")
+    )
+    for r in range(2, KCENTER_K + 1):
+        c_lit = F.array(*[F.lit(v) for v in center])
+        sim = (
+            F.round(F.round(cosine(F.col("embedding"), c_lit), 6) * 1_000_000)
+            .cast("bigint")
+        )
+        state = state.withColumn(
+            "maxsim_mu",
+            F.when(F.col("maxsim_mu").isNull(), sim).otherwise(
+                F.greatest(F.col("maxsim_mu"), sim)
+            ),
+        ).localCheckpoint(eager=True)
+        nxt = state.orderBy(F.asc("maxsim_mu"), F.asc("vec_id")).limit(1).collect()[0]
+        picks.append((r, int(nxt.vec_id), int(nxt.maxsim_mu)))
+        center = [float(x) for x in nxt.embedding]
+        state = state.filter(F.col("vec_id") != int(nxt.vec_id))
+    return spark.createDataFrame(
+        picks, "pick_rank int, vec_id bigint, maxsim_mu bigint"
+    )

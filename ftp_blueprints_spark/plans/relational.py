@@ -367,16 +367,38 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # no exact SQL oracle: HLL sketches differ by impl
+@query(
+    "q_approx_distinct",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+         <= 0.05 * COUNT(DISTINCT l_orderkey) AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). At 100 TB this replaces
     exact COUNT(DISTINCT) where a ~2% error is acceptable: no expand,
-    single pass, constant memory per group. Rows-only driver check;
-    exactness vs true counts asserted in tests/test_relational.py."""
+    single pass, constant memory per group.
+
+    Hash-checkable via the CONTRACT, not the sketch: HLL internals
+    differ by engine, so the checked surface is (exact count, "approx
+    within 5% of exact" boolean) — each engine verifies its OWN sketch
+    against its OWN exact value, and the verdicts must agree. 5% is
+    generous vs the configured rsd=1% (and DuckDB's ~1.6%), so a true
+    sketch regression still flips the boolean. Raw approx values stay
+    asserted in tests/test_relational.py."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.01)
+                - F.countDistinct("l_orderkey")
+            )
+            <= 0.05 * F.countDistinct("l_orderkey")
+        ).alias("approx_ok"),
     )
 
 
@@ -1026,24 +1048,66 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentile")  # sketch-based: rows-only, accuracy-tested
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       approx_quantile(l_extendedprice, 0.5)
+         BETWEEN quantile_disc(l_extendedprice, 0.45)
+             AND quantile_disc(l_extendedprice, 0.55) AS p50_ok,
+       approx_quantile(l_extendedprice, 0.9)
+         BETWEEN quantile_disc(l_extendedprice, 0.85)
+             AND quantile_disc(l_extendedprice, 0.95) AS p90_ok,
+       approx_quantile(l_extendedprice, 0.99)
+         BETWEEN quantile_disc(l_extendedprice, 0.94)
+             AND quantile_disc(l_extendedprice, 1.0) AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_approx_percentile", _APPROX_PCT_ORACLE)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the Greenwald-Khanna sketch
     (approx_percentile, accuracy 10000): mergeable partial sketches ->
     one tiny shuffle regardless of row count, the scale path where
     exact percentile's full sort-per-group (q_percentiles) would
-    shuffle all rows. Rank error <= 1/accuracy; asserted against the
-    exact values in tests/test_relational.py."""
+    shuffle all rows.
+
+    Hash-checkable via the CONTRACT (same design as q_approx_distinct):
+    sketch internals differ by engine, so the checked surface is one
+    boolean per percentile — "this engine's approx p lies between this
+    engine's exact discrete quantiles at p±0.05" — a ±5%-rank bound,
+    500x looser than GK's 1/accuracy guarantee, so verdicts agree
+    across engines unless a sketch is actually broken. The exact-rank
+    bound columns deliberately do NOT need to match across engines
+    (each side checks itself); only the verdicts are compared. Raw
+    approx values stay asserted in tests/test_relational.py. The
+    contract check's collect_list sort is verification harness, not
+    the production path."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
         ).alias("p"),
-    ).select(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("array_sort(collect_list(l_extendedprice))").alias("sorted"),
+    )
+
+    def qdisc(q: float):
+        return F.expr(
+            f"element_at(sorted, CAST(greatest(1, least(n_rows, ceil({q} * n_rows))) AS INT))"
+        )
+
+    def ok(idx: int, p: float):
+        lo, hi = max(p - 0.05, 0.0), min(p + 0.05, 1.0)
+        a = F.col("p")[idx]
+        return (a >= qdisc(lo)) & (a <= qdisc(hi))
+
+    return g.select(
         "l_returnflag",
-        F.col("p")[0].alias("p50"),
-        F.col("p")[1].alias("p90"),
-        F.col("p")[2].alias("p99"),
+        "n_rows",
+        ok(0, 0.5).alias("p50_ok"),
+        ok(1, 0.9).alias("p90_ok"),
+        ok(2, 0.99).alias("p99_ok"),
     )
 
 

@@ -57,26 +57,31 @@ def test_file_numbering_no_single_partition_window(spark, sf_oracle):
 
 
 def test_approx_percentile_close_to_exact(spark, sf_oracle):
-    """approx_percentile(accuracy 10000) vs exact percentile_cont:
-    within 1% relative error on each requested quantile."""
+    """Raw approx_percentile(accuracy 10000) values vs exact
+    percentile: within 1% relative error on each requested quantile
+    (tighter than the registered query's contract booleans, which
+    use a generous 5%-rank bound for cross-engine portability)."""
     import pyspark.sql.functions as F
-    from ftp_blueprints_spark.plans.relational import q_approx_percentile
     from ftp_blueprints_spark.session import load_table
 
-    approx = {r["l_returnflag"]: r for r in q_approx_percentile(spark, sf_oracle).collect()}
     li = load_table(spark, sf_oracle, "lineitem")
-    exact = {
-        r["l_returnflag"]: r
-        for r in li.groupBy("l_returnflag")
+    rows = (
+        li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("a"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("e"),
         )
         .collect()
-    }
-    assert set(approx) == set(exact)
-    for flag in exact:
-        for q in ("p50", "p90", "p99"):
-            rel = abs(approx[flag][q] - exact[flag][q]) / exact[flag][q]
-            assert rel <= 0.01, f"{flag} {q}: rel err {rel:.4f}"
+    )
+    assert rows
+    for r in rows:
+        for i in range(3):
+            rel = abs(r["a"][i] - r["e"][i]) / r["e"][i]
+            assert rel <= 0.01, f"{r['l_returnflag']} q{i}: rel err {rel:.4f}"
+    # and the registered contract query itself must say all-ok
+    from ftp_blueprints_spark.plans.relational import q_approx_percentile
+
+    for r in q_approx_percentile(spark, sf_oracle).collect():
+        assert r.p50_ok and r.p90_ok and r.p99_ok

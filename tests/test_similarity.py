@@ -377,3 +377,18 @@ def test_neardup_params_adaptive():
         assert n / 2**rows <= S.NEARDUP_TARGET_BUCKET
         recall = 1.0 - (1.0 - p**rows) ** bands
         assert recall >= 1.0 - S.NEARDUP_MISS_P
+
+
+def test_kcenter_coverage_monotone(spark, sf_oracle):
+    """Greedy farthest-point invariants: K distinct picks; the
+    selection-time coverage radius (max-sim of the chosen point) is
+    non-decreasing — each new center is chosen from an ever-better
+    covered corpus."""
+    rows = sorted(
+        S.sim_kcenter(spark, sf_oracle).collect(), key=lambda r: r.pick_rank
+    )
+    assert len(rows) == S.KCENTER_K
+    assert len({r.vec_id for r in rows}) == S.KCENTER_K
+    assert rows[0].maxsim_mu is None
+    sims = [r.maxsim_mu for r in rows[1:]]
+    assert all(b >= a for a, b in zip(sims, sims[1:]))
