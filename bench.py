@@ -80,6 +80,8 @@ HEADLINE = [
     "ev_fill_forward",
     "q_fuzzy_match",
     "sim_kcenter",
+    "q_triangle_count",
+    "ev_mad_outliers",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -154,6 +156,9 @@ BUDGETS = {
     "q_fuzzy_match": 1.3,
     # K sequential scans with per-iteration materialization
     "sim_kcenter": 5.5,
+    # lineitem self-join for support counting dominates
+    "q_triangle_count": 7.0,
+    "ev_mad_outliers": 2.6,
 }
 
 

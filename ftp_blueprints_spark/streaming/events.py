@@ -886,3 +886,98 @@ def ev_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(sampled, ignorenulls=True).over(w).alias("last_purchase_cu"),
     )
+
+
+# --- robust outlier detection (median / MAD) --------------------------------
+
+MAD_K = 5  # Hampel-style threshold: |v - median| > MAD_K * MAD
+
+
+@query(
+    "ev_mad_outliers",
+    f"""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 10000) AS BIGINT) AS v_cu
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY v_cu, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM cents
+),
+med AS (
+  SELECT event_type, v_cu AS med_cu FROM ranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT c.event_id, c.event_type, c.v_cu, ABS(c.v_cu - m.med_cu) AS d_cu,
+         m.med_cu
+  FROM cents c JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY d_cu, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, d_cu AS mad_cu FROM dranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+)
+SELECT d.event_id, d.event_type, d.v_cu, d.med_cu, a.mad_cu,
+       d.d_cu > {MAD_K} * a.mad_cu AS is_outlier
+FROM dev d JOIN mad a USING (event_type)
+""",
+)
+def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (Hampel rule): flag values more than
+    MAD_K median-absolute-deviations from their group median — the
+    data-cleaning filter that, unlike mean/stddev z-scores, is not
+    itself corrupted by the outliers it hunts.
+
+    Exact-integer all the way: values in integer cents x100, medians
+    are LOWER medians (the rank-ceil(n/2) element under a
+    deterministic (value, event_id) order), so both engines pick the
+    identical element — no interpolated-median float divergence.
+
+    Scale shape: two ranked passes (value rank, then deviation rank),
+    each ONE exchange keyed on event_type; the median rows are
+    group-cardinality and broadcast back onto events for the flag
+    join, so event rows shuffle exactly twice and the medians travel
+    broadcast-size. The rank-pick rows come out of WindowGroupLimit-
+    style early filters, never a per-group collect."""
+    cents = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 10_000).cast("bigint").alias("v_cu"),
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(F.asc(col), F.asc("event_id"))
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(cents, "v_cu", "med_cu")
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "v_cu",
+        "med_cu",
+        F.abs(F.col("v_cu") - F.col("med_cu")).alias("d_cu"),
+    )
+    mad = lower_median(dev, "d_cu", "mad_cu")
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "v_cu",
+        "med_cu",
+        "mad_cu",
+        (F.col("d_cu") > MAD_K * F.col("mad_cu")).alias("is_outlier"),
+    )
