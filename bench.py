@@ -82,6 +82,8 @@ HEADLINE = [
     "sim_kcenter",
     "q_triangle_count",
     "ev_mad_outliers",
+    "q_skyline",
+    "dd_entity_resolution",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -159,6 +161,9 @@ BUDGETS = {
     # lineitem self-join for support counting dominates
     "q_triangle_count": 7.0,
     "ev_mad_outliers": 2.6,
+    "q_skyline": 1.0,
+    # component-loop variance slack, same as dd_embedding_neardup_keepers
+    "dd_entity_resolution": 3.2,
 }
 
 

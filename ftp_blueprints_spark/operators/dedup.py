@@ -890,3 +890,103 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         ).alias("clean_sha"),
     )
+
+
+# --- entity resolution: fuzzy match -> cluster -> golden record -------------
+
+ER_MAX_DIST = 2
+
+
+def _dd_entity_resolution_oracle() -> str:
+    return f"""
+WITH RECURSIVE names AS (
+  SELECT p_name AS name, MIN(p_partkey) AS eid,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name
+),
+cand AS (
+  SELECT a.eid AS ea, b.eid AS eb
+  FROM names a JOIN names b
+    ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+   AND abs(length(a.name) - length(b.name)) <= {ER_MAX_DIST}
+   AND a.eid < b.eid
+  WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
+),
+edges AS (
+  SELECT ea AS a, eb AS b FROM cand
+  UNION
+  SELECT eb, ea FROM cand
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT n.eid,
+         LEAST(n.eid, COALESCE(MIN(r.b), n.eid)) AS canonical_eid
+  FROM names n LEFT JOIN reach r ON r.a = n.eid
+  GROUP BY n.eid
+)
+SELECT n.name, n.eid, c.canonical_eid, cn.name AS canonical_name, n.n_parts
+FROM names n
+JOIN comp c ON c.eid = n.eid
+JOIN names cn ON cn.eid = c.canonical_eid
+"""
+
+
+@query("dd_entity_resolution", _dd_entity_resolution_oracle())
+def dd_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part catalog: blocked
+    fuzzy match (q_fuzzy_match's equi-blocked levenshtein <= 2, never a
+    cartesian) -> connected components (the same iterative min-label
+    operator as the dedup pipelines) -> golden record per cluster (the
+    lowest-eid variant is canonical). The full match/cluster/survivor
+    composition a data-cleaning pipeline runs to merge near-identical
+    entity spellings.
+
+    Blocking is part of the operator CONTRACT (pairs only form inside
+    first-char + length-band blocks), and the oracle replicates it, so
+    the driver check is exact; the oracle's recursive closure is the
+    known non-scalable twin of the iterative component loop
+    (connected_keepers docstring).
+
+    Scale shape: the entity table is DISTINCT names (vocabulary-sized);
+    the match join is equi-keyed on the block prefix; components
+    shuffle O(edges) per round with diameter-bounded rounds. All
+    corpus-sized work is the one groupBy building the name table —
+    map-side combinable."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("eid"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    a = names.alias("na")
+    b = names.alias("nb")
+    dist = F.levenshtein(F.col("na.name"), F.col("nb.name"))
+    cand = (
+        a.join(
+            b,
+            (
+                F.substring(F.col("na.name"), 1, 1)
+                == F.substring(F.col("nb.name"), 1, 1)
+            )
+            & (
+                F.abs(F.length(F.col("na.name")) - F.length(F.col("nb.name")))
+                <= ER_MAX_DIST
+            )
+            & (F.col("na.eid") < F.col("nb.eid")),
+        )
+        .filter(dist <= ER_MAX_DIST)
+        .select(F.col("na.eid").alias("doc_a"), F.col("nb.eid").alias("doc_b"))
+    )
+    lab = connected_keepers(cand, names.select(F.col("eid").alias("doc_id")))
+    canon = names.select(
+        F.col("eid").alias("canonical_eid"), F.col("name").alias("canonical_name")
+    )
+    return (
+        names.join(lab, names["eid"] == lab["doc_id"])
+        .select("name", "eid", F.col("keeper").alias("canonical_eid"), "n_parts")
+        .join(F.broadcast(canon), "canonical_eid")
+        .select("name", "eid", "canonical_eid", "canonical_name", "n_parts")
+    )

@@ -1691,3 +1691,60 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(wedge.agg(F.count("*").cast("bigint").alias("n_wedges")))
         .crossJoin(tri.agg(F.count("*").cast("bigint").alias("n_triangles")))
     )
+
+
+# --- skyline (Pareto frontier) ----------------------------------------------
+
+
+@query(
+    "q_skyline",
+    """
+SELECT a.p_partkey AS partkey, a.p_retailprice AS price,
+       CAST(a.p_size AS BIGINT) AS size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (lower price,
+    larger size) — the multi-criteria shortlist operator (cheapest
+    tradeoff curve) the naive formulation writes as an O(n^2)
+    NOT EXISTS anti-join (which IS the oracle, on the small fixture).
+
+    Scale shape (two-phase, the classic distributed skyline): phase 1
+    computes each partition's LOCAL skyline in one vectorized Arrow
+    pass — sort by (price asc, size desc), a row survives iff its size
+    beats the running max over strictly-cheaper prices and the max of
+    its own price group — every globally nondominated row survives
+    locally, so correctness is partition-independent; phase 2 re-runs
+    the same filter over the union of local skylines, which is
+    skyline-per-partition sized (tiny), coalesced to one task. The
+    corpus is scanned exactly once and never shuffled — only local
+    winners move."""
+    import pandas as pd
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["price", "size", "partkey"], ascending=[True, False, True])
+            per_price_max = pdf.groupby("price", sort=True)["size"].max()
+            prefix = per_price_max.cummax().shift(1, fill_value=-(10**18))
+            grp_max = pdf["price"].map(per_price_max)
+            strict_prefix = pdf["price"].map(prefix)
+            dominated = (strict_prefix >= pdf["size"]) | (pdf["size"] < grp_max)
+            yield pdf[~dominated]
+
+    schema = "partkey bigint, price double, size bigint"
+    local = part.mapInPandas(local_skyline, schema)
+    return local.coalesce(1).mapInPandas(local_skyline, schema)

@@ -85,3 +85,32 @@ def test_approx_percentile_close_to_exact(spark, sf_oracle):
 
     for r in q_approx_percentile(spark, sf_oracle).collect():
         assert r.p50_ok and r.p90_ok and r.p99_ok
+
+
+def test_skyline_partition_independent(spark, sf_oracle):
+    """The two-phase skyline must give identical results regardless of
+    how the input is partitioned (local prefilter never drops a global
+    skyline row)."""
+    from ftp_blueprints_spark.plans.relational import q_skyline
+    from ftp_blueprints_spark.session import load_table
+    import pyspark.sql.functions as F
+
+    base = {tuple(r) for r in q_skyline(spark, sf_oracle).collect()}
+    assert base
+    part = load_table(spark, sf_oracle, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    # brute-force reference on the collected rows
+    rows = part.collect()
+    brute = {
+        (r.partkey, r.price, r.size)
+        for r in rows
+        if not any(
+            (b.price <= r.price and b.size >= r.size)
+            and (b.price < r.price or b.size > r.size)
+            for b in rows
+        )
+    }
+    assert base == brute
