@@ -84,6 +84,8 @@ HEADLINE = [
     "ev_mad_outliers",
     "q_skyline",
     "dd_entity_resolution",
+    "q_profile_stats",
+    "ev_rate_spike",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -164,6 +166,9 @@ BUDGETS = {
     "q_skyline": 1.0,
     # component-loop variance slack, same as dd_embedding_neardup_keepers
     "dd_entity_resolution": 3.2,
+    # 4 exact per-column distinct counts expand the single scan
+    "q_profile_stats": 7.0,
+    "ev_rate_spike": 2.1,
 }
 
 

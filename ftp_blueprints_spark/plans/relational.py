@@ -1748,3 +1748,61 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "partkey bigint, price double, size bigint"
     local = part.mapInPandas(local_skyline, schema)
     return local.coalesce(1).mapInPandas(local_skyline, schema)
+
+
+# --- data profiling (one-pass per-column stats) -----------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_oracle() -> str:
+    parts = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(ROUND(MIN({c}) * 10000) AS BIGINT) AS min_cu,
+       CAST(ROUND(MAX({c}) * 10000) AS BIGINT) AS max_cu
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    return parts
+
+
+@query("q_profile_stats", _profile_oracle())
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling ("ANALYZE TABLE" as a query): per-column row /
+    null / exact-distinct counts and integer-cents min/max for the
+    numeric lineitem columns — the stats-collection pass every ingest
+    pipeline runs before trusting a new drop.
+
+    Scale shape: ONE scan computes every metric (a single aggregate
+    with 4x5 expressions; distinct counts expand per column inside the
+    same agg), then a 1-row unpivot emits one row per column — versus
+    the oracle's UNION ALL of per-column scans, which reads the table
+    4 times (fine for DuckDB at sf0.01, wasteful at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").cast("bigint").alias(f"{c}__n_rows"),
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__n_nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__n_distinct"),
+            F.round(F.min(c) * 10000).cast("bigint").alias(f"{c}__min_cu"),
+            F.round(F.max(c) * 10000).cast("bigint").alias(f"{c}__max_cu"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n_rows").alias("n_rows"),
+                F.col(f"{c}__n_nulls").alias("n_nulls"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_cu").alias("min_cu"),
+                F.col(f"{c}__max_cu").alias("max_cu"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -981,3 +981,86 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_cu",
         (F.col("d_cu") > MAD_K * F.col("mad_cu")).alias("is_outlier"),
     )
+
+
+# --- rate-spike anomaly detection -------------------------------------------
+
+SPIKE_TRAIL_H = 24  # trailing baseline window (hours)
+SPIKE_FACTOR = 3  # spike iff count > FACTOR x trailing hourly mean
+
+
+@query(
+    "ev_rate_spike",
+    f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS h
+  FROM events
+),
+counts AS (
+  SELECT event_type, h, COUNT(*) AS n FROM ev GROUP BY event_type, h
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+types AS (SELECT DISTINCT event_type FROM ev),
+spine AS (
+  SELECT t.event_type, UNNEST(range(b.lo, b.hi + {_HOUR_US}, {_HOUR_US})) AS h
+  FROM types t CROSS JOIN bounds b
+),
+dense AS (
+  SELECT s.event_type, s.h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM spine s
+  LEFT JOIN counts c ON c.event_type = s.event_type AND c.h = s.h
+),
+trailed AS (
+  SELECT event_type, h, n,
+         SUM(n) OVER w AS trail_sum,
+         COUNT(*) OVER w AS trail_n
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {SPIKE_TRAIL_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h AS window_start, n AS n_events,
+       CAST(trail_sum AS BIGINT) AS trail_sum,
+       (trail_n = {SPIKE_TRAIL_H}
+        AND n * {SPIKE_TRAIL_H} > {SPIKE_FACTOR} * trail_sum) AS is_spike
+FROM trailed
+""",
+)
+def ev_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike anomaly detection: flag hours where an event type's
+    count exceeds SPIKE_FACTOR x its own trailing-24h hourly mean —
+    the alerting primitive over operational event streams. The mean
+    compare is an integer cross-multiply (n * 24 > 3 * trail_sum), so
+    no division and no float surface; hours with an incomplete
+    baseline (first day per type) are never flagged.
+
+    Scale shape: composes the gap-fill spine (dense hourly series is
+    what makes a ROWS window a true time window — missing hours would
+    silently stretch the baseline) with one bucket-cardinality window
+    per type. Event rows aggregate map-side to (type, hour) counts
+    before any window; the windowed table is hours x types, orders of
+    magnitude smaller than the stream."""
+    dense = ev_gap_fill(spark, sf_dir).select(
+        "event_type", F.col("window_start").alias("h"), F.col("n_events").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-SPIKE_TRAIL_H, -1)
+    )
+    trailed = dense.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_n"),
+    )
+    return trailed.select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.col("n").alias("n_events"),
+        F.col("trail_sum").cast("bigint").alias("trail_sum"),
+        (
+            (F.col("trail_n") == SPIKE_TRAIL_H)
+            & (F.col("n") * SPIKE_TRAIL_H > SPIKE_FACTOR * F.col("trail_sum"))
+        ).alias("is_spike"),
+    )
