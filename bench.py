@@ -86,6 +86,7 @@ HEADLINE = [
     "dd_entity_resolution",
     "q_profile_stats",
     "ev_rate_spike",
+    "dd_containment",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -169,6 +170,7 @@ BUDGETS = {
     # 4 exact per-column distinct counts expand the single scan
     "q_profile_stats": 7.0,
     "ev_rate_spike": 2.1,
+    "dd_containment": 4.0,
 }
 
 

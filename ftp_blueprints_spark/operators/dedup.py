@@ -990,3 +990,85 @@ def dd_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(canon), "canonical_eid")
         .select("name", "eid", "canonical_eid", "canonical_name", "n_parts")
     )
+
+
+# --- containment near-dup (asymmetric subset detection) ---------------------
+
+CONTAINMENT_MU = 500_000  # flag pairs where >= 50% of the smaller doc's
+# shingles appear in the other doc (quotes, excerpts, supersets)
+
+
+@query(
+    "dd_containment",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+hot AS (
+  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}
+),
+sh AS (
+  SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS BIGINT) AS shared,
+       (shared * 1000000) // sa.n AS cont_a_mu,
+       (shared * 1000000) // sb.n AS cont_b_mu
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (shared * 1000000) // LEAST(sa.n, sb.n) >= {CONTAINMENT_MU}
+""",
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (Broder's containment, not
+    resemblance): |A∩B| / |A| per side in integer micro-units, flagging
+    pairs where at least half of the SMALLER document's shingles occur
+    in the other — the asymmetric relation that catches quotes,
+    excerpts, and boilerplate-plus-payload supersets, which symmetric
+    Jaccard misses (a 50-line excerpt of a 5000-line doc has tiny
+    resemblance but total containment).
+
+    Same scale guards as dd_ngram_jaccard (shared plan): df-capped
+    shingle join keyed on the shingle, per-key fan-out bounded,
+    ReusedExchange across the three shingle consumers. Ratios are
+    exact integer floor-division — no float surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = capped_shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.expr("(shared * 1000000) DIV least(na, nb)") >= CONTAINMENT_MU
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.expr("(shared * 1000000) DIV na").alias("cont_a_mu"),
+            F.expr("(shared * 1000000) DIV nb").alias("cont_b_mu"),
+        )
+    )

@@ -219,3 +219,11 @@ def test_cdc_compact_partial_aggregates(spark, sf_oracle):
     assert plan.count("Exchange") == 1
     assert "partial_max_by" in plan or "partial" in plan.lower()
     assert "Window" not in plan
+
+
+def test_skyline_never_shuffles(spark, sf_oracle):
+    """Two-phase skyline scans once and moves only local winners: the
+    plan must contain NO shuffle exchange (coalesce is not one)."""
+    plan = _plan(spark, "q_skyline", sf_oracle)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
