@@ -87,6 +87,8 @@ HEADLINE = [
     "q_profile_stats",
     "ev_rate_spike",
     "dd_containment",
+    "ev_winsorize",
+    "q_zorder_layout",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -171,6 +173,8 @@ BUDGETS = {
     "q_profile_stats": 7.0,
     "ev_rate_spike": 2.1,
     "dd_containment": 4.0,
+    "ev_winsorize": 2.6,
+    "q_zorder_layout": 1.6,
 }
 
 

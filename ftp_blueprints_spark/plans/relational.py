@@ -1806,3 +1806,70 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --- Z-order (Morton) layout keys -------------------------------------------
+
+_Z_BITS = 16
+
+
+def _zkey_expr(p: str, s: str, div: str = "DIV") -> str:
+    """Bit-interleave two _Z_BITS-wide ints as pure integer arithmetic
+    (floor-div/mod/multiply only) so the same formula is exact in both
+    engines — no engine-specific bit operators. ``div`` is the one
+    token the dialects spell differently (Spark ``DIV``, DuckDB
+    ``//``)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({p} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({s} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_zorder_layout",
+    f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % {1 << _Z_BITS} AS pb,
+         l_suppkey % {1 << _Z_BITS} AS sb
+  FROM lineitem
+),
+z AS (
+  SELECT l_orderkey, l_linenumber, pb, sb,
+         {_zkey_expr("pb", "sb", div="//")} AS zkey
+  FROM keyed
+)
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+       pb AS part_bucket, sb AS supp_bucket, CAST(zkey AS BIGINT) AS zkey
+FROM z
+ORDER BY zkey, orderkey, linenumber
+LIMIT 50
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys: bit-interleave the (partkey,
+    suppkey) buckets so sorting by the key clusters rows that are
+    close in BOTH dimensions — what Delta/Iceberg OPTIMIZE ZORDER
+    computes so parquet min/max stats can prune two-dimensional range
+    predicates (a sort on partkey alone leaves suppkey ranges spread
+    across every file). The interleave is pure DIV/MOD arithmetic, so
+    the identical expression is exact in both engines.
+
+    Scale shape: the key is a stateless narrow projection (no shuffle
+    to compute); the intended use is `df.repartitionByRange(zkey)
+    .sortWithinPartitions(zkey).write...` — one range shuffle at write
+    time buys stats-based file skipping on every later 2D query. The
+    registered query returns the 50 smallest keys (TakeOrdered, no
+    global sort) as the deterministic check surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        (F.col("l_partkey") % (1 << _Z_BITS)).alias("part_bucket"),
+        (F.col("l_suppkey") % (1 << _Z_BITS)).alias("supp_bucket"),
+    )
+    z = keyed.withColumn(
+        "zkey", F.expr(_zkey_expr("part_bucket", "supp_bucket")).cast("bigint")
+    )
+    return z.orderBy(F.asc("zkey"), F.asc("orderkey"), F.asc("linenumber")).limit(50)

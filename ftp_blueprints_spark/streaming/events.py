@@ -1064,3 +1064,85 @@ def ev_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n") * SPIKE_TRAIL_H > SPIKE_FACTOR * F.col("trail_sum"))
         ).alias("is_spike"),
     )
+
+
+# --- winsorization (percentile clipping) ------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "ev_winsorize",
+    f"""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 10000) AS BIGINT) AS v_cu
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY v_cu, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM cents
+),
+lo AS (
+  SELECT event_type, v_cu AS lo_cu FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(n * {WINSOR_LO}) AS BIGINT))
+),
+hi AS (
+  SELECT event_type, v_cu AS hi_cu FROM ranked
+  WHERE rn = CAST(CEIL(n * {WINSOR_HI}) AS BIGINT)
+)
+SELECT c.event_id, c.event_type, c.v_cu,
+       GREATEST(l.lo_cu, LEAST(h.hi_cu, c.v_cu)) AS clipped_cu,
+       (c.v_cu < l.lo_cu OR c.v_cu > h.hi_cu) AS was_clipped
+FROM cents c
+JOIN lo l USING (event_type)
+JOIN hi h USING (event_type)
+""",
+)
+def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each group's values into its own
+    [p5, p95] band — the tail-taming normalization step feature
+    pipelines run before scaling, complementing ev_mad_outliers
+    (which flags; this repairs). Bounds are DISCRETE rank-picked
+    elements (row rank ceil(n*p) under a deterministic order), so both
+    engines select the identical integer-cents element — no
+    interpolated-percentile float surface.
+
+    Scale shape: one ranked pass per group (single exchange keyed on
+    event_type), bound rows are group-cardinality and broadcast back
+    onto events — same two-exchange shape as the MAD operator."""
+    cents = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 10_000).cast("bigint").alias("v_cu"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("v_cu"), F.asc("event_id"))
+    wn = Window.partitionBy("event_type")
+    ranked = cents.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    lo = ranked.filter(
+        F.col("rn")
+        == F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * WINSOR_LO))
+    ).select("event_type", F.col("v_cu").alias("lo_cu"))
+    hi = ranked.filter(F.col("rn") == F.ceil(F.col("n") * WINSOR_HI)).select(
+        "event_type", F.col("v_cu").alias("hi_cu")
+    )
+    return (
+        cents.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "v_cu",
+            F.greatest(
+                F.col("lo_cu"), F.least(F.col("hi_cu"), F.col("v_cu"))
+            ).alias("clipped_cu"),
+            ((F.col("v_cu") < F.col("lo_cu")) | (F.col("v_cu") > F.col("hi_cu"))).alias(
+                "was_clipped"
+            ),
+        )
+    )

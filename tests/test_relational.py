@@ -114,3 +114,21 @@ def test_skyline_partition_independent(spark, sf_oracle):
         )
     }
     assert base == brute
+
+
+def test_zorder_key_matches_python_interleave(spark, sf_oracle):
+    """The arithmetic Morton expression must equal true bit
+    interleaving for every sampled row."""
+    from ftp_blueprints_spark.plans.relational import q_zorder_layout
+
+    def morton(p, s):
+        z = 0
+        for i in range(16):
+            z |= ((p >> i) & 1) << (2 * i + 1)
+            z |= ((s >> i) & 1) << (2 * i)
+        return z
+
+    rows = q_zorder_layout(spark, sf_oracle).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.zkey == morton(r.part_bucket, r.supp_bucket)
