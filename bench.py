@@ -89,6 +89,7 @@ HEADLINE = [
     "dd_containment",
     "ev_winsorize",
     "q_zorder_layout",
+    "ev_markov_transitions",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -175,6 +176,7 @@ BUDGETS = {
     "dd_containment": 4.0,
     "ev_winsorize": 2.6,
     "q_zorder_layout": 1.6,
+    "ev_markov_transitions": 1.9,
 }
 
 

@@ -1146,3 +1146,58 @@ def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Markov transition matrix over user event sequences ---------------------
+
+
+@query(
+    "ev_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       CAST((t.n * 1000000) // o.n_from AS BIGINT) AS p_mu
+FROM trans t JOIN tot o USING (from_type)
+""",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the sequence-modeling
+    baseline behind next-action prediction and funnel diagnostics.
+    Probabilities in integer micro-units (count * 1e6 floor-div row
+    total) — exact in both engines.
+
+    Scale shape: ONE exchange keyed on user_id for the lead() window
+    (sessions sort within their key), then the transition count is
+    map-side combinable over a |types|^2-cardinality key space; the
+    normalizing join runs on the tiny transition matrix itself."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) DIV n_from").alias("p_mu"),
+    )
