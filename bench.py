@@ -90,6 +90,8 @@ HEADLINE = [
     "ev_winsorize",
     "q_zorder_layout",
     "ev_markov_transitions",
+    "tx_dataset_card",
+    "dd_novelty",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -177,6 +179,8 @@ BUDGETS = {
     "ev_winsorize": 2.6,
     "q_zorder_layout": 1.6,
     "ev_markov_transitions": 1.9,
+    "tx_dataset_card": 1.5,
+    "dd_novelty": 3.4,
 }
 
 

@@ -1072,3 +1072,63 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(shared * 1000000) DIV nb").alias("cont_b_mu"),
         )
     )
+
+
+# --- n-gram novelty scoring (curriculum / diversity signal) -----------------
+
+
+@query(
+    "dd_novelty",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+firsts AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS novelty_mu
+FROM sh JOIN firsts f ON f.s = sh.s
+GROUP BY sh.doc_id
+""",
+)
+def dd_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score per document: the fraction of a doc's
+    3-gram shingles whose FIRST corpus occurrence (lowest doc_id =
+    arrival order) is this doc — the incremental-information signal
+    curriculum ordering and diversity-aware sampling rank by (a doc
+    that only repeats earlier shingles scores 0; boilerplate-heavy
+    docs sink). Exact integer micro-units.
+
+    Scale shape: one shingle explode, one map-side-combinable
+    min-per-shingle agg (the first-occurrence table, vocabulary-
+    sized), one equi-join back on the shingle key, one per-doc count
+    agg — every shuffle keyed on shingle or doc_id; no caps needed
+    because nothing here is a pair join (per-shingle work is O(df),
+    not O(df^2))."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, 3)
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "s")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000)"
+            " DIV COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("novelty_mu"),
+    )

@@ -1509,3 +1509,56 @@ def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(w).cast("bigint").alias("score"),
         (F.sum(w) >= 0).alias("keep"),
     )
+
+
+# --- dataset card (single-row corpus summary) --------------------------------
+
+
+@query(
+    "tx_dataset_card",
+    r"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       CAST((SUM(n_tok) * 1000000) // COUNT(*) AS BIGINT) AS mean_tokens_mu
+FROM t
+""",
+)
+def tx_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the single-row governance summary (docs, sources,
+    languages, token/char volume, exact-duplicate count, mean doc
+    length in micro-units) a training-data release ships alongside the
+    corpus — the cheap always-on health check before any curation run.
+
+    Scale shape: ONE scan, one aggregate; the distinct counts are
+    low-cardinality (source/lang) plus one md5-projection distinct for
+    the dup count (at 100 TB swap that one for approx_count_distinct —
+    same note as q_profile_stats). No joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint").alias("n_exact_dups"),
+        F.expr("(SUM(n_tok) * 1000000) DIV COUNT(*)")
+        .cast("bigint")
+        .alias("mean_tokens_mu"),
+    )
