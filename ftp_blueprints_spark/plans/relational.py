@@ -1722,9 +1722,14 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own price group — every globally nondominated row survives
     locally, so correctness is partition-independent; phase 2 re-runs
     the same filter over the union of local skylines, which is
-    skyline-per-partition sized (tiny), coalesced to one task. The
-    corpus is scanned exactly once and never shuffled — only local
-    winners move."""
+    skyline-per-partition sized (tiny), in ONE global pass: its
+    mapInPandas callback concatenates every Arrow batch before
+    filtering (Arrow splits >10k-row inputs into multiple batches —
+    filtering per-batch there would miss cross-batch dominations), and
+    the repartition(1) is a real shuffle barrier so phase 1 keeps the
+    scan's parallelism instead of collapsing into phase 2's single
+    task. The corpus is scanned exactly once; only local winners move
+    through the exchange."""
     import pandas as pd
 
     part = load_table(spark, sf_dir, "part").select(
@@ -1733,21 +1738,28 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("bigint").alias("size"),
     )
 
+    def _skyline_filter(pdf):
+        pdf = pdf.sort_values(["price", "size", "partkey"], ascending=[True, False, True])
+        per_price_max = pdf.groupby("price", sort=True)["size"].max()
+        prefix = per_price_max.cummax().shift(1, fill_value=-(10**18))
+        grp_max = pdf["price"].map(per_price_max)
+        strict_prefix = pdf["price"].map(prefix)
+        dominated = (strict_prefix >= pdf["size"]) | (pdf["size"] < grp_max)
+        return pdf[~dominated]
+
     def local_skyline(batches):
         for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["price", "size", "partkey"], ascending=[True, False, True])
-            per_price_max = pdf.groupby("price", sort=True)["size"].max()
-            prefix = per_price_max.cummax().shift(1, fill_value=-(10**18))
-            grp_max = pdf["price"].map(per_price_max)
-            strict_prefix = pdf["price"].map(prefix)
-            dominated = (strict_prefix >= pdf["size"]) | (pdf["size"] < grp_max)
-            yield pdf[~dominated]
+            if not pdf.empty:
+                yield _skyline_filter(pdf)
+
+    def global_skyline(batches):
+        pdfs = [pdf for pdf in batches if not pdf.empty]
+        if pdfs:
+            yield _skyline_filter(pd.concat(pdfs, ignore_index=True))
 
     schema = "partkey bigint, price double, size bigint"
     local = part.mapInPandas(local_skyline, schema)
-    return local.coalesce(1).mapInPandas(local_skyline, schema)
+    return local.repartition(1).mapInPandas(global_skyline, schema)
 
 
 # --- data profiling (one-pass per-column stats) -----------------------------

@@ -81,6 +81,31 @@ def normalize_timestamps(df):
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata.
+
+    Sizing decisions (e.g. corpus-adaptive LSH parameters) need ``n``
+    but must not pay a full-scan ``df.count()`` job for it — parquet
+    already stores per-file row counts in the footer, so this is O(#
+    files) driver-side metadata reads, no Spark job, no data touched.
+    Works for both the driver's single-file fixtures and Spark-written
+    directories (the 10x scale-probe corpus). Memoized per path: the
+    fixtures are immutable within a session (the probe writes its
+    corpus once before querying it)."""
+    return _table_rows_cached(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _table_rows_cached(path: str) -> int:
+    if path not in _TABLE_ROWS:
+        import pyarrow.dataset as _ds
+
+        _TABLE_ROWS[path] = _ds.dataset(path, format="parquet").count_rows()
+    return _TABLE_ROWS[path]
+
+
+_TABLE_ROWS: dict[str, int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-generated parquet tables.
 

@@ -168,8 +168,16 @@ class ManifestWriter(DataSourceWriter):
     temp name and are renamed into place, so a killed task never leaves
     a half-written remote file; parent dirs are mkdir-p'd once per
     partition (memoized). Commit messages carry per-task upload counts;
-    a failed task raises and Spark retries it wholesale (uploads are
-    idempotent: the rename overwrites)."""
+    a failed task raises and Spark retries it wholesale. Retries are
+    made genuinely idempotent by a best-effort delete of the
+    destination before the rename — RFC 959 RNTO replies 550 on many
+    servers when the target exists (only local os.rename is guaranteed
+    to overwrite), so a retry after a partially-committed task would
+    otherwise fail permanently. A failed store/rename likewise
+    best-effort deletes its temp name so ``*.__uploading__`` litter is
+    not left on the remote (task-side cleanup: DataSourceWriter.abort
+    only receives commit messages from SUCCESSFUL tasks, so the failing
+    task itself is the only place that knows the temp name)."""
 
     def __init__(self, options):
         self.spec = _spec_from_options(options)
@@ -189,8 +197,19 @@ class ManifestWriter(DataSourceWriter):
                     client.makedirs(folder)
                     made.add(folder)
                 tmp = f"{dest}.__uploading__"
-                client.store(io.BytesIO(payload), tmp)
-                client.rename(tmp, dest)
+                try:
+                    client.store(io.BytesIO(payload), tmp)
+                    try:  # RNTO fails on existing dest on many servers
+                        client.delete(dest)
+                    except Exception:
+                        pass
+                    client.rename(tmp, dest)
+                except Exception:
+                    try:  # don't leave temp litter behind a failed task
+                        client.delete(tmp)
+                    except Exception:
+                        pass
+                    raise
                 n += 1
         finally:
             client.close()

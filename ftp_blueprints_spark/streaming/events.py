@@ -700,7 +700,10 @@ def ev_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("ts_us"),
-        (F.col("event_id") / LATE_BATCH_N).cast("bigint").alias("batch_id"),
+        # integer floor-division, mirroring the oracle's `event_id // N`
+        # exactly (float division + cast is exact at these magnitudes but
+        # a needless float surface in an otherwise integer model)
+        F.expr(f"event_id DIV {LATE_BATCH_N}").alias("batch_id"),
     )
     bmax = ev.groupBy("batch_id").agg(F.max("ts_us").alias("bmax"))
     w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)

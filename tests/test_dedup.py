@@ -184,5 +184,38 @@ def test_lsh_census_broadcast_guard_paths_agree(spark):
         plan_f = fallback._jdf.queryExecution().optimizedPlan().toString()
         assert "ResolvedHint" in plan_h or "broadcast" in plan_h.lower()
         assert "ResolvedHint" not in plan_f
+        # On this small fixture AQE still broadcasts the census at
+        # runtime, so the absence of the hint alone doesn't prove the
+        # shuffled branch WORKS. Disable broadcast joins entirely and
+        # re-run the fallback: the census join must now execute as a
+        # real shuffled join (SortMergeJoin/ShuffledHashJoin) with the
+        # same candidate pairs — this is the census-bigger-than-driver
+        # 100 TB code path actually running, not just being reachable.
+        thr = "spark.sql.autoBroadcastJoinThreshold"
+        aqe_thr = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        old_thr = spark.conf.get(thr)
+        try:  # typed conf: .get with a default validates the default
+            old_aqe = spark.conf.get(aqe_thr)
+        except Exception:
+            old_aqe = None
+        try:
+            spark.conf.set(thr, "-1")
+            spark.conf.set(aqe_thr, "-1")
+            shuffled = D.lsh_candidates(sig, broadcast_census=False)
+            got_s = {(r["doc_a"], r["doc_b"]) for r in shuffled.collect()}
+            assert got_s == got_h
+            plan_s = (
+                shuffled._jdf.queryExecution().executedPlan().toString()
+            )
+            assert (
+                "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+            ), plan_s
+            assert "BroadcastHashJoin" not in plan_s, plan_s
+        finally:
+            spark.conf.set(thr, old_thr)
+            if old_aqe is not None:
+                spark.conf.set(aqe_thr, old_aqe)
+            else:
+                spark.conf.unset(aqe_thr)
     finally:
         sig.unpersist()

@@ -116,6 +116,28 @@ def test_skyline_partition_independent(spark, sf_oracle):
     assert base == brute
 
 
+def test_skyline_multi_batch_phase2(spark, sf_oracle):
+    """Phase 2 must be ONE global pass even when Arrow splits its input
+    into many record batches: with maxRecordsPerBatch=16 the union of
+    local skylines spans several batches, and a per-batch filter would
+    keep rows dominated only by a row in a DIFFERENT batch (the round-5
+    advisor finding). Plan must also keep a shuffle barrier between
+    phases so phase 1 retains scan parallelism."""
+    from ftp_blueprints_spark.plans.relational import q_skyline
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")
+        tiny = {tuple(r) for r in q_skyline(spark, sf_oracle).collect()}
+    finally:
+        spark.conf.set(key, old)
+    base = {tuple(r) for r in q_skyline(spark, sf_oracle).collect()}
+    assert tiny == base
+    plan = q_skyline(spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # repartition(1) barrier between the phases
+
+
 def test_zorder_key_matches_python_interleave(spark, sf_oracle):
     """The arithmetic Morton expression must equal true bit
     interleaving for every sampled row."""
