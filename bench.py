@@ -92,6 +92,9 @@ HEADLINE = [
     "ev_markov_transitions",
     "tx_dataset_card",
     "dd_novelty",
+    # r6 additions: ANN serving splits (build once, serve per call)
+    "sim_ivf_query",
+    "sim_ann_lsh_query",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -181,6 +184,10 @@ BUDGETS = {
     "ev_markov_transitions": 1.9,
     "tx_dataset_card": 1.5,
     "dd_novelty": 3.4,
+    # r6: serving paths over prebuilt indexes (~1.0s warm at sf0.1;
+    # first call builds, so min-of-two reflects pure serving)
+    "sim_ivf_query": 2.0,
+    "sim_ann_lsh_query": 2.1,
 }
 
 
@@ -347,6 +354,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # per-query COLD numbers (first of the two runs): codegen/
+                # first-run regressions are invisible in warm minima alone
+                "first_runs": {n: round(t, 3) for n, t in first.items()},
                 "first_run_total": round(sum(first.values()), 3),
                 "r2_subset_total": r2_subset_total,
                 "sf": sf,

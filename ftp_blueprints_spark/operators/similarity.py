@@ -613,6 +613,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = portable_centroids(emb).cache()
     assigned = ivf_assign(emb, cents, round_digits=6)
+    return _ivf_serve(emb, cents, assigned)
+
+
+def _ivf_serve(emb: DataFrame, cents: DataFrame, lists: DataFrame) -> DataFrame:
+    """SERVE phase shared by sim_ivf_topk (in-memory index) and
+    sim_ivf_query (persisted index): rank centroids per query on the
+    rounded tie surface, keep IVF_NPROBE, equi-join the probes onto the
+    inverted lists on cid, exact-score, per-query top-k.
+
+    ``lists`` is (vec_id, embedding, cid) — the corpus re-keyed by
+    coarse cell. The probes side is queries x nprobe rows and is
+    broadcast, so the only corpus-sized motion is the pruned list scan
+    itself."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -630,7 +643,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         F.broadcast(probes)
         .join(
-            assigned.select(
+            lists.select(
                 F.col("vec_id").alias("cand_id"),
                 F.col("embedding").alias("c_emb"),
                 "cid",
@@ -648,6 +661,57 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
+    """BUILD phase of the IVF serving split (the ivfpq_build pattern,
+    sans codes): train portable_centroids once, assign every vector,
+    persist centroids plus the inverted lists PARTITIONED BY cid, then
+    atomically rename into place. Serving then reads only the probed
+    cells: the probes side is tiny and equi-keyed on the partition
+    column, so Spark's dynamic partition pruning skips the other
+    K - nprobe directories entirely — at 100 TB the index scan is
+    nprobe/K of the corpus at the FILE level, not post-scan. Build is
+    deterministic from the base table, so the persisted index inherits
+    the driver-checked oracle (the same SQL proves train+serve from
+    scratch and serve-from-disk)."""
+    out = index_dir or _index_dir(sf_dir, "ivf")
+    if os.path.isdir(out):
+        return out
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = portable_centroids(emb).cache()
+    assigned = ivf_assign(emb, cents, round_digits=6)
+    tmp = out + ".building"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(tmp, "lists")
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost a concurrent-build race: theirs is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query("sim_ivf_query", _ivf_oracle())
+def sim_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY phase of the IVF serving split: answer top-k from the
+    PREBUILT index (ivf_build persists centroids + cid-partitioned
+    inverted lists; builds on first call, reuses thereafter) — no
+    retraining. This recovers the round-5 sim_ivf_topk regression the
+    exact-oracle upgrade introduced (~2/3 of its cost was Lloyd
+    training re-run per call) and mirrors production ANN serving,
+    where an index is built per ingest batch and amortized over every
+    query."""
+    idx = ivf_build(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    lists = spark.read.parquet(os.path.join(idx, "lists"))
+    return _ivf_serve(emb, cents, lists)
 
 
 ANN_BANDS = 32
@@ -737,6 +801,86 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "cand_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+def ann_lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
+    """BUILD phase of the LSH-ANN serving split: hash every corpus
+    vector once (quantized hyperplane projections -> band signatures)
+    and persist the NARROW (vec_id, band, sig) table; atomic rename.
+    The planes are a deterministic fixed-seed function, so query-time
+    signatures need no stored state — the index is just the corpus-side
+    hashes, bands x ~10 bytes per vector, rebuilt only per ingest
+    batch instead of per query call."""
+    out = index_dir or _index_dir(sf_dir, "annlsh")
+    if os.path.isdir(out):
+        return out
+    sigs = band_signatures(
+        load_table(spark, sf_dir, "embeddings"), ANN_BANDS, ANN_ROWS, quantize=True
+    ).select("vec_id", "band", "sig")
+    tmp = out + ".building"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost a concurrent-build race: theirs is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query("sim_ann_lsh_query", _ann_lsh_oracle())
+def sim_ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY phase of the LSH-ANN serving split: top-k from the
+    PREBUILT signature table (ann_lsh_build; builds on first call,
+    reuses thereafter) — no corpus re-hash per call. Unlike
+    sim_ann_lsh, which carries both embedding arrays through the
+    band join, serving joins the NARROW signature table with itself
+    (ids + ~10-byte sigs move through the bucket join), dedupes the
+    candidate ids, and only then fetches vectors — queries' by
+    broadcast, candidates' by one equi-join on vec_id — so full
+    vectors are touched exactly once per surviving candidate. Same
+    exact oracle as sim_ann_lsh: the deterministic build means one SQL
+    proves both the from-scratch and the served pipeline."""
+    idx = ann_lsh_build(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = spark.read.parquet(os.path.join(idx, "sigs"))
+    qs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "sig"
+    )
+    cand = (
+        F.broadcast(qs)
+        .join(
+            sigs.select(F.col("vec_id").alias("cand_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -1155,7 +1299,7 @@ def _ivfpq_serve(
     )
 
 
-def ivfpq_index_dir(sf_dir: str) -> str:
+def _index_dir(sf_dir: str, kind: str) -> str:
     """Deterministic per-corpus index location under the system temp
     dir, fingerprinted by the embeddings file's (mtime, size) so a
     regenerated fixture auto-invalidates the cached index."""
@@ -1163,7 +1307,11 @@ def ivfpq_index_dir(sf_dir: str) -> str:
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_mtime_ns}_{st.st_size}"
-    return os.path.join(tempfile.gettempdir(), "spark_graft_ivfpq", tag)
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}", tag)
+
+
+def ivfpq_index_dir(sf_dir: str) -> str:
+    return _index_dir(sf_dir, "ivfpq")
 
 
 def ivfpq_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
