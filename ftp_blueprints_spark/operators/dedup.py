@@ -637,13 +637,12 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_embedding_keepers_oracle() -> str:
-    from .similarity import _COS_SQL, NEARDUP_COS
+    from .similarity import _NEARDUP_XQ_CTE, neardup_pairs_sql
 
     return f"""
-WITH RECURSIVE pairs AS (
-  SELECT q.vec_id AS pa, c.vec_id AS pb
-  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
-  WHERE ROUND({_COS_SQL}, 6) >= {NEARDUP_COS}
+WITH RECURSIVE {_NEARDUP_XQ_CTE},
+pairs AS (
+  SELECT vec_a AS pa, vec_b AS pb FROM ({neardup_pairs_sql()})
 ),
 edges AS (
   SELECT pa AS a, pb AS b FROM pairs

@@ -201,51 +201,109 @@ def neardup_params(n: int) -> tuple[int, int]:
 NEARDUP_ROWS = 8
 
 
+NEARDUP_COS_MICROS = int(round(NEARDUP_COS * 1_000_000))
+
+
+def neardup_pairs_sql() -> str:
+    """All-pairs ground-truth SQL for the near-dup pair surface, shared
+    by the sim_embedding_neardup and dd_embedding_neardup_keepers
+    oracles: quantize each vector to FLOOR(x*1e6) BIGINT micro-units,
+    take EXACT integer dot products, and emit the floor-micros cosine
+    cos_micros = FLOOR(ab/(sqrt(aa)*sqrt(bb)) * 1e6). Every step is
+    either exact integer arithmetic or an IEEE op on identical doubles,
+    so the surface is bit-reproducible across engines — unlike
+    ROUND(x, 6), whose half-away vs half-even tie behavior differs."""
+    j = f"range(1, {DIM + 1})"
+    dot = "CAST(list_sum(list_transform({r}, j -> {a}.vq[j]*{b}.vq[j])) AS DOUBLE)"
+    ab = dot.format(r=j, a="a", b="b")
+    aa = dot.format(r=j, a="a", b="a")
+    bb = dot.format(r=j, a="b", b="b")
+    return f"""
+  SELECT vec_a, vec_b, cos_micros FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(FLOOR({ab} / (sqrt({aa}) * sqrt({bb})) * 1000000) AS BIGINT)
+             AS cos_micros
+    FROM xq a JOIN xq b ON a.vec_id < b.vec_id
+  ) WHERE cos_micros >= {NEARDUP_COS_MICROS}"""
+
+
+_NEARDUP_XQ_CTE = """xq AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+  FROM embeddings)"""
+
+
 @query(
     "sim_embedding_neardup",
     f"""
-SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({_COS_SQL}, 6) AS cos_sim
-FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
-WHERE ROUND({_COS_SQL}, 6) >= {NEARDUP_COS}
+WITH {_NEARDUP_XQ_CTE}
+{neardup_pairs_sql()}
 """,
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.9) through LSH buckets:
-    band self-join on (band, sig), exact cosine check, distinct pairs.
-    No BroadcastNestedLoopJoin/cartesian anywhere in the plan
-    (asserted in tests/test_similarity.py); (bands, rows) adapt to the
-    corpus size via neardup_params so per-pair recall stays >= 99.5%
-    while bucket occupancy — and with it candidate work per doc —
-    stays bounded as n grows ((16, 8) at all driver/bench sizes).
+    """Embedding near-dup pairs (cosine >= 0.9) through LSH buckets,
+    scored per bucket with one Arrow-batched integer matmul.
 
-    Order matters for scale (fixed after the 10x probe): the exact
-    cosine is computed ON the band join's output and the >= threshold
-    applied BEFORE the pair dedup, so the dropDuplicates exchange
-    carries only true near-dups (ids + one double), never the failed
-    candidates with two embedding arrays attached. A pair colliding in
-    k bands computes its cosine k times — k is ~1 for random
-    collisions, and recomputing beats shuffling the arrays.
+    (bands, rows) adapt to the corpus size via neardup_params so
+    per-pair recall stays >= 99.5% while bucket occupancy — and with
+    it candidate work per bucket — stays bounded as n grows ((16, 8)
+    at all driver/bench sizes); ``n`` comes from parquet footer
+    metadata (session.table_rows), NOT a count() scan job per call.
 
-    ``n`` for the parameter choice comes from parquet footer metadata
-    (session.table_rows) — NOT a ``df.count()`` scan job per call.
-    Caveat (documented, by design): the adaptive params hold PER-PAIR
-    recall >= 1 - NEARDUP_MISS_P (99.5%); the oracle is exact all-pairs
-    cosine, so hash-parity with it is probabilistic-by-construction at
-    corpus sizes where any true pair lands in the miss budget. At the
-    driver-checked sizes the expected misses are << 1 and every round's
-    check has been exact; at 100 TB the operator's contract is the
+    Round 6 rewrite (was: band self-join + zip_with cosine): the round-5
+    shape evaluated the cosine as a Catalyst higher-order function in
+    BOTH the join condition and the projection — HOFs are interpreted
+    per element, and the double evaluation of 3 dot products per
+    candidate pair dominated the query (~4.5 s of a 2000-vector sf0.1
+    run). Now the exploded signatures groupBy (band, sig) into ONE
+    applyInPandas pass: per bucket, quantize to FLOOR(x*1e6) int64
+    micro-units, one exact integer gram matmul (|terms| <= 64*1e12 <
+    2^63), upper-triangle threshold, emit surviving pairs. One
+    sig-keyed exchange moves each vector ``bands`` times; the pair
+    dedup exchange carries only true near-dups (ids + one BIGINT).
+
+    The output surface is cos_micros = FLOOR(cos * 1e6): derived from
+    exact integer dots, it is bit-identical in numpy and DuckDB (see
+    neardup_pairs_sql), closing the np.round-vs-ROUND tie-mode risk.
+    Caveat (documented, by design): the oracle is exact all-pairs, so
+    hash-parity is probabilistic-by-construction at corpus sizes where
+    any true pair lands in the 0.5% LSH miss budget; at the
+    driver-checked sizes expected misses are << 1 and every round's
+    check has been exact. At 100 TB the operator's contract is the
     recall bound, not oracle equality."""
     emb = load_table(spark, sf_dir, "embeddings")
     bands, rows = neardup_params(table_rows(sf_dir, "embeddings"))
     sig = band_signatures(emb, bands, rows)
-    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "band", "sig")
-    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"), "band", "sig")
-    cos = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_micros": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_micros": "int64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Q = np.floor(X * 1_000_000).astype(np.int64)
+        G = Q @ Q.T  # exact: 64 terms x (1e6)^2 < 2^63
+        nrm = np.sqrt(np.diag(G).astype(np.float64))
+        micros = np.floor(
+            G.astype(np.float64) / np.outer(nrm, nrm) * 1_000_000
+        ).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = micros[ia, ib] >= NEARDUP_COS_MICROS
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_micros": micros[ia[keep], ib[keep]],
+            }
+        )
+
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
+        sig.select("band", "sig", "vec_id", "embedding")
+        .groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cos_micros long")
         .dropDuplicates(["vec_a", "vec_b"])
     )
 

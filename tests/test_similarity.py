@@ -58,6 +58,32 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf_oracle):
     assert recall >= 0.6, f"IVFPQ recall@{S.TOP_K} = {recall:.3f}"
 
 
+def _neardup_bruteforce(spark, sf_dir):
+    """Driver-side all-pairs ground truth on the SAME quantized
+    floor-micros surface as the operator (exact int64 gram matmul)."""
+    import numpy as np
+
+    from ftp_blueprints_spark.session import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    Q = np.floor(X * 1_000_000).astype(np.int64)
+    G = Q @ Q.T
+    nrm = np.sqrt(np.diag(G).astype(np.float64))
+    micros = np.floor(G.astype(np.float64) / np.outer(nrm, nrm) * 1_000_000).astype(
+        np.int64
+    )
+    order = np.argsort(ids)
+    ids, micros = ids[order], micros[np.ix_(order, order)]
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = micros[ia, ib] >= S.NEARDUP_COS_MICROS
+    return {
+        (int(ids[i]), int(ids[j]), int(micros[i, j]))
+        for i, j in zip(ia[keep], ib[keep])
+    }
+
+
 def test_neardup_no_cartesian_and_matches_bruteforce(spark, sf_oracle):
     """The LSH-bucketed near-dup plan contains no nested-loop/cartesian
     join, and its result equals the exact all-pairs computation."""
@@ -66,21 +92,8 @@ def test_neardup_no_cartesian_and_matches_bruteforce(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
-    from ftp_blueprints_spark.functions.vectors import cosine
-    from ftp_blueprints_spark.session import load_table
-
-    emb = load_table(spark, sf_oracle, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    exact = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= S.NEARDUP_COS)
-    )
     got = {tuple(r) for r in df.collect()}
-    want = {tuple(r) for r in exact.collect()}
+    want = _neardup_bruteforce(spark, sf_oracle)
     assert got == want
 
 
@@ -90,24 +103,11 @@ def test_neardup_recall_sf01(spark):
     exact-cosine-verified after bucketing, so precision is 1 by
     construction; the probabilistic risk is MISSES — hold recall
     >= 0.99 against the exact all-pairs ground truth."""
-    from ftp_blueprints_spark.functions.vectors import cosine
-    from ftp_blueprints_spark.session import load_table
-
     sf_dir = "/root/testdata/sf0.1"
     df = S.sim_embedding_neardup(spark, sf_dir)
     got = {tuple(r) for r in df.collect()}
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    exact = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= S.NEARDUP_COS)
-    )
-    want = {tuple(r) for r in exact.collect()}
+    want = _neardup_bruteforce(spark, sf_dir)
     assert got <= want, f"false positives: {sorted(got - want)[:5]}"
     recall = len(got & want) / len(want) if want else 1.0
     assert recall >= 0.99, f"neardup recall at sf0.1 = {recall:.4f} ({len(want)} true pairs)"
