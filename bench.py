@@ -92,9 +92,15 @@ HEADLINE = [
     "ev_markov_transitions",
     "tx_dataset_card",
     "dd_novelty",
-    # r6 additions: ANN serving splits (build once, serve per call)
+    # r6 additions: ANN serving splits (build once, serve per call),
+    # deterministic domain-cap / weighted sampling, Bloom-pruned join
     "sim_ivf_query",
     "sim_ann_lsh_query",
+    "tx_domain_cap",
+    "tx_weighted_sample",
+    "q_bloom_join_prune",
+    "ev_scd2_history",
+    "ev_last_touch_attribution",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -188,6 +194,12 @@ BUDGETS = {
     # first call builds, so min-of-two reflects pure serving)
     "sim_ivf_query": 2.0,
     "sim_ann_lsh_query": 2.1,
+    "tx_domain_cap": 1.0,
+    "tx_weighted_sample": 1.0,
+    # dim-side bloom-build job + literal-mask probe scan (~2.0s warm)
+    "q_bloom_join_prune": 4.0,
+    "ev_scd2_history": 1.6,
+    "ev_last_touch_attribution": 1.0,
 }
 
 

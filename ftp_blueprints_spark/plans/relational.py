@@ -1885,3 +1885,97 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zkey", F.expr(_zkey_expr("part_bucket", "supp_bucket")).cast("bigint")
     )
     return z.orderBy(F.asc("zkey"), F.asc("orderkey"), F.asc("linenumber")).limit(50)
+
+
+# --- Bloom-pruned join (runtime semi-filter at the scan) --------------------
+
+BLOOM_JOIN_M = 1 << 16  # filter bits (1024 longs); size ~10x expected keys
+BLOOM_JOIN_K = 3  # probes per key (disjoint md5 hex windows)
+_BJ_PRED = "o_orderpriority = '1-URGENT' AND o_totalprice >= 450000.0"
+
+
+def _bloom_pos_exprs(key_sql: str) -> list[str]:
+    """K bit positions per key: disjoint 8-hex-char windows of
+    md5(key), each mod BLOOM_JOIN_M — engine-portable (the same md5
+    discipline as the MinHash/KMV sketches), though the oracle never
+    needs them: Bloom pruning has no false negatives and the real join
+    removes false positives, so results are exactly the plain join's."""
+    return [
+        f"(CAST(CONV(SUBSTRING(MD5(CAST({key_sql} AS STRING)), {1 + 8 * j}, 8),"
+        f" 16, 10) AS BIGINT) % {BLOOM_JOIN_M})"
+        for j in range(BLOOM_JOIN_K)
+    ]
+
+
+@query(
+    "q_bloom_join_prune",
+    f"""
+SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE {_BJ_PRED}
+GROUP BY 1
+""",
+)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-dim join with an explicit runtime Bloom filter:
+    revenue by month for lineitems of urgent high-value orders (~2% of
+    orders). The filtered dim's join keys compress to a BLOOM_JOIN_M-bit
+    set built in one tiny dim-side job (collect is <= M distinct bit
+    rows — constant-bounded, never key-proportional), inlined as ONE
+    foldable array<bigint> literal; every lineitem row tests its K bit
+    positions with shift/mask arithmetic INSIDE the scan projection —
+    zero shuffle, zero join for the pruning step — and only surviving
+    rows (true matches + ~0.2% false positives at these sizes) enter
+    the real broadcast join, which removes the false positives, so the
+    result is exactly the plain join's and the oracle needs no Bloom
+    model at all.
+
+    Scale: this is the manual statement of what AQE's runtime bloom
+    filter join (spark.sql.optimizer.runtime.bloomFilter.enabled) and
+    DPP do for partition columns — at 100 TB size m ~ 10x the filtered
+    key count and ship the mask as a broadcast variable instead of a
+    literal once it outgrows a few KB; the scan-side mechanics are
+    identical. The win is shuffle bytes: non-matching fact rows die at
+    the scan instead of crossing the exchange."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.expr(_BJ_PRED))
+    pos_o = _bloom_pos_exprs("o_orderkey")
+    bit_rows = (
+        orders.select(
+            F.explode(F.array(*[F.expr(p) for p in pos_o])).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_JOIN_M // 64)
+    for r in bit_rows:
+        words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask_lit = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    tests = " AND ".join(
+        f"((SHIFTRIGHT(ELEMENT_AT(_mask, CAST(({p}) DIV 64 AS INT) + 1),"
+        f" CAST(({p}) % 64 AS INT)) & 1L) = 1L)"
+        for p in _bloom_pos_exprs("l_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("_mask", F.expr(mask_lit))
+        .filter(F.expr(tests))
+        .drop("_mask")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice * (1 - l_discount)", "revenue", 6),
+        )
+    )

@@ -412,6 +412,103 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP_K = 20  # max docs kept per source domain
+
+
+@query(
+    "tx_domain_cap",
+    f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP_K}
+""",
+)
+def tx_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (keep <= K docs per source): the
+    anti-boilerplate balancing step every crawl-derived corpus needs —
+    without it one mega-domain dominates the token mix. Selection is
+    deterministic by md5(doc_id) hash order, so the kept set is
+    reproducible across engines, runs, and cluster sizes (no RNG).
+
+    Scale shape: rank-per-key with a rank<=K predicate compiles to
+    WindowGroupLimit (Spark 3.5+) — each map task keeps only its local
+    top-K per source BEFORE the exchange, so the shuffle carries
+    O(K x sources x tasks), not the corpus, and a hot domain with 10^9
+    docs still moves only K rows per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP_K)
+    )
+
+
+WEIGHTED_SAMPLE_K = 10  # kept docs per language
+_PRIORITY_SCALE = 1 << 48
+
+
+@query(
+    "tx_weighted_sample",
+    f"""
+SELECT doc_id, lang, n_chars, priority FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS BIGINT) * {_PRIORITY_SCALE}
+           // (CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1)
+           AS priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(n_chars AS BIGINT) * {_PRIORITY_SCALE}
+                      // (CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1)
+                      DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {WEIGHTED_SAMPLE_K}
+""",
+)
+def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without RNG: priority sampling
+    (Duffield, Lund & Thorup 2007) — each doc gets priority w/u with
+    w = n_chars and u uniform in (0,1] derived from its content hash;
+    the top-K priorities per language form a sample where inclusion
+    probability is proportional to length. All arithmetic is exact
+    BIGINT (u is the 48-bit md5 prefix + 1; the ratio is one integer
+    floor-division), so ranking is bit-identical across engines — no
+    ln()/pow() libm surface, the usual cross-engine hazard of the
+    equivalent A-ES exponential-keys scheme.
+
+    Scale shape: priority is a narrow per-row projection on the scan;
+    rank<=K compiles to WindowGroupLimit, so each map task forwards at
+    most K rows per language into the single exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+    pr = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            (F.col("n_chars").cast("bigint") * F.lit(_PRIORITY_SCALE))
+            .cast("bigint")
+        ).alias("_num"),
+        (h + F.lit(1)).alias("_den"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr("_num DIV _den").alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        pr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WEIGHTED_SAMPLE_K)
+        .select("doc_id", "lang", "n_chars", "priority")
+    )
+
+
 @query(
     "tx_unigram_scores",
     f"""

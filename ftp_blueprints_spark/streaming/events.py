@@ -229,9 +229,17 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ev_session_windows as a real stream (stateful session merge)."""
-    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """ev_session_windows as a real stream (stateful session merge).
+
+    ``source`` overrides the default single-file events stream so the
+    multi-micro-batch test can feed chronologically split files and
+    prove open sessions merge across micro-batch boundaries."""
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).withWatermark("ts", "1 hour")
     return (
         ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -552,13 +560,20 @@ def ev_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_view_click_join(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """ev_view_click_join as a real stream-stream inner join: both
     sides through readStream with event-time watermarks; the join
     condition carries the time bound, so Spark keeps only 7 h of
     per-key state on each side (watermark + interval) instead of the
-    whole history — the canonical watermarked interval-join pattern."""
-    ev = read_events_stream(spark, sf_dir)
+    whole history — the canonical watermarked interval-join pattern.
+
+    ``source`` overrides the default single-file events stream so the
+    multi-micro-batch test can prove buffered join state matches
+    across micro-batch boundaries (a view arriving batches before its
+    click must still pair)."""
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
     v = (
         ev.filter(F.col("event_type") == "view")
         .select(
@@ -1203,4 +1218,178 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         "n",
         F.expr("(n * 1000000) DIV n_from").alias("p_mu"),
+    )
+
+
+# --- SCD2 history build (type-2 dimension from a change log) ----------------
+
+
+@query(
+    "ev_scd2_history",
+    """
+WITH c AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_type
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_no
+  FROM c
+),
+hist AS (
+  SELECT user_id, run_no,
+         MIN(event_type) AS state,
+         arg_min(ts_us, event_id) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_no
+)
+SELECT user_id, state, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_no)
+         AS valid_to_us,
+       n_events,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_no)
+         IS NULL AS is_current
+FROM hist
+""",
+)
+def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: treat
+    events as per-user state changes in commit order (event_id), fold
+    consecutive runs of the same state into one history row, and stamp
+    each row with its validity interval [valid_from, valid_to) — NULL
+    valid_to marks the current row. This is the dimension-table side of
+    every warehouse MERGE pipeline (Kimball SCD2), stated as one
+    declarative plan instead of a per-key UPDATE loop.
+
+    Scale shape: ONE exchange keyed on user_id serves the whole query —
+    the lag/run-numbering windows partition by user_id, the
+    (user_id, run_no) aggregation is clustered-satisfied by the same
+    hash partitioning (no second exchange; partial agg map-side), and
+    the final lead window reuses it again. At 100 TB of changes the
+    plan moves each change row exactly once."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    by_commit = Window.partitionBy("user_id").orderBy("event_id")
+    run = (
+        ev.withColumn("prev_type", F.lag("event_type").over(by_commit))
+        .withColumn(
+            "chg",
+            (
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "run_no",
+            F.sum("chg").over(by_commit.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    hist = run.groupBy("user_id", "run_no").agg(
+        F.min("event_type").alias("state"),
+        F.min_by("ts_us", "event_id").alias("valid_from_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    by_run = Window.partitionBy("user_id").orderBy("run_no")
+    return hist.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(by_run).alias("valid_to_us"),
+        "n_events",
+        F.lead("valid_from_us").over(by_run).isNull().alias("is_current"),
+    )
+
+
+# --- last-touch attribution -------------------------------------------------
+
+ATTRIB_TOUCH_US = 6 * 3600 * 1_000_000  # purchase attributes to a touch <= 6h old
+
+
+@query(
+    "ev_last_touch_attribution",
+    f"""
+WITH seq AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_id,
+         LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_us
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN touch_us IS NOT NULL
+                 AND ts_us - touch_us <= {ATTRIB_TOUCH_US}
+            THEN touch_id END AS touch_id,
+       CASE WHEN touch_us IS NOT NULL
+                 AND ts_us - touch_us <= {ATTRIB_TOUCH_US}
+            THEN touch_type ELSE 'organic' END AS channel,
+       CASE WHEN touch_us IS NOT NULL
+                 AND ts_us - touch_us <= {ATTRIB_TOUCH_US}
+            THEN ts_us - touch_us END AS touch_age_us
+FROM seq WHERE event_type = 'purchase'
+""",
+)
+def ev_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent view/click by the same user within ATTRIB_TOUCH_US, else
+    'organic'. Unlike the interval join (ev_view_click_join: ALL touches
+    in the window), this is the as-of/LOCF shape — exactly one credited
+    touch per purchase, resolved by a running last-non-null frame, so no
+    join and no pair blow-up for hyperactive users.
+
+    Scale shape: one exchange keyed on user_id; the three running
+    frames share one window spec (single sort, single pass); the
+    purchase filter happens after the frame so every touch is visible
+    to it but only purchase rows survive to the output."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(frame)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(frame)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True)
+        .over(frame)
+        .alias("touch_us"),
+    )
+    attributed = (
+        F.col("touch_us").isNotNull()
+        & ((F.col("ts_us") - F.col("touch_us")) <= ATTRIB_TOUCH_US)
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(attributed, F.col("touch_id")).alias("touch_id"),
+        F.when(attributed, F.col("touch_type")).otherwise("organic").alias("channel"),
+        F.when(attributed, F.col("ts_us") - F.col("touch_us")).alias("touch_age_us"),
     )

@@ -111,22 +111,21 @@ def test_ttl_dedup_stream_matches_batch(spark, sf_oracle):
     assert streamed == batch
 
 
-def test_ttl_dedup_multi_microbatch(spark, sf_oracle, tmp_path):
-    """Real incremental execution: split events into four chronological
-    files, feed them through maxFilesPerTrigger=1 + availableNow so the
-    stream runs MULTIPLE micro-batches (asserted from query progress),
-    and require the drained kept set to equal the batch operator — i.e.
-    per-key last-kept state provably carries across micro-batch
-    boundaries, which the single-file drain tests never exercise."""
+def _chrono_source(spark, sf_oracle, tmp_path, n_parts: int = 4):
+    """Chronologically split events + a maxFilesPerTrigger=1 stream:
+    the fixture lands in ``n_parts`` time-quartile files with ascending
+    mtimes (FileStreamSource orders new files by modification time), so
+    an availableNow drain runs one micro-batch per file — real
+    incremental execution, not a single-batch drain."""
     import os
+
     from ftp_blueprints_spark.session import load_table
 
     ev = load_table(spark, sf_oracle, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    bounds = ev.selectExpr("unix_micros(ts) AS us").approxQuantile(
-        "us", [0.25, 0.5, 0.75], 0.0
-    )
+    qt = [i / n_parts for i in range(1, n_parts)]
+    bounds = ev.selectExpr("unix_micros(ts) AS us").approxQuantile("us", qt, 0.0)
     src_dir = tmp_path / "ev_parts"
     lo = [None, *bounds]
     hi = [*bounds, None]
@@ -138,26 +137,78 @@ def test_ttl_dedup_multi_microbatch(spark, sf_oracle, tmp_path):
             part = part.filter(F.unix_micros("ts") <= b)
         out = str(src_dir / f"part{i}")
         part.coalesce(1).write.mode("overwrite").parquet(out)
-        # FileStreamSource orders new files by modification time:
-        # stamp ascending so arrival is chronological
         for f in os.listdir(out):
             os.utime(os.path.join(out, f), (1_700_000_000 + i, 1_700_000_000 + i))
     source = (
-        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, event_type string")
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(str(src_dir))
     )
-    q = E.run_to_memory(
-        E.stream_ttl_dedup(spark, sf_oracle, source=source), "t_ttl_mb", "append"
-    )
+    return ev, source
+
+
+def _assert_multi_batch(q, n: int = 4) -> None:
     n_batches = sum(
         1 for p in q.recentProgress if p.numInputRows and p.numInputRows > 0
     )
-    assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
+    assert n_batches >= n, f"expected >={n} micro-batches, saw {n_batches}"
+
+
+def test_ttl_dedup_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Real incremental execution: split events into four chronological
+    files, feed them through maxFilesPerTrigger=1 + availableNow so the
+    stream runs MULTIPLE micro-batches (asserted from query progress),
+    and require the drained kept set to equal the batch operator — i.e.
+    per-key last-kept state provably carries across micro-batch
+    boundaries, which the single-file drain tests never exercise."""
+    ev, source = _chrono_source(spark, sf_oracle, tmp_path)
+    q = E.run_to_memory(
+        E.stream_ttl_dedup(spark, sf_oracle, source=source), "t_ttl_mb", "append"
+    )
+    _assert_multi_batch(q)
     batch = _rows(E.ttl_dedup_batch(ev))
     streamed = _rows(spark.table("t_ttl_mb"))
     assert streamed == batch
+
+
+def test_session_windows_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Session merge under real incremental execution: a session whose
+    events span micro-batch boundaries must still merge into ONE window
+    (session_window state carries across batches); drained complete-
+    mode output equals the batch operator exactly."""
+    _, source = _chrono_source(spark, sf_oracle, tmp_path)
+    q = E.run_to_memory(
+        E.stream_session_windows(spark, sf_oracle, source=source),
+        "t_session_mb",
+        "complete",
+    )
+    _assert_multi_batch(q)
+    batch = _rows(E.ev_session_windows(spark, sf_oracle))
+    streamed = _rows(spark.table("t_session_mb"))
+    assert streamed == batch
+
+
+def test_view_click_join_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Stream-stream interval join under real incremental execution: a
+    click arriving micro-batches after its view must still pair (the
+    view waits in watermark-bounded join state); the drained append
+    output equals the batch interval join row-for-row."""
+    _, source = _chrono_source(spark, sf_oracle, tmp_path)
+    q = E.run_to_memory(
+        E.stream_view_click_join(spark, sf_oracle, source=source),
+        "t_ss_join_mb",
+        "append",
+    )
+    _assert_multi_batch(q)
+    batch = _rows(E.ev_view_click_join(spark, sf_oracle))
+    streamed = _rows(spark.table("t_ss_join_mb"))
+    assert streamed == batch
+    # the multi-batch discipline is only meaningful if some pairs really
+    # do span micro-batches: views from earlier quartiles must appear
+    assert len(batch) > 0
 
 
 def test_watermark_in_plan(spark, sf_oracle):

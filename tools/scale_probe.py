@@ -45,7 +45,11 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 BASE_SF_DIR = "/root/testdata/sf0.1"
-SCALED_DIR = "/tmp/spark_graft_scale/sf1"
+
+
+def scaled_dir(mult: int) -> str:
+    # mult=10 keeps its legacy path so an existing synthesis is reused
+    return "/tmp/spark_graft_scale/sf1" if mult == 10 else f"/tmp/spark_graft_scale/x{mult}"
 
 # The heaviest bench queries (BENCH_r04 top-5) + q01 as the known-linear
 # scan-agg control.
@@ -102,10 +106,23 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
                 F.length(text_r).alias("n_chars"),
             )
         )
+        # rotate by r mod dim; past one full cycle of rotations (a 100x
+        # probe has more replicas than dimensions) add an alternating
+        # sign flip per rotation GROUP g = r // dim. Both ops preserve
+        # norms and all within-replica pairwise dots exactly (the flip
+        # cancels: (-x_i)(-y_i) = x_i y_i), while any two distinct
+        # replicas differ by rotation or flip, so cross-replica cosines
+        # stay decorrelated — without this, replica r and r+dim would
+        # hold IDENTICAL vectors and fabricate cross-shard duplicates.
+        rr, g = r % dim, r // dim
         rot = F.concat(
-            F.slice(F.col("embedding"), r + 1, dim - r),
-            F.slice(F.col("embedding"), 1, r),
-        )
+            F.slice(F.col("embedding"), rr + 1, dim - rr),
+            F.slice(F.col("embedding"), 1, rr),
+        ) if rr else F.col("embedding")
+        if g % 2 == 1:
+            rot = F.transform(
+                rot, lambda e, i: F.when(i % 2 == 0, e).otherwise(-e)
+            )
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(r * stride)).alias("vec_id"),
@@ -171,7 +188,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    synthesize(spark, BASE_SF_DIR, SCALED_DIR, args.mult)
+    dest = scaled_dir(args.mult)
+    synthesize(spark, BASE_SF_DIR, dest, args.mult)
 
     import math
 
@@ -193,7 +211,7 @@ def main() -> None:
     results = {}
     for name in args.probes:
         t_base = timed(name, BASE_SF_DIR)
-        t_scaled = timed(name, SCALED_DIR)
+        t_scaled = timed(name, dest)
         exp = round(
             math.log(max(t_scaled, 1e-3) / max(t_base, 1e-3))
             / math.log(args.mult),
@@ -206,10 +224,27 @@ def main() -> None:
         }
         print(f"[probe] {name}: {t_base}s -> {t_scaled}s  e={exp}", flush=True)
 
-    out = {"mult": args.mult, "base": BASE_SF_DIR, "queries": results}
+    # merge into the existing out-file: the canonical 10x sweep keeps the
+    # legacy top-level shape; other decades (e.g. --mult 100 for the
+    # worst-exponent re-probe) land under "mult_<m>" so one file carries
+    # the whole scaling story.
+    out: dict = {}
+    if os.path.isfile(args.out):
+        try:
+            with open(args.out) as fh:
+                out = json.load(fh)
+        except ValueError:
+            out = {}
+    if args.mult == 10:
+        prev = out.get("queries", {})
+        prev.update(results)
+        out.update({"mult": 10, "base": BASE_SF_DIR, "queries": prev})
+    else:
+        section = out.setdefault(f"mult_{args.mult}", {"base": BASE_SF_DIR})
+        section.setdefault("queries", {}).update(results)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
-    print(json.dumps(out))
+    print(json.dumps({"mult": args.mult, "queries": results}))
     spark.stop()
 
 
