@@ -101,6 +101,7 @@ HEADLINE = [
     "q_bloom_join_prune",
     "ev_scd2_history",
     "ev_last_touch_attribution",
+    "tx_corpus_drift",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -200,6 +201,7 @@ BUDGETS = {
     "q_bloom_join_prune": 4.0,
     "ev_scd2_history": 1.6,
     "ev_last_touch_attribution": 1.0,
+    "tx_corpus_drift": 1.0,
 }
 
 

@@ -1659,3 +1659,87 @@ def tx_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_tokens_mu"),
     )
+
+
+DRIFT_TOP_K = 50
+
+
+@query(
+    "tx_corpus_drift",
+    f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS cohort, UNNEST({_LTOKS}) AS tok FROM documents
+),
+cnt AS (
+  SELECT tok,
+         CAST(COUNT(*) FILTER (cohort = 0) AS BIGINT) AS n1,
+         CAST(COUNT(*) FILTER (cohort = 1) AS BIGINT) AS n2
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM cnt
+)
+SELECT tok, n1, n2,
+       CAST(FLOOR(
+         (CAST(n1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+          - CAST(n2 AS DOUBLE) * CAST(t1 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+            - CAST(n2 AS DOUBLE) * CAST(t1 AS DOUBLE))
+         / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+            * CAST(n1 + n2 AS DOUBLE))
+         * 1000000) AS BIGINT) AS chi2_micros
+FROM cnt, tot
+ORDER BY chi2_micros DESC, tok LIMIT {DRIFT_TOP_K}
+""",
+)
+def tx_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report: the {DRIFT_TOP_K} tokens whose frequency
+    shifts most between two corpus cohorts (modeled as doc_id parity —
+    in production, the previous vs the incoming crawl snapshot),
+    ranked by per-token two-sample chi-square contribution. This is
+    the distribution-shift gate a training-data pipeline runs before
+    admitting a new dump: a sudden top-drift token ("viagra", a
+    template artifact, a new boilerplate string) is the cheapest
+    tripwire for crawl regressions.
+
+    Portability: counts are exact BIGINTs; the chi-square term
+    (n1*T2 - n2*T1)^2 / (T1*T2*(n1+n2)) is evaluated in DOUBLE with an
+    identical expression tree in both engines (products of <2^53
+    integers are exactly representable; the one rounding per op is
+    IEEE-deterministic), and the ranking surface is FLOOR(term * 1e6)
+    BIGINT — no ln/libm, no ROUND tie modes.
+
+    Scale shape: one exploded-token scan -> map-side-combined
+    (tok, cohort-filtered) counts (single token-keyed exchange); the
+    totals are a second aggregate over token-cardinality rows (a
+    1-row broadcast back); top-K is TakeOrderedAndProject — no global
+    sort, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("cohort"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("cohort") == 1, 1)).cast("bigint").alias("n2"),
+    )
+    tot = cnt.agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    term = (
+        "(CAST(n1 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+        " - CAST(n2 AS DOUBLE) * CAST(t1 AS DOUBLE))"
+    )
+    chi2 = F.expr(
+        f"CAST(FLOOR({term} * {term}"
+        " / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+        "    * CAST(n1 + n2 AS DOUBLE))"
+        " * 1000000) AS BIGINT)"
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select("tok", "n1", "n2", chi2.alias("chi2_micros"))
+        .orderBy(F.desc("chi2_micros"), F.asc("tok"))
+        .limit(DRIFT_TOP_K)
+    )

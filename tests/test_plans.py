@@ -227,3 +227,41 @@ def test_skyline_never_shuffles(spark, sf_oracle):
     plan = _plan(spark, "q_skyline", sf_oracle)
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_oracle):
+    """rank<=K per source must compile to WindowGroupLimit: each map
+    task keeps only its local top-K per key BEFORE the exchange, so a
+    hot domain never floods the shuffle."""
+    for name in ("tx_domain_cap", "tx_weighted_sample"):
+        plan = _plan(spark, name, sf_oracle)
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_bloom_join_prunes_before_broadcast_join(spark, sf_oracle):
+    """The Bloom mask must be tested at the fact scan (a Filter with
+    shiftright bit arithmetic BELOW the join), the mask itself folded
+    to a literal (no join/exchange to evaluate it), and the real join
+    a broadcast hash join on the filtered dim."""
+    plan = _plan(spark, "q_bloom_join_prune", sf_oracle)
+    assert "BroadcastHashJoin" in plan
+    assert "shiftright" in plan.lower()
+    # pruning is scan-side: exactly the agg exchange, no shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_exchange(spark, sf_oracle):
+    """Lag, run numbering, the (user_id, run_no) aggregation, and the
+    lead window must all ride ONE user_id-keyed exchange (hash
+    partitioning on user_id satisfies the clustered distribution of
+    every downstream operator)."""
+    plan = _plan(spark, "ev_scd2_history", sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_attribution_single_exchange_no_join(spark, sf_oracle):
+    """Last-touch attribution is the LOCF shape: one user-keyed
+    exchange, running frames, no join operator anywhere."""
+    plan = _plan(spark, "ev_last_touch_attribution", sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -69,14 +69,21 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
     import pyspark.sql.functions as F
 
     marker = os.path.join(dest, "_SYNTH_OK")
-    if os.path.isfile(marker) and open(marker).read().strip() == f"v2:{mult}":
+    if os.path.isfile(marker) and open(marker).read().strip() == f"v3:{mult}":
         return
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
 
+    # events.ts has shipped as TIMESTAMP(NANOS) in past rounds; the
+    # legacy conf makes the plain read survive either encoding (a
+    # bigint-ns ts round-trips through the copy and load_table's
+    # bigint branch handles it downstream)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
     li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    events = spark.read.parquet(os.path.join(src, "events.parquet"))
 
     doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     vec_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -148,7 +155,15 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
     # size), which is not how a bigger fact table behaves and would make
     # any orderkey-join probe (q_copurchase_pairs, q_pagerank) read as
     # quadratic by fixture construction rather than by plan
-    ok_stride = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    # ONE shared orderkey stride keeps the lineitem<->orders join honest:
+    # replica r's facts join replica r's orders and nothing else.
+    ok_stride = (
+        max(
+            li.agg(F.max("l_orderkey")).collect()[0][0],
+            orders.agg(F.max("o_orderkey")).collect()[0][0],
+        )
+        + 1
+    )
     li_parts = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * ok_stride))
         for r in range(mult)
@@ -156,8 +171,29 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
     union_all(li_parts).repartition(32).write.mode("overwrite").parquet(
         os.path.join(dest, "lineitem.parquet")
     )
+    o_parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * ok_stride))
+        for r in range(mult)
+    ]
+    union_all(o_parts).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dest, "orders.parquet")
+    )
+    # events: offset user_id and event_id per replica, keep the time
+    # range — a mult-x corpus models mult-x USERS on the same service
+    # window (per-user history shapes unchanged; window aggs get denser,
+    # which is the honest stress for event-time operators)
+    u_stride = events.agg(F.max("user_id")).collect()[0][0] + 1
+    e_stride = events.agg(F.max("event_id")).collect()[0][0] + 1
+    e_parts = [
+        events.withColumn("user_id", F.col("user_id") + F.lit(r * u_stride))
+        .withColumn("event_id", F.col("event_id") + F.lit(r * e_stride))
+        for r in range(mult)
+    ]
+    union_all(e_parts).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dest, "events.parquet")
+    )
     with open(marker, "w") as fh:
-        fh.write(f"v2:{mult}")
+        fh.write(f"v3:{mult}")
 
 
 def main() -> None:
