@@ -231,6 +231,9 @@ class _Session(threading.Thread):
         if not os.path.isdir(os.path.dirname(dst)):
             self.send(550, "no such directory")
             return
+        if getattr(self.server, "strict_rnto", False) and os.path.exists(dst):
+            self.send(550, "destination exists")
+            return
         os.rename(self.rnfr, dst)
         self.rnfr = None
         self.send(250, "renamed")
@@ -254,10 +257,21 @@ class FtpStubServer:
             ...
     """
 
-    def __init__(self, root: str, users: dict[str, str], readonly: bool = False):
+    def __init__(
+        self,
+        root: str,
+        users: dict[str, str],
+        readonly: bool = False,
+        strict_rnto: bool = False,
+    ):
         self.root = os.path.abspath(root)
         self.users = users
         self.readonly = readonly
+        # RFC 959-strict RNTO: many real servers answer 550 when the
+        # rename destination already exists (os.rename's silent POSIX
+        # overwrite is the permissive minority behavior) — the upload
+        # writer's retry idempotency depends on handling this
+        self.strict_rnto = strict_rnto
         self._listener: socket.socket | None = None
         self._accept_thread: threading.Thread | None = None
 

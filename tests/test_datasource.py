@@ -170,3 +170,85 @@ def test_datasource_write_roundtrip_over_ftp(registered, tmp_path):
         )
     assert (dst / "mirror" / "x.txt").read_bytes() == b"xx"
     assert (dst / "mirror" / "y.txt").read_bytes() == b"yyy"
+
+
+def test_datasource_write_retry_over_strict_rnto_ftp(registered, tmp_path):
+    """Task-retry idempotency on RFC-strict servers: many FTP servers
+    answer 550 to RNTO when the destination exists, so re-uploading
+    over files a partially-committed attempt already landed must still
+    succeed (best-effort DELE before the rename) and must replace the
+    bytes — and a drained run leaves no '*.__uploading__' litter."""
+    from tests.ftp_stub_server import FtpStubServer
+
+    spark = registered
+    dst = tmp_path / "dst_srv"
+    (dst / "mirror").mkdir(parents=True)
+    # the "first attempt" already committed these, with stale content
+    (dst / "mirror" / "x.txt").write_bytes(b"stale")
+    (dst / "mirror" / "y.txt").write_bytes(b"stale")
+    rows = [("mirror/x.txt", bytearray(b"xx")), ("mirror/y.txt", bytearray(b"yyy"))]
+    df = spark.createDataFrame(rows, "dest_path string, content binary")
+    with FtpStubServer(str(dst), {"alice": "secret"}, strict_rnto=True) as (
+        host,
+        port,
+    ):
+        (
+            df.write.format("ftp_manifest")
+            .option("kind", "ftp")
+            .option("host", host)
+            .option("port", str(port))
+            .option("username", "alice")
+            .option("password", "secret")
+            .mode("append")
+            .save()
+        )
+    assert (dst / "mirror" / "x.txt").read_bytes() == b"xx"
+    assert (dst / "mirror" / "y.txt").read_bytes() == b"yyy"
+    assert [p for p in dst.rglob("*") if p.name.endswith(".__uploading__")] == []
+
+
+def test_manifest_writer_cleans_temp_on_failure():
+    """A failed store/rename must best-effort DELE its temp name so a
+    dying task leaves nothing durable behind (DataSourceWriter.abort
+    only hears from successful tasks — the failing task itself is the
+    only place that knows the temp name)."""
+    from ftp_blueprints_spark.sources.datasource import ManifestWriter
+
+    class FakeClient:
+        def __init__(self):
+            self.stored: list[str] = []
+            self.deleted: list[str] = []
+
+        def makedirs(self, folder):
+            pass
+
+        def store(self, fileobj, path):
+            self.stored.append(path)
+
+        def delete(self, path):
+            self.deleted.append(path)
+
+        def rename(self, src, dst):
+            raise OSError("550 destination exists")
+
+        def close(self):
+            pass
+
+    class FakeSpec:
+        def __init__(self, client):
+            self._c = client
+
+        def connect(self):
+            return self._c
+
+    w = ManifestWriter.__new__(ManifestWriter)
+    client = FakeClient()
+    w.spec = FakeSpec(client)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        w.write(iter([{"dest_path": "out/a.txt", "content": b"aa"}]))
+    assert client.stored == ["out/a.txt.__uploading__"]
+    # the failed task deleted its own temp (the dest delete attempt
+    # before rename is also visible, but the temp MUST be last)
+    assert client.deleted[-1] == "out/a.txt.__uploading__"
