@@ -4,7 +4,10 @@
   oracle-checked against DuckDB list arithmetic.
 - sim_embedding_neardup: near-dup pairs by cosine threshold, routed
   through banded hyperplane LSH buckets — candidate pairs only form
-  inside equal (band, signature) buckets, never an all-pairs join.
+  inside equal (band, signature) buckets, never an all-pairs join,
+  and each bucket scores its members with ONE exact integer gram
+  matmul (r6; see the function docstring for why the earlier
+  self-join + HOF cosine shape was slower).
   16 bands x 8 planes -> P(miss a true pair at cos 0.9) = (1-0.857^8)^16
   ~ 0.4%, while a random pair collides in a band with prob 2^-8, so
   the candidate set is ~6% of all pairs (and far less on clustered
@@ -26,9 +29,12 @@ projections as Catalyst higher-order lambdas over a literal plane
 matrix; HOFs are interpreted per element and cost ~100x the matmul —
 see band_signatures.)
 
-Per-pair scoring stays built-in zip_with/aggregate cosine
-(functions/vectors.py) — scalar expressions ARE codegen'd; only the
-dense matrix product warrants the Python worker round trip.
+Pair scoring in the ANN shortlists stays built-in zip_with/aggregate
+cosine (functions/vectors.py) where each pair is scored once in a
+projection; dense all-pairs work (near-dup buckets, SemDedup clusters)
+goes through Arrow-batched numpy matmuls instead — Catalyst HOFs are
+interpreted per element, and an expression referenced by both a join
+condition and a projection evaluates twice per row.
 """
 
 from __future__ import annotations

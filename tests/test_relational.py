@@ -154,3 +154,59 @@ def test_zorder_key_matches_python_interleave(spark, sf_oracle):
     assert len(rows) == 50
     for r in rows:
         assert r.zkey == morton(r.part_bucket, r.supp_bucket)
+
+
+def test_bloom_prune_passes_all_matches_few_nonmatches(spark, sf_oracle):
+    """The Bloom mask must pass EVERY true-matching lineitem row (no
+    false negatives — else results would be wrong) while pruning the
+    overwhelming majority of non-matching rows (the shuffle-bytes win
+    the operator exists for). Rebuilds the mask exactly as the query
+    does and measures survivor counts directly."""
+    import pyspark.sql.functions as F
+
+    from ftp_blueprints_spark.plans.relational import (
+        _BJ_PRED,
+        _bloom_pos_exprs,
+        BLOOM_JOIN_M,
+    )
+    from ftp_blueprints_spark.session import load_table
+
+    orders = load_table(spark, sf_oracle, "orders").filter(F.expr(_BJ_PRED))
+    bit_rows = (
+        orders.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in _bloom_pos_exprs("o_orderkey")])
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_JOIN_M // 64)
+    for r in bit_rows:
+        words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask_lit = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    tests = " AND ".join(
+        f"((SHIFTRIGHT(ELEMENT_AT(_mask, CAST(({p}) DIV 64 AS INT) + 1),"
+        f" CAST(({p}) % 64 AS INT)) & 1L) = 1L)"
+        for p in _bloom_pos_exprs("l_orderkey")
+    )
+    li = load_table(spark, sf_oracle, "lineitem").withColumn(
+        "_mask", F.expr(mask_lit)
+    )
+    survived = li.filter(F.expr(tests))
+    true_match = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "semi"
+    )
+    n_total = li.count()
+    n_survived = survived.count()
+    n_true = true_match.count()
+    # no false negatives: every true match survives the mask
+    missed = true_match.join(
+        survived.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    ).count()
+    assert missed == 0
+    # real pruning: survivors are a thin superset of true matches
+    assert n_true <= n_survived < 0.25 * n_total, (n_true, n_survived, n_total)

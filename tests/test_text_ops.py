@@ -232,3 +232,73 @@ def test_quality_classifier_feature_count_and_label(spark, sf_oracle):
     # the fake model must actually split the corpus, not constant-label it
     labels = {r.keep for r in j}
     assert labels == {True, False}
+
+
+def test_domain_cap_enforces_k_and_keeps_saturated_domains_full(spark, sf_oracle):
+    """No source exceeds DOMAIN_CAP_K kept docs, and any source with
+    more than K docs in the corpus keeps EXACTLY K (the cap trims, it
+    never under-fills)."""
+    from ftp_blueprints_spark.plans import text_queries as TQ
+
+    kept = TQ.tx_domain_cap(spark, sf_oracle).groupBy("source").count()
+    totals = (
+        spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "total")
+    )
+    rows = kept.join(totals, "source").collect()
+    assert rows
+    for r in rows:
+        assert r["count"] <= TQ.DOMAIN_CAP_K
+        if r["total"] >= TQ.DOMAIN_CAP_K:
+            assert r["count"] == TQ.DOMAIN_CAP_K, r["source"]
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark, sf_oracle):
+    """Priority sampling selects proportionally to weight: the mean
+    n_chars of the kept docs must exceed the corpus mean (longer docs
+    are over-represented by construction)."""
+    from ftp_blueprints_spark.plans import text_queries as TQ
+
+    got = TQ.tx_weighted_sample(spark, sf_oracle)
+    sample_mean = got.agg(F.avg("n_chars")).collect()[0][0]
+    corpus_mean = (
+        spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_corpus_drift_top_token_is_true_argmax(spark, sf_oracle):
+    """The reported top drift token must be the genuine argmax of the
+    chi-square contribution, recomputed driver-side from raw cohort
+    counts, and every reported contribution must be non-negative and
+    non-increasing."""
+    from collections import Counter
+
+    from ftp_blueprints_spark.plans import text_queries as TQ
+
+    rows = TQ.tx_corpus_drift(spark, sf_oracle).collect()
+    assert rows and all(r.chi2_micros >= 0 for r in rows)
+    assert all(
+        rows[i].chi2_micros >= rows[i + 1].chi2_micros for i in range(len(rows) - 1)
+    )
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    c = [Counter(), Counter()]
+    for r in docs:
+        c[r.doc_id % 2].update(r.text.strip().lower().split())
+    t1, t2 = sum(c[0].values()), sum(c[1].values())
+    import math
+
+    def chi2_micros(tok):
+        n1, n2 = c[0].get(tok, 0), c[1].get(tok, 0)
+        d = float(n1) * float(t2) - float(n2) * float(t1)
+        return math.floor(d * d / (float(t1) * float(t2) * float(n1 + n2)) * 1e6)
+
+    vocab = set(c[0]) | set(c[1])
+    best = max(chi2_micros(t) for t in vocab)
+    assert rows[0].chi2_micros == best
