@@ -102,6 +102,8 @@ HEADLINE = [
     "ev_scd2_history",
     "ev_last_touch_attribution",
     "tx_corpus_drift",
+    "ev_trending_topk",
+    "q_label_propagation",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -202,6 +204,9 @@ BUDGETS = {
     "ev_scd2_history": 1.6,
     "ev_last_touch_attribution": 1.0,
     "tx_corpus_drift": 1.0,
+    "ev_trending_topk": 1.5,
+    # two rounds over the co-purchase self-join graph (pagerank family)
+    "q_label_propagation": 8.0,
 }
 
 

@@ -1979,3 +1979,92 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice * (1 - l_discount)", "revenue", 6),
         )
     )
+
+
+# --- label propagation communities ------------------------------------------
+
+LPA_ITERS = 2
+
+
+def _lpa_oracle() -> str:
+    step = """
+SELECT part, l FROM (
+  SELECT e.src AS part, p.l AS l,
+         ROW_NUMBER() OVER (PARTITION BY e.src
+                            ORDER BY COUNT(*) DESC, p.l) AS rn
+  FROM edges e JOIN {prev} p ON p.part = e.dst
+  GROUP BY e.src, p.l
+) WHERE rn = 1"""
+    iters = ",\n".join(
+        f"lp{i} AS ({step.format(prev=f'lp{i - 1}')})"
+        for i in range(1, LPA_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (SELECT part_a AS src, part_b AS dst FROM pairs GROUP BY 1, 2),
+lp0 AS (SELECT DISTINCT src AS part, src AS l FROM edges),
+{iters}
+SELECT part, l AS label FROM lp{LPA_ITERS}
+"""
+
+
+@query("q_label_propagation", _lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan 2007) over the
+    co-purchase item graph: every node starts in its own community and
+    each of LPA_ITERS rounds adopts the most common label among its
+    neighbors (ties -> smallest label) — the classic cheap community
+    detector, complementing connected components (pure reachability)
+    and PageRank (centrality) in the graph family. Deterministic by
+    construction: synchronous updates + total tie order, so the
+    unrolled-CTE oracle reproduces it exactly.
+
+    Scale shape: per round, ONE equi-join of edges onto the label table
+    keyed on dst, then a (src, label) count that partial-aggregates
+    map-side, collapsed per node with max_by over (count, -label) — the
+    same combine-then-argmax discipline as ev_cdc_compact, so each
+    round's exchanges carry O(edges) then O(nodes x distinct
+    neighbor-labels), never materializing per-node label multisets.
+    (The oracle states the argmax as a window; max_by is the
+    shuffle-lean semantic twin.) The edge list dedups (order, part)
+    BEFORE the self-join — the r5 PageRank lesson — and the iteration
+    count is fixed, keeping lineage LPA_ITERS deep with no
+    checkpointing."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("part")).distinct().select(
+        "part", F.col("part").alias("l")
+    )
+    for _ in range(LPA_ITERS):
+        cnt = (
+            edges.join(labels.withColumnRenamed("part", "dst"), "dst")
+            .groupBy(F.col("src"), F.col("l"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.groupBy("src")
+            .agg(
+                F.max_by(
+                    F.col("l"),
+                    F.struct(F.col("c").alias("c"), (-F.col("l")).alias("neg_l")),
+                ).alias("l")
+            )
+            .withColumnRenamed("src", "part")
+        )
+    return labels.select("part", F.col("l").alias("label"))

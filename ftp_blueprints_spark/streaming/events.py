@@ -1393,3 +1393,55 @@ def ev_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(attributed, F.col("touch_type")).otherwise("organic").alias("channel"),
         F.when(attributed, F.col("ts_us") - F.col("touch_us")).alias("touch_age_us"),
     )
+
+
+# --- windowed trending top-k ------------------------------------------------
+
+TRENDING_K = 3
+
+
+@query(
+    "ev_trending_topk",
+    f"""
+WITH cnt AS (
+  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, rk FROM (
+  SELECT window_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rk
+  FROM cnt
+) WHERE rk <= {TRENDING_K}
+""",
+)
+def ev_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: the top-{TRENDING_K} event types per hourly
+    window by count — the leaderboard aggregation behind every
+    "what's hot right now" feature.
+
+    Scale shape: the (window, type) count partial-aggregates map-side
+    (type cardinality bounds the shuffle, not the event count), and the
+    per-window rank<=K compiles to WindowGroupLimit, so even the ranked
+    exchange carries at most K + ties per window per task. The same
+    expression runs incrementally under Structured Streaming as
+    aggregate -> foreachBatch rank (stream-native top-k needs the
+    arbitrary-state operator; the batch statement is the driver-checked
+    contract)."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TRENDING_K)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "rk",
+        )
+    )
