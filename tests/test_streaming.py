@@ -295,3 +295,41 @@ def test_late_data_matches_live_watermark_drops(spark, sf_oracle, tmp_path):
     emitted = spark.table("t_late_live").count()
     assert dropped == model_late
     assert emitted == model_total - model_late
+
+
+def test_foreachbatch_idempotent_sink_exactly_once(spark, sf_oracle, tmp_path):
+    """The exactly-once sink pattern: foreachBatch + a batchId-keyed
+    idempotent write (overwrite into a per-batch directory). Spark's
+    guarantee is at-least-once DELIVERY of each micro-batch; writing
+    deterministically under the batch id turns redelivery into a no-op.
+    Simulate a redelivery by re-running one batch's write and require
+    the drained sink to equal the batch query row-for-row anyway."""
+    ev, source = _chrono_source(spark, sf_oracle, tmp_path)
+    out_root = tmp_path / "sink"
+    out_root.mkdir()
+    calls: list[int] = []
+
+    def write_batch(df, batch_id: int) -> None:
+        calls.append(batch_id)
+        dest = str(out_root / f"batch={batch_id}")
+        df.write.mode("overwrite").parquet(dest)
+        if batch_id == 1:  # simulated at-least-once redelivery
+            df.write.mode("overwrite").parquet(dest)
+
+    q = (
+        source.filter("event_type = 'purchase'")
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(set(calls)) >= 4, calls  # real multi-batch execution
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(out_root)).drop("batch").collect()
+    }
+    want = {
+        tuple(r) for r in ev.filter("event_type = 'purchase'").collect()
+    }
+    assert got == want
