@@ -208,6 +208,11 @@ NEARDUP_ROWS = 8
 
 
 NEARDUP_COS_MICROS = int(round(NEARDUP_COS * 1_000_000))
+# Per-bucket member cap: a bucket beyond this is a mass-duplication
+# cluster (exact dedup's job); scoring it densely would be O(m^2) in one
+# task. Generous vs. real near-dup cluster sizes; far above anything the
+# driver/bench corpora produce, so oracle parity is unaffected there.
+NEARDUP_MAX_BUCKET = 1000
 
 
 def neardup_pairs_sql() -> str:
@@ -277,13 +282,24 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     any true pair lands in the 0.5% LSH miss budget; at the
     driver-checked sizes expected misses are << 1 and every round's
     check has been exact. At 100 TB the operator's contract is the
-    recall bound, not oracle equality."""
+    recall bound, not oracle equality.
+
+    Mass-duplication guard: neardup_params bounds RANDOM bucket
+    occupancy, but a true-duplicate cluster collides by construction —
+    every member shares every band — and a 100k-member cluster would
+    hand one task an m x m gram matrix (the dense-matmul twin of the
+    skew the MinHash pipeline caps with MAX_LSH_BUCKET). Buckets
+    larger than NEARDUP_MAX_BUCKET are therefore skipped: a cluster
+    that size is exact/normalized dedup's job (its members agree
+    near-verbatim), not a near-dup scorer's, and the cap keeps
+    per-task memory at O(NEARDUP_MAX_BUCKET^2) regardless of corpus
+    pathology."""
     emb = load_table(spark, sf_dir, "embeddings")
     bands, rows = neardup_params(table_rows(sf_dir, "embeddings"))
     sig = band_signatures(emb, bands, rows)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+        if len(pdf) < 2 or len(pdf) > NEARDUP_MAX_BUCKET:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_micros": []}).astype(
                 {"vec_a": "int64", "vec_b": "int64", "cos_micros": "int64"}
             )
@@ -727,38 +743,61 @@ def _ivf_serve(emb: DataFrame, cents: DataFrame, lists: DataFrame) -> DataFrame:
     )
 
 
+def _publish_index(out: str, write_fn) -> str:
+    """Build-then-rename publish discipline shared by every index
+    build: ``write_fn(tmp)`` materializes the index under a
+    PER-PROCESS temp name, then one atomic os.rename publishes it.
+    The pid-unique temp is what makes the concurrent-build race
+    actually safe — with a shared '.building' name two processes would
+    interleave writes into the same directory and rename a corrupted
+    mix into place. Losing the rename race (the destination appeared
+    meanwhile) is fine because builds are deterministic: the winner's
+    index is byte-equivalent; any other rename failure propagates."""
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.building.{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_fn(tmp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):  # not a lost race: real failure
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
     """BUILD phase of the IVF serving split (the ivfpq_build pattern,
     sans codes): train portable_centroids once, assign every vector,
     persist centroids plus the inverted lists PARTITIONED BY cid, then
-    atomically rename into place. Serving then reads only the probed
-    cells: the probes side is tiny and equi-keyed on the partition
-    column, so Spark's dynamic partition pruning skips the other
-    K - nprobe directories entirely — at 100 TB the index scan is
-    nprobe/K of the corpus at the FILE level, not post-scan. Build is
-    deterministic from the base table, so the persisted index inherits
-    the driver-checked oracle (the same SQL proves train+serve from
-    scratch and serve-from-disk)."""
+    atomically rename into place (_publish_index). Serving then reads
+    only the probed cells: the probes side is tiny and equi-keyed on
+    the partition column, so Spark's dynamic partition pruning skips
+    the other K - nprobe directories entirely — at 100 TB the index
+    scan is nprobe/K of the corpus at the FILE level, not post-scan.
+    Build is deterministic from the base table, so the persisted index
+    inherits the driver-checked oracle (the same SQL proves
+    train+serve from scratch and serve-from-disk)."""
     out = index_dir or _index_dir(sf_dir, "ivf")
     if os.path.isdir(out):
         return out
     emb = load_table(spark, sf_dir, "embeddings")
     cents = portable_centroids(emb).cache()
     assigned = ivf_assign(emb, cents, round_digits=6)
-    tmp = out + ".building"
-    import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(tmp, "lists")
-    )
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:  # lost a concurrent-build race: theirs is equivalent
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    def write(tmp: str) -> None:
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(tmp, "lists")
+        )
+
+    return _publish_index(out, write)
 
 
 @query("sim_ivf_query", _ivf_oracle())
@@ -886,17 +925,10 @@ def ann_lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None
     sigs = band_signatures(
         load_table(spark, sf_dir, "embeddings"), ANN_BANDS, ANN_ROWS, quantize=True
     ).select("vec_id", "band", "sig")
-    tmp = out + ".building"
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs"))
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:  # lost a concurrent-build race: theirs is equivalent
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return _publish_index(
+        out,
+        lambda tmp: sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs")),
+    )
 
 
 @query("sim_ann_lsh_query", _ann_lsh_oracle())
@@ -1395,26 +1427,20 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, coded, books_q = ivfpq_fit(emb)
     M, KS, d_sub = books_q.shape
-    tmp = out + ".building"
-    import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-    coded.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
-    book_rows = [
-        (m, k, [int(v) for v in books_q[m, k]])
-        for m in range(M)
-        for k in range(KS)
-    ]
-    spark.createDataFrame(
-        book_rows, "m int, k int, sub array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:  # lost a concurrent-build race: theirs is equivalent
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    def write(tmp: str) -> None:
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        coded.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+        book_rows = [
+            (m, k, [int(v) for v in books_q[m, k]])
+            for m in range(M)
+            for k in range(KS)
+        ]
+        spark.createDataFrame(
+            book_rows, "m int, k int, sub array<bigint>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
+
+    return _publish_index(out, write)
 
 
 @query("sim_ivfpq_query", _ivfpq_oracle())

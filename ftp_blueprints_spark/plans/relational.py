@@ -1907,6 +1907,37 @@ def _bloom_pos_exprs(key_sql: str) -> list[str]:
     ]
 
 
+def bloom_mask_and_tests(
+    build_side: DataFrame, build_key: str, probe_key: str
+) -> tuple[str, str]:
+    """Build the Bloom bitmask from ``build_side[build_key]`` (one tiny
+    job; the distinct-bit collect is <= BLOOM_JOIN_M rows, constant-
+    bounded) and return (mask array literal, probe-side filter SQL over
+    a ``_mask`` column). Shared by q_bloom_join_prune and its
+    effectiveness test so the word packing and the shift/mask probe
+    expression cannot silently diverge."""
+    bit_rows = (
+        build_side.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in _bloom_pos_exprs(build_key)])
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_JOIN_M // 64)
+    for r in bit_rows:
+        words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    mask_lit = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    tests = " AND ".join(
+        f"((SHIFTRIGHT(ELEMENT_AT(_mask, CAST(({p}) DIV 64 AS INT) + 1),"
+        f" CAST(({p}) % 64 AS INT)) & 1L) = 1L)"
+        for p in _bloom_pos_exprs(probe_key)
+    )
+    return mask_lit, tests
+
+
 @query(
     "q_bloom_join_prune",
     f"""
@@ -1940,24 +1971,7 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical. The win is shuffle bytes: non-matching fact rows die at
     the scan instead of crossing the exchange."""
     orders = load_table(spark, sf_dir, "orders").filter(F.expr(_BJ_PRED))
-    pos_o = _bloom_pos_exprs("o_orderkey")
-    bit_rows = (
-        orders.select(
-            F.explode(F.array(*[F.expr(p) for p in pos_o])).alias("bit")
-        )
-        .distinct()
-        .collect()
-    )
-    words = [0] * (BLOOM_JOIN_M // 64)
-    for r in bit_rows:
-        words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
-    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    mask_lit = "array(" + ",".join(f"{w}L" for w in signed) + ")"
-    tests = " AND ".join(
-        f"((SHIFTRIGHT(ELEMENT_AT(_mask, CAST(({p}) DIV 64 AS INT) + 1),"
-        f" CAST(({p}) % 64 AS INT)) & 1L) = 1L)"
-        for p in _bloom_pos_exprs("l_orderkey")
-    )
+    mask_lit, tests = bloom_mask_and_tests(orders, "o_orderkey", "l_orderkey")
     li = (
         load_table(spark, sf_dir, "lineitem")
         .withColumn("_mask", F.expr(mask_lit))

@@ -450,7 +450,12 @@ def tx_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEIGHTED_SAMPLE_K = 10  # kept docs per language
-_PRIORITY_SCALE = 1 << 48
+# 32-bit hash + 2^32 scale: w * 2^32 stays < 2^63 for any w < 2^31 (2 GiB
+# of chars — no real document), where the earlier 48-bit formulation
+# overflowed BIGINT at w >= 2^15 (a routine 32 KB doc): Spark would wrap
+# negative (silently inverting the sample) while DuckDB raises, so the
+# bound is load-bearing, not cosmetic. 32 uniform bits are ample for u.
+_PRIORITY_SCALE = 1 << 32
 
 
 @query(
@@ -459,12 +464,12 @@ _PRIORITY_SCALE = 1 << 48
 SELECT doc_id, lang, n_chars, priority FROM (
   SELECT doc_id, lang, n_chars,
          CAST(n_chars AS BIGINT) * {_PRIORITY_SCALE}
-           // (CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1)
+           // (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) + 1)
            AS priority,
          ROW_NUMBER() OVER (
            PARTITION BY lang
            ORDER BY CAST(n_chars AS BIGINT) * {_PRIORITY_SCALE}
-                      // (CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1)
+                      // (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) + 1)
                       DESC, doc_id) AS rk
   FROM documents
 ) WHERE rk <= {WEIGHTED_SAMPLE_K}
@@ -476,8 +481,9 @@ def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = n_chars and u uniform in (0,1] derived from its content hash;
     the top-K priorities per language form a sample where inclusion
     probability is proportional to length. All arithmetic is exact
-    BIGINT (u is the 48-bit md5 prefix + 1; the ratio is one integer
-    floor-division), so ranking is bit-identical across engines — no
+    BIGINT (u is the 32-bit md5 prefix + 1; the ratio is one integer
+    floor-division; w * 2^32 < 2^63 for every real document — see
+    _PRIORITY_SCALE), so ranking is bit-identical across engines — no
     ln()/pow() libm surface, the usual cross-engine hazard of the
     equivalent A-ES exponential-keys scheme.
 
@@ -485,7 +491,7 @@ def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank<=K compiles to WindowGroupLimit, so each map task forwards at
     most K rows per language into the single exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
     pr = docs.select(
         "doc_id",
         "lang",

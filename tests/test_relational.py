@@ -164,33 +164,11 @@ def test_bloom_prune_passes_all_matches_few_nonmatches(spark, sf_oracle):
     does and measures survivor counts directly."""
     import pyspark.sql.functions as F
 
-    from ftp_blueprints_spark.plans.relational import (
-        _BJ_PRED,
-        _bloom_pos_exprs,
-        BLOOM_JOIN_M,
-    )
+    from ftp_blueprints_spark.plans.relational import _BJ_PRED, bloom_mask_and_tests
     from ftp_blueprints_spark.session import load_table
 
     orders = load_table(spark, sf_oracle, "orders").filter(F.expr(_BJ_PRED))
-    bit_rows = (
-        orders.select(
-            F.explode(
-                F.array(*[F.expr(p) for p in _bloom_pos_exprs("o_orderkey")])
-            ).alias("bit")
-        )
-        .distinct()
-        .collect()
-    )
-    words = [0] * (BLOOM_JOIN_M // 64)
-    for r in bit_rows:
-        words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
-    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    mask_lit = "array(" + ",".join(f"{w}L" for w in signed) + ")"
-    tests = " AND ".join(
-        f"((SHIFTRIGHT(ELEMENT_AT(_mask, CAST(({p}) DIV 64 AS INT) + 1),"
-        f" CAST(({p}) % 64 AS INT)) & 1L) = 1L)"
-        for p in _bloom_pos_exprs("l_orderkey")
-    )
+    mask_lit, tests = bloom_mask_and_tests(orders, "o_orderkey", "l_orderkey")
     li = load_table(spark, sf_oracle, "lineitem").withColumn(
         "_mask", F.expr(mask_lit)
     )

@@ -302,3 +302,26 @@ def test_corpus_drift_top_token_is_true_argmax(spark, sf_oracle):
     vocab = set(c[0]) | set(c[1])
     best = max(chi2_micros(t) for t in vocab)
     assert rows[0].chi2_micros == best
+
+
+def test_weighted_sample_priority_survives_long_docs(spark):
+    """Regression (r6 review): the 48-bit formulation overflowed BIGINT
+    for any doc with n_chars >= 2^15 (Spark wrapped negative, silently
+    inverting the sample; DuckDB raised). The 32-bit scale must yield
+    a positive, exactly-reproducible priority for a 40 KB document."""
+    import hashlib
+
+    from ftp_blueprints_spark.plans.text_queries import _PRIORITY_SCALE
+
+    text = "long document " * 3000  # 42000 chars
+    df = spark.createDataFrame(
+        [(1, text, len(text))], "doc_id long, text string, n_chars long"
+    )
+    got = df.selectExpr(
+        f"CAST(n_chars AS BIGINT) * {_PRIORITY_SCALE}"
+        " DIV (CAST(CONV(SUBSTRING(MD5(text), 1, 8), 16, 10) AS BIGINT) + 1)"
+        " AS priority"
+    ).collect()[0]["priority"]
+    h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+    want = len(text) * _PRIORITY_SCALE // (h + 1)
+    assert got == want and got > 0

@@ -89,6 +89,16 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
     vec_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     stride = max(doc_stride, vec_stride)
     dim = len(emb.select("embedding").first()[0])
+    # rotation (dim states) x alternating flip (2 states) yields 2*dim
+    # distinct embedding transforms; beyond that, replicas r and
+    # r + 2*dim would hold IDENTICAL vectors and fabricate cross-shard
+    # duplicates — refuse rather than skew the dedup exponents silently
+    if mult > 2 * dim:
+        raise ValueError(
+            f"--mult {mult} exceeds the {2 * dim} distinct embedding "
+            "transforms (rotations x sign flips); add more flip states "
+            "before probing past that"
+        )
 
     doc_parts = []
     emb_parts = []
