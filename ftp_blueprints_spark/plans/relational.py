@@ -806,6 +806,29 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # As-of join and range join (custom operators Spark lacks natively)
 # ---------------------------------------------------------------------------
 
+def asof_last_error(ev: DataFrame) -> DataFrame:
+    """Annotate every event with the most recent same-user error ts at
+    or before it (inclusive): one shuffle on user_id, then a running
+    last(ignorenulls) window. Shared by q_asof_join / q_asof_tolerance.
+
+    Tie rule: "at or before" INCLUDES an error at exactly the event's
+    timestamp, so within a tied ts the window orders errors before
+    non-errors — ordering by raw event_id would drop a same-ts error
+    whose id is larger than the click's. Same-ts errors all contribute
+    the identical ts value, so the order among them is value-irrelevant;
+    event_id remains as the final determinism tiebreak."""
+    errors_first = F.when(F.col("event_type") == "error", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", errors_first, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return ev.withColumn(
+        "last_error_ts", F.last(err_ts, ignorenulls=True).over(w)
+    )
+
+
 @query(
     "q_asof_join",
     """
@@ -820,16 +843,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (reference semantics: for each click, the most recent
     error at-or-before it for the same user). Spark-native formulation:
     one shuffle on user_id, then a running `last(ignorenulls)` window —
-    no O(n^2) join, scales linearly in events per user."""
+    no O(n^2) join, scales linearly in events per user. Tie semantics
+    (same-ts errors included, matching the oracle's `e.ts <= c.ts`)
+    live in asof_last_error."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
     return (
-        ev.withColumn("last_error_ts", F.last(err_ts, ignorenulls=True).over(w))
+        asof_last_error(ev)
         .filter(F.col("event_type") == "click")
         .select(
             "event_id",
@@ -1023,18 +1042,13 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join with tolerance (pandas merge_asof semantics): the most
     recent same-user error at-or-before each click, but only within 30
     minutes — older matches become NULL instead of a stale pairing.
-    Same single-shuffle running-window plan as q_asof_join; the
+    Same single-shuffle running-window plan as q_asof_join (shared
+    asof_last_error, same errors-before-clicks tie order); the
     tolerance is a post-window predicate, not a second join."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
-    last_err = F.unix_micros(F.last(err_ts, ignorenulls=True).over(w))
     return (
-        ev.withColumn("last_error_us", last_err)
+        asof_last_error(ev)
+        .withColumn("last_error_us", F.unix_micros("last_error_ts"))
         .filter(F.col("event_type") == "click")
         .select(
             "event_id",

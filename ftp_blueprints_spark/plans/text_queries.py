@@ -169,8 +169,6 @@ def tx_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final agg shuffles pre-combined (lang, source) partials.
     The average is emitted in exact integer micro-units (floor) so the
     hash is engine-neutral."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
@@ -330,8 +328,6 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing wastes at most one bin tail per PACK_BLOCK_DOCS docs and
     every block packs in parallel (one shuffle keyed on blk)."""
     docs = load_table(spark, sf_dir, "documents")
-    from ..functions import text as T
-
     slim = docs.select(
         "doc_id",
         F.size(T.lower_tokens(F.col("text"))).alias("n_tok"),
@@ -1072,11 +1068,19 @@ _BM25_QTERM_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
 )
 
-# BM25 with k1=1.2, b=0.75 in exact integer arithmetic (micro-units):
-#   idf       ~ (N - df + 0.5)/(df + 0.5)        -> (2(N-df)+1)*1e6 // (2df+1)
-#   tf factor = tf(k1+1)/(tf + k1(1-b+b*dl/avgdl))
-#             = 22*tf*L // (10*tf*L + 3*L + 9*dl*N)   [avgdl = L/N,
-#               multiplied through by 10*L so every operand is integral]
+# BM25 with k1=1.2, b=0.75 in exact integer arithmetic. Overflow-safe
+# factoring: every operand stays < 2^63 up to ~10^12 docs / 10^8 tokens
+# per doc (the earlier single-fraction form 22*tf*L*1e6 // (...) wraps
+# BIGINT once l_total*tf exceeds ~4e11 — Spark wraps SILENTLY, so the
+# safe form is load-bearing, not cosmetic):
+#   avgdl  = L // N                       (floor; >=100 in any real corpus,
+#                                          so the floor costs <1%)
+#   d9m    = 9000*dl // avgdl             (milli-units of 9*dl/avgdl)
+#   tf_m   = 22e6*tf // (10000*tf + 3000 + d9m)
+#          ~ tf(k1+1)/(tf + k1(1-b+b*dl/avgdl)) in milli-units, <= 2200
+#   idf_m  ~ (N - df + 0.5)/(df + 0.5) -> (2(N-df)+1)*1000 // (2df+1)
+#   score_mu = SUM(idf_m * tf_m)          (milli x milli = micro, exact
+#                                          product, no further division)
 # The idf is the raw Robertson ratio (no log): a monotone surrogate that
 # keeps the score a pure BIGINT so both engines hash identically.
 _BM25_RANKED_SQL = f"""
@@ -1085,7 +1089,8 @@ base AS (
   FROM documents
 ),
 stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS l_total
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
   FROM base
 ),
 qterms AS (SELECT * FROM (VALUES {_BM25_QTERM_VALUES}) AS v(query_id, tok)),
@@ -1098,11 +1103,11 @@ tf AS (
 dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY tok),
 term_scores AS (
   SELECT q.query_id, t.doc_id,
-         ((2 * (s.n_docs - d.dfreq) + 1) * 1000000) // (2 * d.dfreq + 1)
-           AS idf_mu,
-         (22 * t.tf * s.l_total * 1000000)
-           // (10 * t.tf * s.l_total + 3 * s.l_total + 9 * t.dl * s.n_docs)
-           AS tf_mu
+         ((2 * (s.n_docs - d.dfreq) + 1) * 1000) // (2 * d.dfreq + 1)
+           AS idf_m,
+         (22000000 * t.tf)
+           // (10000 * t.tf + 3000 + (9000 * t.dl) // s.avgdl)
+           AS tf_m
   FROM tf t
   JOIN dfreq d USING (tok)
   JOIN qterms q USING (tok)
@@ -1110,7 +1115,7 @@ term_scores AS (
 ),
 doc_scores AS (
   SELECT query_id, doc_id,
-         CAST(SUM((idf_mu * tf_mu) // 1000000) AS BIGINT) AS score_mu
+         CAST(SUM(idf_m * tf_m) AS BIGINT) AS score_mu
   FROM term_scores GROUP BY query_id, doc_id
 ),
 bm25_ranked AS (
@@ -1137,7 +1142,10 @@ def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     window via the two-pass trick (local top-k per physical partition,
     then a window over the <= k * n_partitions survivors) — same shape
     as the manifest file numbering (operators/manifest.py A2). No
-    floats, no libm: both engines floor-divide nonneg BIGINTs.
+    floats, no libm: both engines floor-divide nonneg BIGINTs, and the
+    milli-unit factoring (see _BM25_RANKED_SQL comment) keeps every
+    intermediate < 2^63 up to ~10^12 docs — Spark wraps BIGINT
+    silently, so the bound is a correctness property, not tidiness.
     Reference scope: text-analysis extension (SURVEY.md §2B); the
     reference engine has no retrieval op (SURVEY.md §2A)."""
     all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
@@ -1150,7 +1158,9 @@ def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dl", F.size("tk").cast("bigint"))
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("l_total"),
+        F.expr("CAST(SUM(dl) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias(
+            "avgdl"
+        ),
     )
     tf = (
         base.select("doc_id", "dl", F.explode("tk").alias("tok"))
@@ -1164,21 +1174,19 @@ def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qdf), "tok")
         .crossJoin(F.broadcast(stats))
         .withColumn(
-            "idf_mu",
-            F.expr("((2 * (n_docs - dfreq) + 1) * 1000000) DIV (2 * dfreq + 1)"),
+            "idf_m",
+            F.expr("((2 * (n_docs - dfreq) + 1) * 1000) DIV (2 * dfreq + 1)"),
         )
         .withColumn(
-            "tf_mu",
+            "tf_m",
             F.expr(
-                "(22 * tf * l_total * 1000000)"
-                " DIV (10 * tf * l_total + 3 * l_total + 9 * dl * n_docs)"
+                "(22000000 * tf)"
+                " DIV (10000 * tf + 3000 + (9000 * dl) DIV avgdl)"
             ),
         )
     )
     doc_scores = term_scores.groupBy("query_id", "doc_id").agg(
-        F.expr("CAST(SUM((idf_mu * tf_mu) DIV 1000000) AS BIGINT)").alias(
-            "score_mu"
-        )
+        F.expr("CAST(SUM(idf_m * tf_m) AS BIGINT)").alias("score_mu")
     )
     # two-pass per-query top-k: local top-k per physical partition is a
     # superset of the global top-k, so the final window only ever sees

@@ -286,6 +286,21 @@ def _ttl_scan(ts_us, event_ids, last_kept, ttl_us):
     return kept, last_kept
 
 
+def _ttl_group_scan(pdf_iter, last_kept, ttl_us):
+    """One group's keep/renew result from an iterator of Arrow chunks.
+
+    Chunks arrive in ARBITRARY order and split points (the Arrow batch
+    size, not any semantic boundary), so the scan must concat the whole
+    group and sort once by (ts_us, event_id) — sorting chunks
+    independently would judge a later-chunk early event against a kept
+    timestamp from its future. The event_id tiebreak mirrors
+    ttl_dedup_batch so streaming and batch agree on ts ties."""
+    import pandas as pd
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+    return _ttl_scan(pdf["ts_us"], pdf["event_id"], last_kept, ttl_us)
+
+
 def ttl_dedup_batch(ev: DataFrame, ttl_us: int = TTL_DEDUP_TTL_US) -> DataFrame:
     """Batch execution: ONE shuffle on the key (repartition by
     (user_id, event_type) + sort within partitions by key, ts) then a
@@ -384,11 +399,7 @@ def stream_ttl_dedup(
             state.remove()
             return iter(())
         last = state.get[0] if state.exists else None
-        rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts_us")
-            kept, last = _ttl_scan(pdf["ts_us"], pdf["event_id"], last, ttl_us)
-            rows.extend(kept)
+        rows, last = _ttl_group_scan(pdf_iter, last, ttl_us)
         if last is not None:
             state.update((int(last),))
             state.setTimeoutTimestamp(int(last) // 1000 + ttl_us // 1000)
@@ -787,9 +798,11 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides are bucket-cardinality, never event-cardinality)."""
     ev = _events(spark, sf_dir).select(
         "event_type",
-        (
-            (F.unix_micros("ts") / _HOUR_US).cast("bigint") * _HOUR_US
-        ).alias("h"),
+        # Integer floor-division, not float-divide-then-truncate: DIV
+        # floors like the oracle's range() arithmetic even for pre-1970
+        # (negative-µs) timestamps, where double division truncates
+        # toward zero and lands one bucket high.
+        F.expr(f"(unix_micros(ts) DIV {_HOUR_US}) * {_HOUR_US}").alias("h"),
     )
     counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
     bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))

@@ -19,6 +19,37 @@ def test_approx_count_distinct_within_rsd(spark, sf_oracle):
     assert abs(approx - exact) / exact <= 0.15, f"exact={exact} approx={approx}"
 
 
+def test_asof_includes_same_timestamp_error(spark):
+    """The as-of contract is `error.ts <= click.ts` INCLUSIVE: an error
+    at exactly the click's timestamp must be picked up even when its
+    event_id is larger than the click's (regression: a window ordered
+    by raw (ts, event_id) placed that error after the click row and
+    returned the older error instead)."""
+    import datetime as dt
+
+    from ftp_blueprints_spark.plans.relational import asof_last_error
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    later = t0 + dt.timedelta(minutes=5)
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t0 - dt.timedelta(hours=1), "error"),  # older error
+            (1, 17, t0, "click"),  # the probe click
+            (1, 42, t0, "error"),  # same-ts error, LARGER id
+            (1, 50, later, "click"),  # sanity: later click sees t0 too
+        ],
+        "user_id bigint, event_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r["event_id"]: r["last_error_ts"]
+        for r in asof_last_error(ev)
+        .filter(F.col("event_type") == "click")
+        .collect()
+    }
+    assert got[17] == t0, f"same-ts error missed: got {got[17]}"
+    assert got[50] == t0
+
+
 def test_file_numbering_is_global_path_order(spark, sf_oracle):
     """Two-pass numbering == row_number() OVER (ORDER BY path)."""
     from ftp_blueprints_spark.operators.manifest import (

@@ -103,6 +103,34 @@ def test_ttl_dedup_renews_window():
     assert kept == [(1, 0), (3, 20)] and last == 20
 
 
+def test_ttl_group_scan_is_chunk_order_invariant():
+    """applyInPandasWithState delivers a group in arbitrary Arrow-sized
+    chunks with no ordering guarantee. The group scan must therefore be
+    invariant to how the rows are split and ordered across chunks: an
+    event at t=10 arriving in a LATER chunk than a kept t=40 event must
+    still be kept (it precedes t=40 in event time), which a
+    chunk-at-a-time scan wrongly suppresses. Ties on ts_us must break
+    by event_id, matching ttl_dedup_batch."""
+    import pandas as pd
+
+    def chunk(rows):
+        return pd.DataFrame(rows, columns=["ts_us", "event_id"])
+
+    # Global time order: (0,id1) keep, (10,id2) keep (>ttl after 0),
+    # (10,id3) drop (tie loses to id2), (40,id4) keep.
+    rows = [(0, 1), (10, 2), (10, 3), (40, 4)]
+    want = ([(1, 0), (2, 10), (4, 40)], 40)
+    one_chunk = E._ttl_group_scan(iter([chunk(rows)]), None, 5)
+    assert one_chunk == want
+    # Same rows, adversarial split: the t=10 pair lands in a chunk
+    # AFTER t=40, and within the first chunk rows are ts-descending.
+    split = [chunk([(40, 4), (0, 1)]), chunk([(10, 3), (10, 2)])]
+    assert E._ttl_group_scan(iter(split), None, 5) == want
+    # Carried state from a previous micro-batch still suppresses: with
+    # last_kept=30, only t=40 clears the TTL (40-30 > 5).
+    assert E._ttl_group_scan(iter(split), 30, 5) == ([(4, 40)], 40)
+
+
 def test_ttl_dedup_stream_matches_batch(spark, sf_oracle):
     """applyInPandasWithState path == grouped-map batch path."""
     batch = _rows(E.ev_ttl_dedup(spark, sf_oracle))
