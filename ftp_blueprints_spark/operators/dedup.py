@@ -391,7 +391,12 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against dd_ngram_jaccard ground truth."""
     docs = load_table(spark, sf_dir, "documents")
     sh = capped_shingles(docs, 3)  # same df-capped universe as the ground truth
-    sig = minhash_signatures(sh).cache()
+    # localCheckpoint, not cache: same one-materialization reuse across
+    # the three consumers below, but the blocks are reclaimed by the
+    # ContextCleaner when this query's references drop — an explicit
+    # .cache() here stayed pinned for the whole session (never
+    # unpersisted, one leak per invocation).
+    sig = minhash_signatures(sh).localCheckpoint(eager=True)
     cand = lsh_candidates(sig)
     sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -520,7 +525,9 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     form inside equal (chunk, value) buckets, so the join is
     bucket-keyed, never O(n^2)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = simhash(docs).cache()
+    # localCheckpoint for the same leak-free reuse as dd_minhash_lsh's
+    # signature table (see comment there).
+    sh = simhash(docs).localCheckpoint(eager=True)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -595,15 +602,18 @@ def connected_keepers(
     CTE is O(cluster_size^2) rows — fine for DuckDB at sf0.01, wrong at
     100 TB). Iterations needed = graph diameter; near-dup clusters are
     small and clique-like, so convergence is 2-4 rounds in practice
-    (``max_iters`` bounds pathological chains). localCheckpoint
-    truncates each round's lineage so the plan does not grow with the
-    iteration count."""
+    (``max_iters`` bounds pathological chains — and hitting that bound
+    while labels are still moving RAISES rather than silently returning
+    unconverged keepers, which would miss-assign every component whose
+    diameter exceeds the bound). localCheckpoint truncates each round's
+    lineage so the plan does not grow with the iteration count."""
     e = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
     labels = all_docs.select("doc_id", F.col("doc_id").alias("keeper"))
+    changed = 0
     for _ in range(max_iters):
         nmin = (
             e.join(labels, e.dst == labels.doc_id)
@@ -619,6 +629,12 @@ def connected_keepers(
         labels = stepped.select("doc_id", F.col("new_keeper").alias("keeper"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_keepers did not converge in {max_iters} iterations "
+            f"({changed} labels still moving): a component's diameter exceeds "
+            "the bound — raise max_iters (components need diameter rounds)."
+        )
     return labels
 
 

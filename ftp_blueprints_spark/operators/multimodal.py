@@ -58,15 +58,22 @@ DECODED_SCHEMA = StructType(
 
 def to_media_table(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Build a media table from documents: UTF-8 payload bytes stand in
-    for real media blobs (same shape: id + opaque binary + metadata)."""
+    for real media blobs (same shape: id + opaque binary + metadata).
+    The output is asserted against MEDIA_SCHEMA (names + types;
+    nullability differs for literal columns) so the published contract
+    cannot drift from what this builder actually produces."""
     payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
+    out = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
         payload.alias("payload"),
         F.octet_length(payload).cast("bigint").alias("byte_len"),
         (F.octet_length(payload) / 64).cast("int").alias("size_bin"),
     )
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [(f.name, f.dataType) for f in MEDIA_SCHEMA.fields]
+    assert got == want, f"media table drifted from MEDIA_SCHEMA: {got} != {want}"
+    return out
 
 
 def _fake_decode_batch(pdf):
@@ -416,9 +423,13 @@ def phash_media(media: DataFrame) -> DataFrame:
     )  # bounded: exactly PHASH_BITS rows
     corpus_cnt = [int(r["tc"]) for r in totals]
     corpus_bytes = sum(corpus_cnt)  # total bigrams across the corpus
+    # greatest(byte_len-1, 0): an empty payload has ZERO bigrams, not
+    # -1 — without the clamp its compare is 0 > -tc (every bit set) and
+    # the corpus total drifts from the histogram sum by one per empty
+    # doc, skewing every OTHER document's threshold too.
     bit_terms = " + ".join(
         f"CASE WHEN element_at(hist, {i + 1}) * {corpus_bytes}L > "
-        f"{corpus_cnt[i]}L * (byte_len - 1) THEN {1 << i}L ELSE 0L END"
+        f"{corpus_cnt[i]}L * greatest(byte_len - 1, 0L) THEN {1 << i}L ELSE 0L END"
         for i in range(PHASH_BITS)
     )
     fp = with_hist.select("media_id", F.expr(bit_terms).alias("fp")).localCheckpoint(
@@ -444,7 +455,10 @@ bytes AS (
   FROM b
 ),
 grams AS (
-  SELECT media_id, n - 1 AS n,
+  -- GREATEST(n-1, 0): zero bigrams for an empty payload (n-1 = -1
+  -- would poison the corpus total and flip the cross-multiplied
+  -- compare for the empty doc); mirrors the engine's greatest() clamp.
+  SELECT media_id, GREATEST(n - 1, 0) AS n,
          list_transform(range(1, n),
                         i -> (bs[i] * 256 + bs[i + 1]) % {PHASH_BITS}) AS gs
   FROM bytes

@@ -691,7 +691,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join stays equi-keyed on cid, and assignment itself is the
     zero-shuffle literal-argmax projection (ivf_assign)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = portable_centroids(emb).cache()
+    # localCheckpoint, not cache: K tiny rows, reused by the literal
+    # collect and the probe/residual joins, released on GC instead of
+    # pinned session-long (a bare .cache() here was never unpersisted).
+    cents = portable_centroids(emb).localCheckpoint(eager=True)
     assigned = ivf_assign(emb, cents, round_digits=6)
     return _ivf_serve(emb, cents, assigned)
 
@@ -788,7 +791,10 @@ def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
     if os.path.isdir(out):
         return out
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = portable_centroids(emb).cache()
+    # localCheckpoint, not cache: K tiny rows, reused by the literal
+    # collect and the probe/residual joins, released on GC instead of
+    # pinned session-long (a bare .cache() here was never unpersisted).
+    cents = portable_centroids(emb).localCheckpoint(eager=True)
     assigned = ivf_assign(emb, cents, round_digits=6)
 
     def write(tmp: str) -> None:
@@ -1288,7 +1294,10 @@ def ivfpq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame, np.ndarray]:
     integer-argmin codes. Returns (centroids, coded rows, quantized
     codebooks) — everything the serving path needs, everything
     ivfpq_build persists."""
-    cents = portable_centroids(emb).cache()
+    # localCheckpoint, not cache: K tiny rows, reused by the literal
+    # collect and the probe/residual joins, released on GC instead of
+    # pinned session-long (a bare .cache() here was never unpersisted).
+    cents = portable_centroids(emb).localCheckpoint(eager=True)
     assigned = ivf_assign(emb, cents, round_digits=6)
     with_res = assigned.join(F.broadcast(cents), "cid").withColumn(
         "residual",

@@ -45,15 +45,26 @@ def cms_bucket(tok: Column, depth: Column) -> Column:
     )
 
 
-def cms_sketch(tf: DataFrame) -> DataFrame:
-    """DEPTH x WIDTH count-min sketch from a (tok, tf) frequency table.
-    Returns <= DEPTH*WIDTH rows: (d, bucket, cell)."""
-    cells = tf.select(
+def cms_cells(tf: DataFrame) -> DataFrame:
+    """Per-(token, depth) bucket assignments from a (tok, tf) frequency
+    table: (tok, tf, d, bucket) — the pre-aggregation sketch input,
+    exposed separately so consumers that also need the cell lookup
+    (sk_cms_heavy_hitters' est join) reuse ONE definition."""
+    return tf.select(
         "tok",
         "tf",
         F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d"),
     ).select("tok", "tf", "d", cms_bucket(F.col("tok"), F.col("d")))
-    return cells.groupBy("d", "bucket").agg(F.sum("tf").cast("bigint").alias("cell"))
+
+
+def cms_sketch(tf: DataFrame) -> DataFrame:
+    """DEPTH x WIDTH count-min sketch from a (tok, tf) frequency table.
+    Returns <= DEPTH*WIDTH rows: (d, bucket, cell)."""
+    return (
+        cms_cells(tf)
+        .groupBy("d", "bucket")
+        .agg(F.sum("tf").cast("bigint").alias("cell"))
+    )
 
 
 @query(
@@ -65,7 +76,7 @@ cells AS (
   SELECT tok, tf, d.d,
          CAST(('0x' || substr(md5(tok || '#' || d.d), 1, 8)) AS BIGINT) % {CMS_WIDTH}
            AS bucket
-  FROM tf, (SELECT UNNEST([0, 1, 2, 3]) AS d) d
+  FROM tf, (SELECT UNNEST([{", ".join(map(str, range(CMS_DEPTH)))}]) AS d) d
 ),
 sketch AS (
   SELECT d, bucket, CAST(SUM(tf) AS BIGINT) AS cell FROM cells GROUP BY d, bucket
@@ -94,11 +105,7 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.lower_tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tf"))
-    cells = tf.select(
-        "tok",
-        "tf",
-        F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d"),
-    ).select("tok", "tf", "d", cms_bucket(F.col("tok"), F.col("d")))
+    cells = cms_cells(tf)
     sketch = cells.groupBy("d", "bucket").agg(
         F.sum("tf").cast("bigint").alias("cell")
     )
@@ -169,14 +176,15 @@ eval_bits AS (
          CAST(('0x' || substr(md5(sh || '#' || j.j), 1, 8)) AS BIGINT) % {BLOOM_M}
            AS bit
   FROM (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM}) e,
-       (SELECT UNNEST([0, 1, 2]) AS j) j
+       (SELECT UNNEST([{", ".join(map(str, range(BLOOM_K)))}]) AS j) j
 ),
 probes AS (
   SELECT s.doc_id, s.sh,
          CAST(('0x' || substr(md5(s.sh || '#' || j.j), 1, 8)) AS BIGINT) % {BLOOM_M}
            AS bit
-  FROM sh s, (SELECT UNNEST([0, 1, 2]) AS j) j
-  WHERE s.doc_id % {EVAL_MOD} <> {EVAL_REM}
+  FROM (SELECT DISTINCT doc_id, sh FROM sh
+        WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}) s,
+       (SELECT UNNEST([{", ".join(map(str, range(BLOOM_K)))}]) AS j) j
 ),
 sh_hits AS (
   SELECT p.doc_id, p.sh,
@@ -216,8 +224,22 @@ def sk_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     query emits the exact verdict alongside so the false-positive rate
     (~(1-e^{{-kn/m}})^k per probe) is measurable in the result. Docs
     with fewer than SHINGLE_N tokens have nothing to probe and yield no
-    row (same domain as sh_hits on both engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    row (same domain as sh_hits on both engines).
+
+    The probe stream MUST be distinct per (doc, shingle) before fanning
+    out the BLOOM_K hash indices: the membership test is "all BLOOM_K
+    bits set" counted as matched join rows, so a shingle occurring k
+    times in a doc would contribute 3k matched rows, fail the == 3
+    equality, and turn a true hit into a false negative — the exact
+    error class the Bloom guarantee forbids."""
+    return bloom_decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def bloom_decontaminate(docs: DataFrame) -> DataFrame:
+    """Operator body of sk_bloom_decontaminate over an arbitrary
+    (doc_id, text) DataFrame — separated so tests can drive crafted
+    corpora (e.g. the repeated-shingle false-negative regression)
+    through the exact production plan."""
     is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
     sh = _shingles(docs)
     js = F.array(*[F.lit(j) for j in range(BLOOM_K)])
@@ -231,6 +253,8 @@ def sk_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         sh.filter(~is_eval)
+        .select("doc_id", "sh")
+        .distinct()
         .select("doc_id", "sh", F.explode(js).alias("j"))
         .select("doc_id", "sh", _bloom_bit(F.col("sh"), F.col("j")))
     )

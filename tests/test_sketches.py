@@ -63,6 +63,31 @@ def test_bloom_no_false_negatives(spark, sf_oracle):
             assert r["bloom_flagged"] == 1, f"false negative at doc {r['doc_id']}"
 
 
+def test_bloom_flags_doc_whose_only_overlap_repeats(spark):
+    """Regression: a training doc whose ONLY contaminated shingle
+    occurs TWICE must still be bloom-flagged. Before the per-(doc,
+    shingle) dedup, each occurrence fanned out its own BLOOM_K probe
+    rows, the matched-row count hit 2*BLOOM_K != BLOOM_K, and the
+    membership equality read a true hit as a miss — a false negative
+    through the exact plan the driver checks."""
+    from ftp_blueprints_spark.plans.text_queries import EVAL_MOD, EVAL_REM
+
+    eval_id = EVAL_REM  # doc_id % EVAL_MOD == EVAL_REM -> eval set
+    train_id = EVAL_REM + 1
+    docs = spark.createDataFrame(
+        [
+            (eval_id, "foo bar baz"),
+            # the shingle "foo bar baz" occurs twice; no other overlap
+            (train_id, "foo bar baz qux foo bar baz"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in S.bloom_decontaminate(docs).collect()}
+    r = rows[train_id]
+    assert r["is_contaminated_exact"] == 1
+    assert r["bloom_flagged"] == 1, "repeated-shingle contamination missed"
+
+
 def test_kmv_estimate_tracks_exact_distinct(spark, sf_oracle):
     """KMV estimate vs exact distinct-shingle count per source: with
     K=64 the stderr is ~12.7%, so mean relative error must stay well
