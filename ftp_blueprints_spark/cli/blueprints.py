@@ -78,16 +78,28 @@ def _spark() -> SparkSession:
     return get_spark("ftp-blueprints-cli")
 
 
-def _pipeline(args, scope: str, skip_dot_dirs: bool, suppress_single: bool):
-    """Shared scan->filter->project phase; returns (spec, matched df)."""
-    spark, spec = _spark(), _spec(args)
-    manifest = list_tree(spark, spec, args.source_folder_name, skip_dot_dirs=skip_dot_dirs)
-    if args.match_type == "exact_match":
-        from ..functions.paths import combine_folder_and_file_name  # noqa: F401
-        import pyspark.sql.functions as F
+def _pipeline(
+    args,
+    scope: str,
+    skip_dot_dirs: bool,
+    suppress_single: bool,
+    listing_spec: ClientSpec | None = None,
+):
+    """Shared scan->filter->project phase; returns (spec, matched df).
 
+    ``listing_spec`` overrides which tree is ENUMERATED (upload lists
+    the local source tree while acting against the remote spec)."""
+    spark, spec = _spark(), _spec(args)
+    manifest = list_tree(
+        spark, listing_spec or spec, args.source_folder_name, skip_dot_dirs=skip_dot_dirs
+    )
+    if args.match_type == "exact_match":
+        # rstrip, not strip: listdir builds child paths as
+        # f"{folder.rstrip('/')}/{name}", so a leading slash in
+        # --source-folder-name must survive into the comparison key or
+        # an absolute folder never matches (false exit 200).
         full = (
-            f"{args.source_folder_name.strip('/')}/{args.source_file_name}"
+            f"{args.source_folder_name.rstrip('/')}/{args.source_file_name}"
             if args.source_folder_name.strip("/")
             else args.source_file_name
         )
@@ -116,6 +128,17 @@ def _run(fn) -> int:
     except BlueprintError as e:
         print(f"error: {e}")
         return e.exit_code
+    except Exception as e:
+        # errors raised inside executor tasks (e.g. a failed FTP login in
+        # list_tree's mapPartitions) cross Py4J as untyped strings; map
+        # them back so bad credentials still exit 3, not 1
+        from ..errors import typed_from_message
+
+        typed = typed_from_message(e)
+        if typed is None:
+            raise
+        print(f"error: {typed}")
+        return typed.exit_code
 
 
 def download_main(argv: list[str] | None = None) -> int:
@@ -135,10 +158,16 @@ def upload_main(argv: list[str] | None = None) -> int:
     args = _parser("ftp-upload").parse_args(argv)
 
     def go():
-        spec, matched = _pipeline(args, scope="fullpath", skip_dot_dirs=True, suppress_single=False)
-        # upload reads LOCAL files and writes to the remote spec; the
-        # local side is the listing root (upload_file.py:136-144).
-        stats = actions.upload(matched, spec, source_root=args.root if args.kind != "local" else spec.root)
+        # upload ENUMERATES the local source tree (the reference globs
+        # the local filesystem, upload_file.py:136-144) and ACTS against
+        # the remote spec — listing the remote would make uploading a
+        # file that does not already exist on the server impossible.
+        local = ClientSpec(kind="local", root=args.root)
+        spec, matched = _pipeline(
+            args, scope="fullpath", skip_dot_dirs=True, suppress_single=False,
+            listing_spec=local,
+        )
+        stats = actions.upload(matched, spec, source_root=args.root)
         print(f"uploaded {stats['ok']} file(s), {stats['skipped']} skipped")
 
     return _run(go)

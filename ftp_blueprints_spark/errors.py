@@ -56,3 +56,25 @@ class UploadError(BlueprintError):
     """Upload failure — fail-fast (upload_file.py:190 raises)."""
 
     exit_code = 1
+
+
+def typed_from_message(err: Exception) -> BlueprintError | None:
+    """Recover the typed error from an executor-surfaced exception.
+
+    Errors raised inside executor tasks (sinks, listing partitions)
+    cross the Py4J boundary as stringified Java exceptions; the class
+    name survives in the message even though the Python type does not.
+    Scanning for it restores the exit-code contract (a login failure
+    inside a partition must still exit 3, not 1)."""
+    msg = str(err)
+    for cls in (
+        IncorrectCredentials,
+        NoMatchesFound,
+        InvalidFilePath,
+        MoveError,
+        UploadError,
+    ):
+        if cls.__name__ in msg:
+            detail = msg.split(cls.__name__, 1)[-1].strip(": ").split("\n")[0]
+            return cls(detail)
+    return None

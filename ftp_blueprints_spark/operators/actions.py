@@ -30,10 +30,8 @@ import sys
 
 from pyspark.sql import DataFrame
 
-from ..errors import InvalidFilePath, MoveError, UploadError
+from ..errors import InvalidFilePath, MoveError, UploadError, typed_from_message
 from ..sources.connector import ClientSpec
-
-_TYPED = {e.__name__: e for e in (InvalidFilePath, MoveError, UploadError)}
 
 
 def _progress(action: str, n_ok: int, n_other: int = 0, other: str = "") -> None:
@@ -52,11 +50,12 @@ def _bounded(df: DataFrame, spec: ClientSpec) -> DataFrame:
 
 def _rethrow_typed(err: Exception) -> None:
     """Executor exceptions surface as Py4J strings; map back to the
-    typed error (and its exit code) at the driver boundary."""
-    msg = str(err)
-    for name, cls in _TYPED.items():
-        if name in msg:
-            raise cls(msg.split(name, 1)[-1].strip(": ").split("\n")[0]) from err
+    typed error (and its exit code) at the driver boundary. Covers
+    IncorrectCredentials too: spec.connect() runs INSIDE partitions, so
+    a bad login fails executor-side and must still exit 3."""
+    typed = typed_from_message(err)
+    if typed is not None:
+        raise typed from err
     raise err
 
 
@@ -92,7 +91,13 @@ def download(manifest: DataFrame, spec: ClientSpec, dest_root: str) -> dict:
         finally:
             client.close()
 
-    _bounded(manifest.select("path", "dest_path"), spec).foreachPartition(sink)
+    try:
+        # per-ROW failures are skipped inside the sink (D1), but a
+        # connect()/login failure aborts the partition and must map back
+        # to exit 3, not a raw Py4J traceback
+        _bounded(manifest.select("path", "dest_path"), spec).foreachPartition(sink)
+    except Exception as e:
+        _rethrow_typed(e)
     return {"ok": ok.value, "failed": failed.value}
 
 
@@ -106,7 +111,8 @@ def upload(manifest: DataFrame, spec: ClientSpec, source_root: str = "") -> dict
 
     def sink(rows) -> None:
         client = spec.connect()
-        n_ok = n_skip = 0
+        made: set[str] = set()  # one mkdir -p per folder per partition,
+        n_ok = n_skip = 0  # not per row (control-channel round-trips)
         try:
             for row in rows:
                 src = os.path.join(source_root, row["path"]) if source_root else row["path"]
@@ -116,8 +122,9 @@ def upload(manifest: DataFrame, spec: ClientSpec, source_root: str = "") -> dict
                     continue
                 folder = row["dest_path"].rsplit("/", 1)[0] if "/" in row["dest_path"] else ""
                 try:
-                    if folder:
+                    if folder and folder not in made:
                         client.makedirs(folder)
+                        made.add(folder)
                     with open(src, "rb") as f:
                         client.store(f, row["dest_path"])
                     n_ok += 1
@@ -143,13 +150,15 @@ def move(manifest: DataFrame, spec: ClientSpec) -> dict:
 
     def sink(rows) -> None:
         client = spec.connect()
+        made: set[str] = set()  # memoized like the upload sink
         n_ok = 0
         try:
             for row in rows:
                 folder = row["dest_path"].rsplit("/", 1)[0] if "/" in row["dest_path"] else ""
                 try:
-                    if folder:
+                    if folder and folder not in made:
                         client.makedirs(folder)
+                        made.add(folder)
                     client.rename(row["path"], row["dest_path"])
                     n_ok += 1
                     ok.add(1)

@@ -119,9 +119,18 @@ def with_file_numbers(matches: DataFrame) -> DataFrame:
 
     Equivalent to ``row_number() OVER (ORDER BY path)`` but no stage
     ever funnels all matches through a single task — a pattern that
-    matches millions of files at 100x scale still numbers in parallel."""
-    ranged = matches.repartitionByRange("path").withColumn(
-        "_pid", F.spark_partition_id()
+    matches millions of files at 100x scale still numbers in parallel.
+
+    The ranged partitioning MUST be materialized (localCheckpoint)
+    before the counts job: repartitionByRange samples its boundaries
+    with an RDD-id-derived seed, so re-executing the plan for the
+    numbering job could place boundary rows in different partitions
+    than the counts saw — duplicate and skipped file_numbers, i.e.
+    silently colliding destination paths."""
+    ranged = (
+        matches.repartitionByRange("path")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("_pid").count().collect()
     offsets, acc = {}, 0
@@ -153,15 +162,30 @@ def with_destination(
 
     When a destination_file_name fans out over several matches each row
     gets '_{n}' inserted before its first dot (P4). ``suppress_single``
-    gives move_file's behavior (no numbering when exactly one match)."""
+    gives move_file's behavior (no numbering when exactly one match).
+
+    Without a destination_file_name every row keeps its source basename
+    and the enumeration is provably unused, so the numbering pass (a
+    range shuffle + counts job) and the match-count cross-join are
+    skipped entirely — the common download/move-keeping-names case pays
+    zero extra jobs. file_number is still emitted (as NULL) so the
+    output schema does not depend on the parameter."""
+    if destination_file_name is None:
+        dest = P.determine_destination_name(
+            P.clean_folder_name(F.lit(destination_folder_name)),
+            None,
+            F.col("path"),
+            None,
+        )
+        return matches.withColumn(
+            "file_number", F.lit(None).cast("int")
+        ).withColumn("dest_path", dest)
     numbered = with_file_numbers(matches)
     # total match count via agg + broadcast cross-join (1 row), not a
     # global window — no single-task stage at any scale
     n_df = numbered.agg(F.count("*").alias("n_matches"))
     numbered = numbered.crossJoin(F.broadcast(n_df))
-    if destination_file_name is None:
-        file_number = None
-    elif suppress_single:
+    if suppress_single:
         file_number = F.when(
             F.col("n_matches") > 1, F.col("file_number")
         ).otherwise(F.lit(None))

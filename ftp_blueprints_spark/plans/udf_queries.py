@@ -30,9 +30,18 @@ def _doc_score_udf():
     @pandas_udf("bigint")
     def doc_score(text: pd.Series) -> pd.Series:
         """Vectorized scalar: integer quality bucket from char/token
-        counts (whole Arrow batch at once, pandas str ops)."""
-        n_chars = text.str.len().astype("int64")
-        n_tokens = text.str.split().map(len).astype("int64")
+        counts (whole Arrow batch at once, pandas str ops).
+
+        Degenerate-input contract matches the SQL oracle exactly:
+        token count is len(regexp-split of the TRIMMED text), which is
+        1 for empty/whitespace-only strings (pandas ``''.split()``
+        would say 0); NULL text yields NULL (nullable Int64), where a
+        bare astype('int64') would crash the whole batch."""
+        n_chars = text.str.len().astype("Int64")
+        n_tokens = text.str.strip().str.split(r"\s+").map(
+            lambda t: len(t) if isinstance(t, list) else None
+        )
+        n_tokens = pd.Series(n_tokens, index=text.index, dtype="Int64")
         return (n_chars // 100) * 10 + (n_tokens % 10)
 
     return doc_score
@@ -40,11 +49,18 @@ def _doc_score_udf():
 
 def _weighted_cents_udf():
     @pandas_udf("bigint")
-    def weighted_cents(value: pd.Series, weight: pd.Series) -> int:
+    def weighted_cents(value: pd.Series, weight: pd.Series) -> int | None:
         """Grouped-aggregate: exact weighted sum in integer cents
-        (each group's Arrow batch reduced vectorized)."""
-        cents = (value * 100).round().astype("int64")
-        return int((cents * weight.astype("int64")).sum())
+        (each group's Arrow batch reduced vectorized).
+
+        NULL handling matches SQL SUM: rows where either operand is
+        NULL are skipped; a group with no non-NULL products sums to
+        NULL (not 0)."""
+        mask = value.notna() & weight.notna()
+        if not mask.any():
+            return None
+        cents = (value[mask] * 100).round().astype("int64")
+        return int((cents * weight[mask].astype("int64")).sum())
 
     return weighted_cents
 
@@ -84,13 +100,19 @@ def udf_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["value"] * 100).round().astype("int64")
-        mean_floor = cents.sum() // len(cents)
+        # SQL-matching NULL handling: SUM skips NULL cents, COUNT(*)
+        # counts every row, and a NULL value yields a NULL deviation
+        # (astype('int64') on a NaN would instead crash the batch).
+        cents = (pdf["value"] * 100).round()
+        mean_floor = int(cents.sum(skipna=True)) // len(cents)
+        dev = pd.Series(pd.NA, index=pdf.index, dtype="Int64")
+        m = cents.notna()
+        dev[m] = cents[m].astype("int64") - mean_floor
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "dev_cents": cents - mean_floor,
+                "dev_cents": dev,
             }
         )
 

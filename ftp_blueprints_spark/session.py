@@ -48,13 +48,22 @@ def get_spark(
         # master/memory are fixed at JVM start, but SQL confs are
         # runtime-settable: apply them so the engine defaults hold even
         # under a pre-existing session (e.g. the driver's plain one).
-        for k, v in (
+        confs = [
             ("spark.sql.adaptive.enabled", "true"),
             ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
             ("spark.sql.adaptive.skewJoin.enabled", "true"),
             ("spark.sql.session.timeZone", "UTC"),
             ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ):
+            ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ]
+        if shuffle_partitions:
+            # honor an EXPLICIT caller request on the active session too
+            # (the fresh-session default of 32 is not forced here — the
+            # pre-existing session's own default stands unless asked)
+            confs.append(
+                ("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            )
+        for k, v in confs:
             active.conf.set(k, v)
         return active
     builder = builder.master(master or f"local[{cpus}]")

@@ -64,8 +64,29 @@ def _spec_from_options(options) -> ClientSpec:
         username=options.get("username", ""),
         password=options.get("password", ""),
         timeout=int(options.get("timeout", 300)),
+        # forward the FULL connection policy: dropping passive here made
+        # an active-mode spec silently flip to passive whenever work
+        # routed through the DataSource (options are the only channel
+        # into executor-side connect())
+        passive=options.get("passive", "true") == "true",
         max_connections=int(options.get("max_connections", 16)),
     )
+
+
+def _spec_options(spec: ClientSpec) -> dict[str, str]:
+    """The inverse: every ClientSpec field as DataSource options, so
+    reader construction sites cannot silently drop one."""
+    return {
+        "kind": spec.kind,
+        "root": spec.root,
+        "host": spec.host,
+        "port": str(spec.port),
+        "username": spec.username,
+        "password": spec.password,
+        "timeout": str(spec.timeout),
+        "passive": "true" if spec.passive else "false",
+        "max_connections": str(spec.max_connections),
+    }
 
 
 class _TreePartition(InputPartition):

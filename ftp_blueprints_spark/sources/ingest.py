@@ -26,31 +26,32 @@ from .connector import ClientSpec
 def _manifest_with_content(
     spark: SparkSession, spec: ClientSpec, folder: str
 ) -> DataFrame:
-    from .datasource import ManifestDataSource
+    from .datasource import ManifestDataSource, _spec_options
 
     try:
         spark.dataSource.register(ManifestDataSource)
     except Exception:
         pass  # already registered in this session
-    reader = (
+    return (
         spark.read.format("ftp_manifest")
-        .option("kind", spec.kind)
-        .option("root", spec.root)
-        .option("host", spec.host)
-        .option("port", str(spec.port))
-        .option("username", spec.username)
-        .option("password", spec.password)
-        .option("timeout", str(spec.timeout))
+        .options(**_spec_options(spec))
         .option("folder", folder)
         .option("with_content", "true")
+        .load()
     )
-    return reader.load()
 
 
 def parse_csv_files(
     files: DataFrame, schema: str, header: bool = True, sep: str = ","
 ) -> DataFrame:
-    """Binary ``content`` column -> typed rows (+ src_path, line_no)."""
+    """Binary ``content`` column -> typed rows (+ src_path, line_no).
+
+    With ``header=True`` the FIRST NON-EMPTY line of each file is the
+    header (a fixed ``idx > 0`` filter would leak the header as a data
+    row whenever the file starts with a blank line, since blank lines
+    are dropped but physical indices are not renumbered). ``line_no``
+    is the physical line offset from the header (1 = first line after
+    it), matching the pre-existing lineage contract."""
     lines = files.select(
         F.col("path").alias("src_path"),
         F.posexplode(
@@ -58,7 +59,14 @@ def parse_csv_files(
         ).alias("idx", "line"),
     ).filter(F.length(F.trim("line")) > 0)
     if header:
-        lines = lines.filter(F.col("idx") > 0)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src_path")
+        lines = (
+            lines.withColumn("_hidx", F.min("idx").over(w))
+            .filter(F.col("idx") != F.col("_hidx"))
+            .drop("_hidx")
+        )
     parsed = lines.select(
         "src_path",
         (F.col("idx") + (0 if header else 1)).cast("bigint").alias("line_no"),

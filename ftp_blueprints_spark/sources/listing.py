@@ -48,7 +48,7 @@ def _datasource_tree(
     — one root-level listing on the driver, every top-level entry's
     subtree walked executor-side with its own client. Nothing
     proportional to file count ever lives in driver memory."""
-    from .datasource import ManifestDataSource
+    from .datasource import ManifestDataSource, _spec_options
 
     try:
         spark.dataSource.register(ManifestDataSource)
@@ -56,14 +56,7 @@ def _datasource_tree(
         pass  # already registered in this session
     return (
         spark.read.format("ftp_manifest")
-        .option("kind", spec.kind)
-        .option("root", spec.root)
-        .option("host", spec.host)
-        .option("port", str(spec.port))
-        .option("username", spec.username)
-        .option("password", spec.password)
-        .option("timeout", str(spec.timeout))
-        .option("max_connections", str(spec.max_connections))
+        .options(**_spec_options(spec))
         .option("folder", root)
         .option("skip_dot_dirs", "true" if skip_dot_dirs else "false")
         .load()

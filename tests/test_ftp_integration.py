@@ -337,6 +337,71 @@ def test_cli_download_over_ftp(spark, ftp_root, tmp_path):
         ) == 200
 
 
+def test_cli_upload_over_ftp_lists_local_tree(spark, tmp_path):
+    """Regression: upload must ENUMERATE the local source tree and act
+    against the remote server (the reference globs the local
+    filesystem, upload_file.py:136-144). A previous version listed the
+    REMOTE tree to decide what to upload, so a file that did not
+    already exist on the server could never be uploaded."""
+    from ftp_blueprints_spark.cli.blueprints import upload_main
+
+    local = tmp_path / "src"
+    (local / "out").mkdir(parents=True)
+    (local / "out" / "fresh.csv").write_text("id\n1\n")
+    srv = tmp_path / "srv"
+    srv.mkdir()  # server starts EMPTY — nothing to list remotely
+    with FtpStubServer(str(srv), USERS) as (host, port):
+        rc = upload_main([
+            "--kind", "ftp", "--host", host, "--port", str(port),
+            "--username", "alice", "--password", "secret", "--timeout", "10",
+            "--root", str(local),
+            "--source-folder-name", "out",
+            "--source-file-name", r".*\.csv",
+            "--source-file-name-match-type", "regex_match",
+            "--destination-folder-name", "landed",
+        ])
+    assert rc == 0
+    assert (srv / "landed" / "fresh.csv").read_text() == "id\n1\n"
+
+
+def test_cli_bad_credentials_exit3_from_executor(spark, ftp_root):
+    """Regression: a login failure happens INSIDE an executor task
+    (spec.connect() in the listing partition), surfaces as a raw Py4J
+    error, and must still map to the reference's exit code 3 — not an
+    unhandled traceback / exit 1."""
+    from ftp_blueprints_spark.cli.blueprints import download_main
+
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        rc = download_main([
+            "--kind", "ftp", "--host", host, "--port", str(port),
+            "--username", "alice", "--password", "WRONG", "--timeout", "10",
+            "--source-folder-name", "data",
+            "--source-file-name", r".*\.csv",
+            "--source-file-name-match-type", "regex_match",
+        ])
+    assert rc == 3
+
+
+def test_csv_header_drop_survives_leading_blank_line(spark):
+    """Regression: blank lines are filtered before the header drop, so
+    a file whose FIRST physical line is blank has its header at idx 1 —
+    a fixed `idx > 0` filter leaked that header as a data row. The drop
+    now targets the first NON-EMPTY line per file."""
+    from ftp_blueprints_spark.sources.ingest import parse_csv_files
+
+    files = spark.createDataFrame(
+        [
+            ("lead_blank.csv", b"\nid,name\n1,ant\n"),
+            ("normal.csv", b"id,name\n2,bee\n"),
+        ],
+        "path string, content binary",
+    )
+    rows = parse_csv_files(files, "id int, name string", header=True).collect()
+    got = {(r["src_path"], r["id"], r["name"]) for r in rows}
+    assert got == {("lead_blank.csv", 1, "ant"), ("normal.csv", 2, "bee")}
+    assert not any(r["name"] == "name" for r in rows), "header leaked"
+
+
 def test_ingest_jsonl_over_ftp(spark, tmp_path):
     from ftp_blueprints_spark.sources.ingest import ingest_jsonl
 
