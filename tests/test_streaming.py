@@ -139,6 +139,28 @@ def test_ttl_dedup_stream_matches_batch(spark, sf_oracle):
     assert streamed == batch
 
 
+def test_ttl_dedup_stream_matches_batch_with_tiny_arrow_chunks(spark, sf_oracle):
+    """End-to-end proof of the multi-chunk group path: with
+    maxRecordsPerBatch forced to 8, the fixture's larger keys (up to 24
+    events per (user_id, event_type)) are delivered to
+    applyInPandasWithState split across several Arrow chunks — the
+    exact condition under which the old per-chunk scan produced a
+    wrong kept set. The streamed result must still equal the batch
+    operator."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        batch = _rows(E.ev_ttl_dedup(spark, sf_oracle))
+        E.run_to_memory(
+            E.stream_ttl_dedup(spark, sf_oracle), "t_ttl_chunks", "append"
+        )
+        streamed = _rows(spark.table("t_ttl_chunks"))
+    finally:
+        spark.conf.set(key, old)
+    assert streamed == batch
+
+
 def _chrono_source(spark, sf_oracle, tmp_path, n_parts: int = 4):
     """Chronologically split events + a maxFilesPerTrigger=1 stream:
     the fixture lands in ``n_parts`` time-quartile files with ascending
