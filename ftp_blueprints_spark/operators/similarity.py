@@ -97,10 +97,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return per_query_topk(scored)
 
 
 # --- banded random-hyperplane LSH -------------------------------------------
@@ -110,6 +107,38 @@ def _planes(n_planes: int, dim: int = DIM, seed: int = PLANE_SEED) -> np.ndarray
     """Deterministic i.i.d. Gaussian hyperplanes (fixed seed: every
     engine/run derives identical planes)."""
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+
+def per_query_topk(scored, k: int = TOP_K):
+    """THE per-query top-k tie surface shared by every retrieval
+    variant: rank by (cos_sim DESC, cand_id ASC), keep k. Every oracle
+    replays exactly this order — a variant carrying its own copy risks
+    a silent tie-surface fork (one missed site = a driver hash
+    mismatch), so new retrieval ops must rank through here."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def probe_centroids(q, cents, nprobe=None):
+    """Per query: the nprobe nearest centroid ids on the ROUND(.,6)
+    tie surface — the probe-selection block shared verbatim by the IVF
+    and IVFPQ serve paths."""
+    n = IVF_NPROBE if nprobe is None else nprobe
+    q_cent = q.join(F.broadcast(cents), how="cross").select(
+        "query_id", "q_emb", "cid",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    return (
+        q_cent.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n)
+        .select("query_id", "q_emb", "cid")
+    )
 
 
 def band_signatures(
@@ -610,7 +639,10 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent numpy implementation of the same quantized algorithm."""
     emb = load_table(spark, sf_dir, "embeddings")
     xq = _micro_vecs(emb)
-    cents1 = portable_centroids(emb, IVF_K)
+    # localCheckpoint: consumed twice (ivf_assign's literal collect AND
+    # the broadcast join in stats) — without it the full Lloyd training
+    # DAG executes twice per call (the sibling IVF sites' discipline)
+    cents1 = portable_centroids(emb, IVF_K).localCheckpoint(eager=True)
     a2 = ivf_assign(emb, cents1, round_digits=6)
     cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
     stats = (
@@ -713,16 +745,7 @@ def _ivf_serve(emb: DataFrame, cents: DataFrame, lists: DataFrame) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     # per query: the nprobe nearest centroid ids (rounded tie surface)
-    q_cent = q.join(F.broadcast(cents), how="cross").select(
-        "query_id", "q_emb", "cid",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("c_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    probes = (
-        q_cent.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "q_emb", "cid")
-    )
+    probes = probe_centroids(q, cents)
     cand = (
         F.broadcast(probes)
         .join(
@@ -740,35 +763,60 @@ def _ivf_serve(emb: DataFrame, cents: DataFrame, lists: DataFrame) -> DataFrame:
         "cand_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return per_query_topk(scored)
 
 
-def _publish_index(out: str, write_fn) -> str:
+_INDEX_MARKER = "_index_meta.json"
+
+
+def index_ready(out: str, kind: str) -> bool:
+    """A directory at ``out`` is a servable index only if it carries
+    the completion marker with the CURRENT shape constants. A bare
+    isdir() check would trust any pre-existing directory at the
+    predictable temp path (foreign content, or a stale layout from an
+    older code version) wholesale."""
+    import json
+
+    marker = os.path.join(out, _INDEX_MARKER)
+    if not os.path.isfile(marker):
+        return False
+    try:
+        with open(marker) as fh:
+            return json.load(fh).get("shape") == list(_index_shape(kind))
+    except Exception:
+        return False
+
+
+def _publish_index(out: str, kind: str, write_fn) -> str:
     """Build-then-rename publish discipline shared by every index
     build: ``write_fn(tmp)`` materializes the index under a
-    PER-PROCESS temp name, then one atomic os.rename publishes it.
-    The pid-unique temp is what makes the concurrent-build race
-    actually safe — with a shared '.building' name two processes would
-    interleave writes into the same directory and rename a corrupted
-    mix into place. Losing the rename race (the destination appeared
-    meanwhile) is fine because builds are deterministic: the winner's
-    index is byte-equivalent; any other rename failure propagates."""
-    if os.path.isdir(out):
-        return out
-    tmp = f"{out}.building.{os.getpid()}"
+    UNIQUE temp name (pid + uuid — pid alone would let two threads of
+    one process interleave writes into the same directory and rename a
+    corrupted mix into place), a completion marker with the shape
+    constants is stamped last, then one atomic os.rename publishes it.
+    Losing the rename race (the destination appeared meanwhile) is
+    fine because builds are deterministic: the winner's index is
+    byte-equivalent; any other rename failure propagates. A directory
+    already present but WITHOUT a valid marker (foreign, or a stale
+    layout) is removed and rebuilt rather than trusted."""
+    import json
     import shutil
+    import uuid
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    if index_ready(out, kind):
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = f"{out}.building.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
         write_fn(tmp)
+        with open(os.path.join(tmp, _INDEX_MARKER), "w") as fh:
+            json.dump({"shape": list(_index_shape(kind))}, fh)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         try:
             os.rename(tmp, out)
         except OSError:
-            if not os.path.isdir(out):  # not a lost race: real failure
+            if not index_ready(out, kind):  # not a lost race: real failure
                 raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -788,7 +836,7 @@ def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
     inherits the driver-checked oracle (the same SQL proves
     train+serve from scratch and serve-from-disk)."""
     out = index_dir or _index_dir(sf_dir, "ivf")
-    if os.path.isdir(out):
+    if index_ready(out, "ivf"):
         return out
     emb = load_table(spark, sf_dir, "embeddings")
     # localCheckpoint, not cache: K tiny rows, reused by the literal
@@ -803,7 +851,7 @@ def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
             os.path.join(tmp, "lists")
         )
 
-    return _publish_index(out, write)
+    return _publish_index(out, "ivf", write)
 
 
 @query("sim_ivf_query", _ivf_oracle())
@@ -911,10 +959,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return per_query_topk(scored)
 
 
 def ann_lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
@@ -926,13 +971,14 @@ def ann_lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None
     hashes, bands x ~10 bytes per vector, rebuilt only per ingest
     batch instead of per query call."""
     out = index_dir or _index_dir(sf_dir, "annlsh")
-    if os.path.isdir(out):
+    if index_ready(out, "annlsh"):
         return out
     sigs = band_signatures(
         load_table(spark, sf_dir, "embeddings"), ANN_BANDS, ANN_ROWS, quantize=True
     ).select("vec_id", "band", "sig")
     return _publish_index(
         out,
+        "annlsh",
         lambda tmp: sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs")),
     )
 
@@ -984,10 +1030,7 @@ def sim_ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return per_query_topk(scored)
 
 
 # --- product quantization (PQ) ANN -----------------------------------------
@@ -1050,17 +1093,26 @@ def pq_decode_expr(books: np.ndarray) -> F.Column:
     Catalyst: M codebook lookups into a literal (M, KS, d_sub) array +
     flatten — interpreted HOF but only M element_at calls per row, so
     it stays cheap (unlike per-element arithmetic HOFs; see
-    band_signatures)."""
-    lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in code])
-                    for code in book
-                ]
+    band_signatures).
+
+    The literal is ONE parsed SQL expression, not M*KS*d_sub F.lit()
+    Columns — per-Column py4j round trips cost ~0.6 s per ~1k literals
+    at plan-build time (the ivf_assign discipline); repr() round-trips
+    doubles exactly and D marks a DOUBLE literal."""
+    lit = F.expr(
+        "array({})".format(
+            ", ".join(
+                "array({})".format(
+                    ", ".join(
+                        "array({})".format(
+                            ", ".join(f"{float(v)!r}D" for v in code)
+                        )
+                        for code in book
+                    )
+                )
+                for book in books
             )
-            for book in books
-        ]
+        )
     )
     return F.flatten(
         F.zip_with(
@@ -1175,10 +1227,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return exact.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return per_query_topk(exact)
 
 
 def _ivfpq_oracle() -> str:
@@ -1357,16 +1406,7 @@ def _ivfpq_serve(
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    q_cent = q.join(F.broadcast(cents), how="cross").select(
-        "query_id", "q_emb", "cid",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("c_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    probes = (
-        q_cent.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "q_emb", "cid")
-    )
+    probes = probe_centroids(q, cents)
     approx = (
         F.broadcast(probes)
         .join(coded, "cid")
@@ -1398,20 +1438,36 @@ def _ivfpq_serve(
         "cand_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return exact.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return per_query_topk(exact)
+
+
+def _index_shape(kind: str) -> tuple:
+    """Every constant that shapes a persisted index of ``kind``. Part
+    of the cache tag: an index built under OLD constants must never be
+    served after the constants change (the corpus fingerprint alone
+    cannot see a code edit, and the isdir short-circuit would otherwise
+    pin the stale index until the fixture's mtime moves)."""
+    return {
+        "ivf": (IVF_K, KM_ITERS, DIM),
+        "annlsh": (ANN_BANDS, ANN_ROWS, PLANE_SEED, DIM),
+        "ivfpq": (IVF_K, KM_ITERS, PQ_M, PQ_KS, DIM),
+    }[kind]
 
 
 def _index_dir(sf_dir: str, kind: str) -> str:
     """Deterministic per-corpus index location under the system temp
-    dir, fingerprinted by the embeddings file's (mtime, size) so a
-    regenerated fixture auto-invalidates the cached index."""
+    dir, fingerprinted by the embeddings file's (mtime, size) AND the
+    index-shaping constants (_index_shape), so both a regenerated
+    fixture and a constant change auto-invalidate the cached index."""
+    import hashlib
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_mtime_ns}_{st.st_size}"
+    shape = hashlib.md5(repr(_index_shape(kind)).encode()).hexdigest()[:10]
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_mtime_ns}_{st.st_size}_{shape}"
+    )
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}", tag)
 
 
@@ -1431,7 +1487,7 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) 
     (see sim_ivfpq_query). Build is deterministic from the base table,
     so the persisted index inherits the driver-checked oracle."""
     out = index_dir or ivfpq_index_dir(sf_dir)
-    if os.path.isdir(out):
+    if index_ready(out, "ivfpq"):
         return out
     emb = load_table(spark, sf_dir, "embeddings")
     cents, coded, books_q = ivfpq_fit(emb)
@@ -1449,7 +1505,7 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) 
             book_rows, "m int, k int, sub array<bigint>"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
 
-    return _publish_index(out, write)
+    return _publish_index(out, "ivfpq", write)
 
 
 @query("sim_ivfpq_query", _ivfpq_oracle())
@@ -1520,10 +1576,7 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return per_query_topk(scored)
 
 
 @query(
@@ -1637,10 +1690,7 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_label",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    knn = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= KNN_K
-    )
+    knn = per_query_topk(scored, KNN_K)
     votes = knn.groupBy("query_id", "true_label", F.col("cand_label").alias("pred_label")).agg(
         F.count("*").alias("n_votes")
     )
@@ -1935,8 +1985,14 @@ def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. The rounded-to-6 cosine is the oracle's exact tie surface, so
     ranks are engine-portable."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = emb.orderBy("vec_id").limit(CS_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    # localCheckpoint: CS_K tiny rows consumed twice (ivf_assign's
+    # literal collect + the broadcast join) — otherwise the corpus
+    # TakeOrdered scan behind the seeds runs twice per call
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(CS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+        .localCheckpoint(eager=True)
     )
     assigned = ivf_assign(emb, seeds, round_digits=6)
     scored = assigned.join(F.broadcast(seeds), "cid").select(
@@ -2170,7 +2226,12 @@ def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding per iteration — constant-size, same discipline as the
     k-means/IVF training collects."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:  # empty corpus: no picks, same as the oracle's CTE
+        return spark.createDataFrame(
+            [], "pick_rank int, vec_id bigint, maxsim_mu bigint"
+        )
+    first = seed_rows[0]
     picks: list[tuple] = [(1, int(first.vec_id), None)]
     center = [float(x) for x in first.embedding]
     state = emb.filter(F.col("vec_id") != int(first.vec_id)).withColumn(
@@ -2188,7 +2249,10 @@ def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest(F.col("maxsim_mu"), sim)
             ),
         ).localCheckpoint(eager=True)
-        nxt = state.orderBy(F.asc("maxsim_mu"), F.asc("vec_id")).limit(1).collect()[0]
+        rows = state.orderBy(F.asc("maxsim_mu"), F.asc("vec_id")).limit(1).collect()
+        if not rows:  # n < K: every point is already a center — stop,
+            break  # exactly where the oracle's recursive CTE stops
+        nxt = rows[0]
         picks.append((r, int(nxt.vec_id), int(nxt.maxsim_mu)))
         center = [float(x) for x in nxt.embedding]
         state = state.filter(F.col("vec_id") != int(nxt.vec_id))

@@ -282,6 +282,24 @@ def test_pq_recall_and_reconstruction(spark, sf_oracle):
             assert r["codes"][m] == int(d2.argmin())
 
 
+def test_index_marker_guards_reuse(tmp_path):
+    """A pre-existing directory at the index path is only served if it
+    carries the completion marker with the CURRENT shape constants —
+    foreign/stale/partial directories are rejected (and _publish_index
+    rebuilds over them) instead of being trusted via bare isdir()."""
+    import json
+
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    assert not S.index_ready(str(foreign), "ivf")  # no marker
+    (foreign / S._INDEX_MARKER).write_text(json.dumps({"shape": [1, 2, 3]}))
+    assert not S.index_ready(str(foreign), "ivf")  # stale shape
+    (foreign / S._INDEX_MARKER).write_text(
+        json.dumps({"shape": list(S._index_shape("ivf"))})
+    )
+    assert S.index_ready(str(foreign), "ivf")  # current shape
+
+
 def test_ivfpq_build_query_parity(spark, sf_oracle, tmp_path):
     """The persisted-index serving path (ivfpq_build -> sim_ivfpq_query)
     must return exactly what the fit-in-query path returns: build is
@@ -292,7 +310,13 @@ def test_ivfpq_build_query_parity(spark, sf_oracle, tmp_path):
     from ftp_blueprints_spark.session import load_table
 
     idx = S.ivfpq_build(spark, sf_oracle, str(tmp_path / "idx"))
-    assert sorted(os.listdir(idx)) == ["centroids", "codebooks", "codes"]
+    assert sorted(os.listdir(idx)) == [
+        S._INDEX_MARKER,  # completion marker: shape-stamped, checked on reuse
+        "centroids",
+        "codebooks",
+        "codes",
+    ]
+    assert S.index_ready(idx, "ivfpq")
     emb = load_table(spark, sf_oracle, "embeddings")
     cents = spark.read.parquet(os.path.join(idx, "centroids"))
     coded = spark.read.parquet(os.path.join(idx, "codes"))
