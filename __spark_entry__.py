@@ -81,10 +81,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # in VERDICT r5 task 1.  Brand-new round-6 queries rank -1 and displace the
 # tail of that set; the displaced r2 queries rotate to the front of r7's
 # window via the same math.
-# tx_bm25's integer factoring was rebuilt overflow-safe mid-round (new
-# score_mu surface) and sim_hybrid_rrf composes its ranks — both need
-# first-hash driver evidence on the new values.
-_FIRST_HASH_CHECK_THIS_ROUND: set[str] = {"tx_bm25", "sim_hybrid_rrf"}
+# Queries whose VALUE surface changed in round-6 review fixes — each
+# needs first-hash driver evidence on the new values: tx_bm25's integer
+# factoring was rebuilt overflow-safe (new score_mu surface) and
+# sim_hybrid_rrf composes its ranks; ev_dedup_first's n_dropped_later
+# was off by one (now COUNT(*) - 1, both engines).
+_FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
+    "tx_bm25",
+    "sim_hybrid_rrf",
+    "ev_dedup_first",
+}
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.
 _STALE_BOOST = {3: 0, 2: 1, 4: 10}

@@ -115,6 +115,23 @@ def _table_rows_cached(path: str) -> int:
 _TABLE_ROWS: dict[str, int] = {}
 
 
+# ns -> µs truncation for events.ts read under the legacy nanos conf —
+# the same truncation DuckDB applies. ONE definition: the batch reader
+# and the streaming reader both decode through this expression.
+EVENTS_NS_TO_US = "timestamp_micros(ts DIV 1000)"
+
+
+def events_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
+    """Resolved physical dtype of ``events.ts`` under the legacy-nanos
+    conf: 'bigint' for TIMESTAMP(NANOS) fixtures, 'timestamp_ntz' for
+    TIMESTAMP(MICROS). Shared by load_table and the streaming reader
+    (streaming/events.read_events_stream) so the NEXT fixture encoding
+    drift is handled in one place, not fixed in batch and missed in
+    streaming (or vice versa)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-generated parquet tables.
 
@@ -128,9 +145,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        dtype = events_ts_dtype(spark, sf_dir)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.expr(EVENTS_NS_TO_US))
         return normalize_timestamps(df)
     return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))

@@ -86,7 +86,7 @@ WITH expanded AS (
 )
 SELECT epoch_us(w_start) AS window_start,
        COUNT(*) AS n_events,
-       CAST(FLOOR((SUM(CAST(ROUND(value * 10000) AS BIGINT)) * 100.0) / COUNT(*))
+       CAST((SUM(CAST(ROUND(value * 10000) AS BIGINT)) * 100) // COUNT(*)
             AS BIGINT) AS avg_value_micros
 FROM expanded GROUP BY 1
 """,
@@ -95,9 +95,10 @@ def ev_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2-hour length, 1-hour slide): every event lands
     in exactly two windows. The oracle mirrors the expansion with an
     UNNEST over the two window starts. The average is emitted in exact
-    integer micro-units (values are scaled to ints before summing;
-    floor division) — double ROUND() ties at the 6th decimal hash
-    differently across engines."""
+    integer micro-units: both engines integer-divide (Spark DIV ==
+    DuckDB // — both truncate toward zero, agreeing for any sign; the
+    earlier FLOOR((x*100.0)/n) oracle form diverged on negative
+    non-divisible sums AND lost exactness past 2^53)."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
@@ -161,7 +162,7 @@ def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT user_id, event_type,
        epoch_us(MIN(ts)) AS first_ts,
-       COUNT(*) AS n_dropped_later
+       COUNT(*) - 1 AS n_dropped_later
 FROM events
 GROUP BY user_id, event_type
 """,
@@ -169,11 +170,14 @@ GROUP BY user_id, event_type
 def ev_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup by (user_id, event_type) — the deterministic
     batch statement of what dropDuplicatesWithinWatermark computes on
-    a stream (state = one row per key within the watermark horizon)."""
+    a stream (state = one row per key within the watermark horizon).
+    n_dropped_later is COUNT(*) - 1: one row per key SURVIVES, so a
+    key with a single event drops nothing (kept + dropped = total
+    reconciles against stream_dedup's kept set)."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("user_id", "event_type").agg(
         F.unix_micros(F.min("ts")).alias("first_ts"),
-        F.count("*").alias("n_dropped_later"),
+        (F.count("*") - 1).alias("n_dropped_later"),
     )
 
 
@@ -185,14 +189,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture's physical ``ts`` encoding has drifted across rounds
     (TIMESTAMP(NANOS) then TIMESTAMP(MICROS)); a streaming source needs
-    an explicit schema, so peek at the batch reader's resolved dtype and
-    declare the matching streaming schema: NANOS reads as a nanosecond
-    LONG (legacy conf) and truncates to microseconds, MICROS reads as
-    TIMESTAMP_NTZ and casts to session-zoned TIMESTAMP (value-identical
-    under the UTC session — see session.normalize_timestamps).
+    an explicit schema, so resolve the batch reader's dtype through the
+    SHARED policy helper (session.events_ts_dtype — one place to fix
+    the next encoding drift) and declare the matching streaming schema:
+    NANOS reads as a nanosecond LONG and truncates to microseconds,
+    MICROS reads as TIMESTAMP_NTZ and casts to session-zoned TIMESTAMP
+    (value-identical under the UTC session).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    from ..session import EVENTS_NS_TO_US, events_ts_dtype
+
+    batch_ts = events_ts_dtype(spark, sf_dir)
     schema = (
         f"event_id bigint, ts {batch_ts}, user_id bigint, "
         "event_type string, value double, props string"
@@ -205,7 +211,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if batch_ts == "bigint":
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return raw.withColumn("ts", F.expr(EVENTS_NS_TO_US))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -267,8 +273,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suppression window, so which rows survive depends recursively on the
 # kept set — not expressible with lag()/windows or portable SQL, which
 # is exactly the case applyInPandasWithState exists for. The driver
-# entry is rows-only by design; tests/test_streaming.py checks both
-# execution paths against a driver-side reference simulation.
+# entry IS hash-checked — DuckDB's recursive CTE + LATERAL walks the
+# per-key kept chain exactly (_EV_TTL_ORACLE below); tests/
+# test_streaming.py additionally checks both execution paths.
 
 TTL_DEDUP_TTL_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -427,9 +434,16 @@ def stream_ttl_dedup(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+):
     """Drain a stream into an in-memory table with availableNow (process
-    everything, then stop); returns after the query terminates."""
+    everything, then stop); returns after the query terminates. The
+    bounded wait turns a wedged drain into a loud failure instead of
+    hanging the caller (and the whole test suite) indefinitely."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -437,7 +451,11 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{name}' did not drain within {timeout_s}s"
+        )
     return q
 
 
@@ -605,9 +623,11 @@ def stream_view_click_join(
     )
     return v.join(
         c,
+        # horizon derived from ATTRIB_WINDOW_US — a hardcoded interval
+        # here silently forked from the batch twin's constant on tuning
         F.expr(
             "user_id = c_user_id AND click_ts >= view_ts "
-            "AND click_ts <= view_ts + interval 6 hours"
+            f"AND click_ts <= view_ts + interval {ATTRIB_WINDOW_US} microseconds"
         ),
     ).select(
         "view_id",
@@ -798,15 +818,21 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides are bucket-cardinality, never event-cardinality)."""
     ev = _events(spark, sf_dir).select(
         "event_type",
-        # Integer floor-division, not float-divide-then-truncate: DIV
-        # floors like the oracle's range() arithmetic even for pre-1970
-        # (negative-µs) timestamps, where double division truncates
-        # toward zero and lands one bucket high.
-        F.expr(f"(unix_micros(ts) DIV {_HOUR_US}) * {_HOUR_US}").alias("h"),
+        # True FLOOR to the hour via pmod (always-nonnegative modulus):
+        # the oracle's time_bucket floors, but Spark's DIV TRUNCATES
+        # toward zero, which for a pre-1970 (negative-µs) timestamp
+        # lands one bucket high; us - pmod(us, h) floors for any sign.
+        F.expr(f"unix_micros(ts) - pmod(unix_micros(ts), {_HOUR_US})").alias(
+            "h"
+        ),
     )
     counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
-    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    types = ev.select("event_type").distinct()
+    # bounds/types derive from the already-aggregated counts (bucket
+    # cardinality), not from ev — reading them off the raw stream cost
+    # two EXTRA full corpus scans (3 FileScans in the physical plan)
+    counts = counts.localCheckpoint(eager=True)
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = counts.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(
