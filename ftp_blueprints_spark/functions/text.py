@@ -71,15 +71,17 @@ def stopword_ratio_from(ltoks: Column, lang: str = "en") -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
+    # GREATEST(len,1): empty text yields 0.0 in both engines — bare
+    # 0/0 is NULL in Spark but NaN in DuckDB (IEEE float division).
     t = _c(text)
     stripped = F.regexp_replace(t, "[.,!?;:]", "")
-    return (F.length(t) - F.length(stripped)) / F.length(t)
+    return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
 
 
 def alpha_ratio(text: Column | str) -> Column:
     t = _c(text)
     stripped = F.regexp_replace(t, "[A-Za-z]", "")
-    return (F.length(t) - F.length(stripped)) / F.length(t)
+    return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
 
 
 def quality_score(text: Column | str) -> Column:

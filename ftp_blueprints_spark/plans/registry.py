@@ -25,6 +25,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     operators (driver falls back to a rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # Duplicate names silently shadow the earlier query (dict
+        # assignment + Python function redefinition raise nothing), so
+        # the overwritten query would vanish from the driver contract
+        # with no error. Fail at import time instead.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

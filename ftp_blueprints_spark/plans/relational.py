@@ -969,17 +969,19 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_unpivot",
+    "q_unpivot_part",
     """
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 UNION ALL
 SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
 """,
 )
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long reshaping (unpivot/melt): narrow projection, no
     shuffle — the inverse of q_pivot_status. Values promote to the
-    common DOUBLE type, as the manual UNION oracle does explicitly."""
+    common DOUBLE type, as the manual UNION oracle does explicitly.
+    (Was registered as "q_unpivot" and silently shadowed by the later
+    lineitem unpivot until the registry grew a duplicate-name guard.)"""
     part = load_table(spark, sf_dir, "part")
     return part.unpivot(
         ids=["p_partkey"],
@@ -1499,35 +1501,63 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_window_ntile",
+    "q_window_frames",
     """
-SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
-       NTILE(4) OVER w AS quartile,
-       PERCENT_RANK() OVER w AS pct_rank,
-       CUME_DIST() OVER w AS cume
-FROM orders
-WHERE o_orderkey < 5000
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+WITH o AS (
+  SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 5000
+)
+SELECT orderkey, priority, cents,
+       CAST(SUM(cents) OVER (PARTITION BY priority ORDER BY cents, orderkey
+                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            AS BIGINT) AS centered_sum,
+       CAST(COUNT(*) OVER (PARTITION BY priority ORDER BY cents
+                           RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
+            AS BIGINT) AS n_within_1k,
+       CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY priority)
+            AS BIGINT) AS share_ppm
+FROM o
 """,
 )
-def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: NTILE quartiles, PERCENT_RANK and
-    CUME_DIST per priority partition (deterministic total order via the
-    o_orderkey tiebreak — without it both engines could place ties in
-    different quartiles). Both ratios are small-integer divisions, so
-    the doubles are bit-identical across engines. One exchange on the
-    partition key, the same scale shape as every other window query;
-    the orderkey predicate pushes to the parquet scan."""
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame-bound coverage the other window queries lack:
+    a centered ROWS frame (2 PRECEDING .. 2 FOLLOWING, deterministic
+    via the orderkey tiebreak), a symmetric VALUE-based RANGE frame
+    (orders within +-$1000 of each order, peer-inclusive by value so
+    tie order is irrelevant), and a frame-less whole-partition
+    aggregate (share of priority-total spend, exact ppm integers).
+    Money is held in BIGINT cents throughout — sums and the ppm
+    floor-division hash identically across engines. One exchange on
+    the partition key serves all three windows; the orderkey predicate
+    pushes to the parquet scan. (Replaced q_window_ntile, which
+    duplicated q_window_dist's exact operator set on another table.)"""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.asc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return o.select(
+    o = o.select(
         F.col("o_orderkey").alias("orderkey"),
         F.col("o_orderpriority").alias("priority"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rows_w = (
+        Window.partitionBy("priority")
+        .orderBy(F.asc("cents"), F.asc("orderkey"))
+        .rowsBetween(-2, 2)
+    )
+    range_w = (
+        Window.partitionBy("priority")
+        .orderBy(F.asc("cents"))
+        .rangeBetween(-100_000, 100_000)
+    )
+    return o.select(
+        "orderkey",
+        "priority",
+        "cents",
+        F.sum("cents").over(rows_w).cast("bigint").alias("centered_sum"),
+        F.count("*").over(range_w).cast("bigint").alias("n_within_1k"),
+        F.expr(
+            "CAST((cents * 1000000)"
+            " DIV SUM(cents) OVER (PARTITION BY priority) AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 
@@ -1944,6 +1974,12 @@ def bloom_mask_and_tests(
         words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     mask_lit = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    # Each {p} (an md5+conv subtree) is interpolated twice (DIV 64 and
+    # % 64). Binding it once via a TRANSFORM(ARRAY(MD5(..)), h -> ..)
+    # let-trick measured SLOWER (1.29s vs 1.02s warm, sf0.1 lineitem):
+    # higher-order functions are interpreted per element, while the
+    # duplicated subtree stays inside whole-stage codegen. Keep the
+    # duplication — it is the measured-faster form.
     tests = " AND ".join(
         f"((SHIFTRIGHT(ELEMENT_AT(_mask, CAST(({p}) DIV 64 AS INT) + 1),"
         f" CAST(({p}) % 64 AS INT)) & 1L) = 1L)"

@@ -54,8 +54,8 @@ _STOP_EN = _sql_count_in(T.STOPWORDS["en"])
 _QUALITY_SQL = f"""
 ROUND(0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
     + 0.3 * LEAST(CAST({_STOP_EN} AS DOUBLE) / len({_LTOKS}) * 5.0, 1.0)
-    + 0.2 * CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
-    + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)), 6)
+    + 0.2 * CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1)
+    + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1)), 6)
 """
 
 
@@ -64,8 +64,8 @@ ROUND(0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
     f"""
 SELECT doc_id,
        ROUND(CAST({_STOP_EN} AS DOUBLE) / len({_LTOKS}), 6) AS stop_ratio,
-       ROUND(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
-       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1), 6) AS alpha_ratio,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1), 6) AS punct_ratio,
        {_QUALITY_SQL} AS quality_score
 FROM documents
 """,
@@ -154,7 +154,7 @@ kept AS (
 SELECT lang_pred, source,
        COUNT(*) AS n_docs_kept,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       CAST(FLOOR(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) * 1.0 / COUNT(*))
+       CAST(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) // COUNT(*)
             AS BIGINT) AS avg_quality_micros
 FROM kept GROUP BY lang_pred, source
 """,
@@ -521,7 +521,7 @@ df AS (SELECT tok, COUNT(*) AS dfreq FROM toks GROUP BY tok)
 SELECT t.doc_id,
        COUNT(*) AS n_distinct_toks,
        CAST(SUM(d.dfreq) AS BIGINT) AS sum_dfreq,
-       CAST(FLOOR(SUM(d.dfreq) * 1000000.0 / COUNT(*)) AS BIGINT)
+       CAST((SUM(d.dfreq) * 1000000) // COUNT(*) AS BIGINT)
          AS mean_dfreq_micros
 FROM toks t JOIN df d ON t.tok = d.tok
 GROUP BY t.doc_id
@@ -1543,7 +1543,7 @@ def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only ranks the already-tiny head."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        F.explode(T.lower_tokens(F.col("text"))).alias("w")
     ).filter(F.length("w") >= 2)
     wf = toks.groupBy("w").agg(F.count("*").alias("wf"))
     pairs = wf.select(
@@ -1610,7 +1610,7 @@ def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         docs.select(
             "doc_id",
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tk"),
+            T.lower_tokens(F.col("text")).alias("tk"),
         )
         .select("doc_id", F.explode(F.expr(_CLF_FEATS_SPARK)).alias("f"))
     )
@@ -1659,7 +1659,7 @@ def tx_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.md5("text").alias("h"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        F.size(T.ws_tokens(F.col("text"))).alias("n_tok"),
         F.length("text").alias("n_chars"),
     )
     return t.agg(
@@ -1707,7 +1707,7 @@ ORDER BY chi2_micros DESC, tok LIMIT {DRIFT_TOP_K}
 """,
 )
 def tx_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus drift report: the {DRIFT_TOP_K} tokens whose frequency
+    f"""Corpus drift report: the {DRIFT_TOP_K} tokens whose frequency
     shifts most between two corpus cohorts (modeled as doc_id parity —
     in production, the previous vs the incoming crawl snapshot),
     ranked by per-token two-sample chi-square contribution. This is
@@ -1731,7 +1731,7 @@ def tx_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         (F.col("doc_id") % 2).alias("cohort"),
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        F.explode(T.lower_tokens(F.col("text"))).alias("tok"),
     )
     cnt = toks.groupBy("tok").agg(
         F.count(F.when(F.col("cohort") == 0, 1)).cast("bigint").alias("n1"),

@@ -325,3 +325,48 @@ def test_weighted_sample_priority_survives_long_docs(spark):
     h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
     want = len(text) * _PRIORITY_SCALE // (h + 1)
     assert got == want and got > 0
+
+
+def test_empty_text_ratios_are_zero_not_null(spark, sf_oracle):
+    """Empty documents must score 0.0, not NULL/NaN: bare len/len
+    division is 0/0 — NULL in Spark but NaN in DuckDB (IEEE float
+    ops), a cross-engine hash divergence the GREATEST(len,1) guard
+    closes. Nothing in the fixture contract forbids empty docs."""
+    import duckdb
+
+    from ftp_blueprints_spark.functions import text as T
+
+    row = (
+        spark.range(1)
+        .select(F.lit("").alias("text"))
+        .select(
+            T.alpha_ratio("text").alias("a"),
+            T.punct_ratio("text").alias("p"),
+            T.quality_score("text").alias("q"),
+        )
+        .collect()[0]
+    )
+    assert row["a"] == 0.0 and row["p"] == 0.0
+    assert row["q"] is not None and row["q"] == row["q"]  # not NULL/NaN
+
+    from ftp_blueprints_spark.plans.text_queries import _QUALITY_SQL
+
+    con = duckdb.connect()
+    (q,) = con.execute(
+        f"SELECT {_QUALITY_SQL} AS s FROM (SELECT '' AS text) documents"
+    ).fetchone()
+    assert q == row["q"], f"oracle {q} != spark {row['q']} on empty text"
+
+
+def test_registry_rejects_duplicate_names():
+    """A second @query under an existing name must raise at import
+    time — plain dict assignment silently shadowed q_unpivot for two
+    rounds (the part-based unpivot vanished from the driver contract
+    with no error)."""
+    import pytest as _pytest
+
+    from ftp_blueprints_spark.plans.registry import QUERIES, query
+
+    name = next(iter(QUERIES))
+    with _pytest.raises(ValueError, match="duplicate query registration"):
+        query(name)(lambda spark, sf_dir: None)
