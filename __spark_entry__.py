@@ -75,25 +75,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #             below): their first hash-check beats re-verification;
 #   rank  0/1 — the _STALE_BOOST remap keeps r3-era evidence ahead of r2-era
 #             (r3 was checked under the since-fixed NTZ session).
-# Round 6: the set is EMPTY by design (no oracle upgrades pending) so the
-# window is pure staleness rotation — verified this round that the 50-slot
-# window then selects exactly the 45 r2-latest + 5 r3-latest queries named
-# in VERDICT r5 task 1.  Brand-new round-6 queries rank -1 and displace the
-# tail of that set; the displaced r2 queries rotate to the front of r7's
-# window via the same math.
-# Queries whose VALUE surface changed in round-6 review fixes — each
-# needs first-hash driver evidence on the new values: tx_bm25's integer
-# factoring was rebuilt overflow-safe (new score_mu surface) and
-# sim_hybrid_rrf composes its ranks; ev_dedup_first's n_dropped_later
-# was off by one (now COUNT(*) - 1, both engines).
+# Brand-new queries rank -1 and displace the stale tail; displaced stale
+# queries rotate to the front of the NEXT round's window via the same math —
+# which is why new registrations are capped (~8/round): each one delays a
+# stale-evidence refresh by a round.
+# Round 7 set (r6 ADVICE + VERDICT task 2): the embedding near-dup pair
+# surface was rewritten in round 6 (cos_sim DOUBLE -> cos_micros BIGINT,
+# bucketed integer matmul) but omitted from this set, so neither query got
+# first-hash evidence on the new values; the rank-pick medians were
+# re-implemented distributed in round 7 (identical element, new plan) and
+# need hash evidence that the rewrite picks the same row.
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
-    "tx_bm25",
-    "sim_hybrid_rrf",
-    "ev_dedup_first",
+    "sim_embedding_neardup",
+    "dd_embedding_neardup_keepers",
+    "ev_mad_outliers",
+    "ev_winsorize",
 }
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
-# the r3 window was checked under the broken NTZ session.
-_STALE_BOOST = {3: 0, 2: 1, 4: 10}
+# the r3 window was checked under the broken NTZ session.  (The r6-era
+# `4: 10` demotion — r4 was then the freshest evidence — is retired: from
+# r7 on, natural round ordering r2 < r4 < r5 < r6 is correct.  Simulated
+# window for r7: 4 first-hash + all 15 r2-stale + 31 r4 = 50.)
+_STALE_BOOST = {3: 0, 2: 1}
 
 
 def _last_checked() -> dict[str, int]:

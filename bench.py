@@ -366,22 +366,39 @@ def main() -> None:
         "mm_decode_meta", "ev_tumbling_counts", "ev_ttl_dedup",
     }
     r2_subset_total = round(sum(t for n, t in times.items() if n in r2_set), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                # per-query COLD numbers (first of the two runs): codegen/
-                # first-run regressions are invisible in warm minima alone
-                "first_runs": {n: round(t, 3) for n, t in first.items()},
-                "first_run_total": round(sum(first.values()), 3),
-                "r2_subset_total": r2_subset_total,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        # per-query COLD numbers (first of the two runs): codegen/
+        # first-run regressions are invisible in warm minima alone
+        "first_runs": {n: round(t, 3) for n, t in first.items()},
+        "first_run_total": round(sum(first.values()), 3),
+        "r2_subset_total": r2_subset_total,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    # Durable copy: the driver captures only the stdout TAIL (~2000
+    # chars), which truncated round 6's warm per-query dict out of
+    # BENCH_r06.json.  Write the full JSON to a repo file in the same
+    # run so the per-query evidence survives regardless of how the
+    # caller captures stdout.  The round number is inferred from the
+    # newest CORRECTNESS_r{N}.json (+1 = the round in progress).
+    try:
+        import glob
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        rnd = max(rounds, default=0) + 1
+        with open(os.path.join(_REPO, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line remains the record
     spark.stop()
 
 

@@ -65,7 +65,15 @@ def typed_from_message(err: Exception) -> BlueprintError | None:
     cross the Py4J boundary as stringified Java exceptions; the class
     name survives in the message even though the Python type does not.
     Scanning for it restores the exit-code contract (a login failure
-    inside a partition must still exit 3, not 1)."""
+    inside a partition must still exit 3, not 1).
+
+    The scan is ANCHORED to the raised-exception rendering
+    ``ClassName: detail`` at a token boundary (optionally
+    module-qualified, as Py4J prints it) — a bare substring match
+    would let a class name inside a file path or quoted log fragment
+    misroute an unrelated failure to that exit code."""
+    import re
+
     msg = str(err)
     for cls in (
         IncorrectCredentials,
@@ -74,7 +82,8 @@ def typed_from_message(err: Exception) -> BlueprintError | None:
         MoveError,
         UploadError,
     ):
-        if cls.__name__ in msg:
-            detail = msg.split(cls.__name__, 1)[-1].strip(": ").split("\n")[0]
+        m = re.search(rf"(?<![A-Za-z0-9_]){cls.__name__}\s*:", msg)
+        if m:
+            detail = msg[m.end():].lstrip().split("\n")[0]
             return cls(detail)
     return None

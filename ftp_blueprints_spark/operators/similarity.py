@@ -243,6 +243,32 @@ NEARDUP_COS_MICROS = int(round(NEARDUP_COS * 1_000_000))
 # driver/bench corpora produce, so oracle parity is unaffected there.
 NEARDUP_MAX_BUCKET = 1000
 
+# Skipped-bucket accumulators, one per SparkContext (keyed by appId so a
+# restarted session gets a fresh counter).  The cap silently DROPS every
+# pair of an over-cap bucket — and since true duplicates collide in all
+# bands, such a cluster loses ALL its pairs — so the guard must be
+# observable: divergence from the all-pairs oracle at scale should show
+# up as a non-zero counter, not a mystery.
+_NEARDUP_SKIPPED_ACC: dict = {}
+
+
+def _neardup_skip_acc(sc):
+    acc = _NEARDUP_SKIPPED_ACC.get(sc.applicationId)
+    if acc is None:
+        acc = sc.accumulator(0)
+        _NEARDUP_SKIPPED_ACC[sc.applicationId] = acc
+    return acc
+
+
+def neardup_skipped_buckets(spark: SparkSession) -> int:
+    """How many LSH buckets the NEARDUP_MAX_BUCKET guard has skipped in
+    this session (across all executed sim_embedding_neardup plans).
+    Non-zero means the pair surface is missing every pair of at least
+    one mass-duplication cluster and the caller should route those
+    members through exact/normalized dedup instead."""
+    acc = _NEARDUP_SKIPPED_ACC.get(spark.sparkContext.applicationId)
+    return int(acc.value) if acc is not None else 0
+
 
 def neardup_pairs_sql() -> str:
     """All-pairs ground-truth SQL for the near-dup pair surface, shared
@@ -326,8 +352,16 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bands, rows = neardup_params(table_rows(sf_dir, "embeddings"))
     sig = band_signatures(emb, bands, rows)
+    skip_acc = _neardup_skip_acc(spark.sparkContext)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > NEARDUP_MAX_BUCKET:
+            skip_acc.add(1)
+            print(
+                f"[neardup] SKIPPED bucket of {len(pdf)} members "
+                f"(> NEARDUP_MAX_BUCKET={NEARDUP_MAX_BUCKET}): "
+                "mass-duplication cluster — route through exact dedup"
+            )
         if len(pdf) < 2 or len(pdf) > NEARDUP_MAX_BUCKET:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_micros": []}).astype(
                 {"vec_a": "int64", "vec_b": "int64", "cos_micros": "int64"}

@@ -62,14 +62,18 @@ def parse_csv_files(
         from pyspark.sql import Window
 
         w = Window.partitionBy("src_path")
-        lines = (
-            lines.withColumn("_hidx", F.min("idx").over(w))
-            .filter(F.col("idx") != F.col("_hidx"))
-            .drop("_hidx")
+        lines = lines.withColumn("_hidx", F.min("idx").over(w)).filter(
+            F.col("idx") != F.col("_hidx")
         )
+        # offset from the header, not the physical idx: a file with a
+        # leading blank line has its header at idx=1 and its first data
+        # row at idx=2 — line_no must still be 1 there.
+        line_no = F.col("idx") - F.col("_hidx")
+    else:
+        line_no = F.col("idx") + 1
     parsed = lines.select(
         "src_path",
-        (F.col("idx") + (0 if header else 1)).cast("bigint").alias("line_no"),
+        line_no.cast("bigint").alias("line_no"),
         F.from_csv("line", schema, {"sep": sep}).alias("r"),
     )
     return parsed.select("src_path", "line_no", "r.*")

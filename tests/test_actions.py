@@ -306,3 +306,30 @@ def test_local_client_roundtrip(tmp_path):
     assert [p for p, d, s in c.listdir("a") if not d] == ["a/y.bin"]
     c.delete("a/y.bin")
     assert [p for p, d, s in c.listdir("a") if not d] == []
+
+
+def test_typed_from_message_anchored():
+    """The executor-message scan maps only the raised-exception
+    rendering 'ClassName: detail' — a class name embedded in a path or
+    log fragment must NOT hijack the exit code."""
+    from ftp_blueprints_spark.errors import (
+        IncorrectCredentials,
+        NoMatchesFound,
+        typed_from_message,
+    )
+
+    # py4j-style module-qualified rendering -> typed error + detail
+    t = typed_from_message(
+        RuntimeError(
+            "ftp_blueprints_spark.errors.IncorrectCredentials: 530 Login "
+            "incorrect.\n  at task 3"
+        )
+    )
+    assert isinstance(t, IncorrectCredentials) and "530" in str(t)
+    # bare rendering still matches
+    t = typed_from_message(RuntimeError("NoMatchesFound: no files matched"))
+    assert isinstance(t, NoMatchesFound)
+    # class name inside a path / quoted fragment: no colon at the token
+    # boundary -> unrelated failure stays exit 1
+    assert typed_from_message(RuntimeError("open /tmp/NoMatchesFound/x failed")) is None
+    assert typed_from_message(RuntimeError("saw word MoveErrors: elsewhere")) is None

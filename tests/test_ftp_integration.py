@@ -400,6 +400,13 @@ def test_csv_header_drop_survives_leading_blank_line(spark):
     got = {(r["src_path"], r["id"], r["name"]) for r in rows}
     assert got == {("lead_blank.csv", 1, "ant"), ("normal.csv", 2, "bee")}
     assert not any(r["name"] == "name" for r in rows), "header leaked"
+    # line_no is the offset FROM THE HEADER (1 = first data line), not
+    # the physical index — the leading-blank file's first data row sits
+    # at physical idx 2 but must still report line_no 1.
+    assert {(r["src_path"], r["line_no"]) for r in rows} == {
+        ("lead_blank.csv", 1),
+        ("normal.csv", 1),
+    }
 
 
 def test_ingest_jsonl_over_ftp(spark, tmp_path):

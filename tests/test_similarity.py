@@ -416,3 +416,118 @@ def test_kcenter_coverage_monotone(spark, sf_oracle):
     assert rows[0].maxsim_mu is None
     sims = [r.maxsim_mu for r in rows[1:]]
     assert all(b >= a for a, b in zip(sims, sims[1:]))
+
+
+def _write_crafted_embeddings(path, X):
+    """Write an embeddings.parquet fixture matching the driver schema
+    (vec_id int64, embedding list<float>, label int32)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    X = np.asarray(X, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(X)), pa.int64()),
+            "embedding": pa.array(
+                [[float(v) for v in row] for row in X], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(X), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(path))
+
+
+def _crafted_neardup_corpus():
+    """4 clusters of 3 near-identical vectors (pairwise cosine ~0.99)
+    plus 30 decorrelated noise vectors (max pairwise cosine << 0.9) —
+    the sf fixtures contain NO true near-dup pair (max off-diag cosine
+    0.60 at sf0.1), so without this frame the pair-emission path is
+    only ever tested empty-vs-empty."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = []
+    for _ in range(4):
+        base = rng.normal(size=S.DIM)
+        base /= np.linalg.norm(base)
+        vecs.append(base)  # exact member
+        for _ in range(2):  # noisy members, cosine ~0.99 to base
+            v = base + rng.normal(scale=0.02, size=S.DIM)
+            vecs.append(v / np.linalg.norm(v))
+    for _ in range(30):
+        v = rng.normal(size=S.DIM)
+        vecs.append(v / np.linalg.norm(v))
+    return np.array(vecs, dtype=np.float32)
+
+
+def test_neardup_known_pairs_match_oracle(spark, tmp_path):
+    """Drive sim_embedding_neardup over a crafted frame with KNOWN
+    near-dup clusters and assert the exact (vec_a, vec_b, cos_micros)
+    rows against the registered DuckDB oracle — a column-pairing or
+    id-ordering bug in the pair emission is invisible on fixtures
+    where the true pair set is empty."""
+    import duckdb
+
+    from ftp_blueprints_spark.plans.registry import ORACLES
+
+    _write_crafted_embeddings(tmp_path / "embeddings.parquet", _crafted_neardup_corpus())
+    got = {tuple(r) for r in S.sim_embedding_neardup(spark, str(tmp_path)).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(ORACLES["sim_embedding_neardup"]).fetchall()}
+    # 4 clusters x C(3,2) intra-cluster pairs = 12 true pairs minimum
+    assert len(want) >= 12
+    assert got == want
+
+
+def test_neardup_keepers_known_clusters_match_oracle(spark, tmp_path):
+    """Same crafted frame through the components/keeper tail: each
+    3-member cluster must collapse to its lowest vec_id."""
+    import duckdb
+
+    from ftp_blueprints_spark.operators import dedup as D
+    from ftp_blueprints_spark.plans.registry import ORACLES
+
+    _write_crafted_embeddings(tmp_path / "embeddings.parquet", _crafted_neardup_corpus())
+    got = {
+        tuple(r)
+        for r in D.dd_embedding_neardup_keepers(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(ORACLES["dd_embedding_neardup_keepers"]).fetchall()
+    }
+    assert sum(1 for _, _, is_dup in want if is_dup) >= 8  # 2 dupes per cluster
+    assert got == want
+
+
+def test_neardup_bucket_cap_skips_are_observable(spark, tmp_path):
+    """NEARDUP_MAX_BUCKET drops ALL pairs of an over-cap cluster (true
+    duplicates collide in every band); that divergence from the
+    all-pairs oracle must be observable, not silent.  1001 identical
+    vectors -> one over-cap bucket per band -> accumulator += bands."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=S.DIM)
+    base /= np.linalg.norm(base)
+    X = np.vstack([np.tile(base, (S.NEARDUP_MAX_BUCKET + 1, 1))]).astype(np.float32)
+    _write_crafted_embeddings(tmp_path / "embeddings.parquet", X)
+
+    before = S.neardup_skipped_buckets(spark)
+    rows = S.sim_embedding_neardup(spark, str(tmp_path)).collect()
+    skipped = S.neardup_skipped_buckets(spark) - before
+
+    assert rows == []  # every pair of the mass-dup cluster was dropped
+    bands, _ = S.neardup_params(len(X))
+    assert skipped == bands
