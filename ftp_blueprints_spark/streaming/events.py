@@ -949,6 +949,141 @@ def ev_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAD_K = 5  # Hampel-style threshold: |v - median| > MAD_K * MAD
 
+# Value-range buckets per group for the distributed rank-pick: caps the
+# rows any single window task must sort at ~n/1024 (vs n for a whole-
+# group window) and bounds both driver collects at groups x 1025 rows.
+_RANK_PICK_BUCKETS = 1024
+
+
+def rank_picks(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    targets: dict,
+    stats: dict | None = None,
+) -> list:
+    """Pick, per group, the element at one or more GLOBAL ranks under
+    the deterministic order (val, id) — distributed, without ever
+    sorting a whole group in one task.
+
+    ``targets`` maps an output label to ``fn(n) -> rank`` (1-based,
+    exact integer arithmetic so it reproduces the oracle's CEIL).
+    Returns one row per (group, label): (group_col, ``_which`` label,
+    val_col).
+
+    This is the bucketed two-pass prefix rank proven in
+    tx_quality_topp (plans/text_queries.py), specialized to rank
+    SELECTION: a `row_number().over(partitionBy(group))` rank-pick is
+    correct but funnels each group's FULL row set through one task's
+    sort — with ~5 event types that serializes n/5 rows per task, the
+    worst measured 100x exponent in SCALEPROBE r6 (0.616).  Instead:
+
+    1. per-group min/max (map-side-combinable agg; collect is
+       group-cardinality) fixes 1024 equal integer value buckets;
+    2. per-(group, bucket) counts (same shape; collect is bounded by
+       groups x 1025 regardless of n) prefix-sum on the driver to
+       locate, for each target rank r, the ONE bucket holding it and
+       the local rank r - offset;
+    3. a row_number window over (group, bucket, label) — each
+       partition is ~n/1024 rows — picks that local rank.
+
+    Bucketing by value preserves the (val, id) order across buckets
+    (equal values share a bucket), so bucket-local rank + driver
+    offset IS the global rank and the picked element is identical to
+    the single-window formulation (oracles unchanged).
+
+    The picked rows come back as a driver-side list of (group, label,
+    value) tuples (group x target cardinality — a constant-bounded
+    collect, same policy as the centroid collects): callers broadcast
+    a literal DataFrame built from them, so the plans that CONSUME a
+    median/bound never re-execute the rank-pick passes, and a chained
+    pick (MAD's deviation median over ``values ⋈ value-median``)
+    scans the base table instead of recursively re-running the first
+    pick's window.
+
+    ``stats`` optionally supplies {group: (vmin, vmax)} when the
+    caller already knows the value range analytically (MAD's
+    deviations span [0, max(med-vmin, vmax-med)]) — skipping the
+    min/max job.  A conservative over-wide range only coarsens the
+    buckets, never changes the picked element.  Callers should
+    localCheckpoint ``df`` first: each pass then reads cached blocks
+    instead of re-running the upstream scan."""
+    if stats is None:
+        stats = {
+            r[group_col]: (int(r["_vmin"]), int(r["_vmax"]))
+            for r in df.groupBy(group_col).agg(
+                F.min(val_col).alias("_vmin"), F.max(val_col).alias("_vmax")
+            ).collect()
+        }
+    if not stats:
+        return []
+    widths = {
+        g: (vmin, (vmax - vmin) // _RANK_PICK_BUCKETS + 1)
+        for g, (vmin, vmax) in stats.items()
+    }
+    # group-keyed constants ride as ONE map literal inside the
+    # projection (ivf_assign's literal-vs-join pattern): a broadcast
+    # join of a 5-row table costs a build job + exchange per pass,
+    # which at sf0.1 is the dominant cost of the whole operator.
+    # group_map is total over the groups present in df by
+    # construction (stats covers them), so no null branch is needed.
+    def group_map(vals: dict) -> "F.Column":
+        args = []
+        for g, v in vals.items():
+            args.extend((F.lit(g), F.lit(int(v))))
+        return F.create_map(*args)[F.col(group_col)].cast("bigint")
+
+    b = (
+        df.withColumn("_vmin", group_map({g: w[0] for g, w in widths.items()}))
+        .withColumn("_w", group_map({g: w[1] for g, w in widths.items()}))
+        .withColumn("_b", F.expr(f"({val_col} - _vmin) DIV _w"))
+    )
+    cnts = b.groupBy(group_col, "_b").count().collect()
+    per: dict = {}
+    for r in cnts:
+        per.setdefault(r[group_col], []).append((int(r["_b"]), int(r["count"])))
+    picks: dict = {}  # which -> {group: (bucket, local_rank)}
+    for g, lst in per.items():
+        lst.sort()
+        n = sum(c for _, c in lst)
+        for which, fn in targets.items():
+            rank = fn(n)
+            off = 0
+            for bb, c in lst:
+                if off + c >= rank:
+                    picks.setdefault(which, {})[g] = (bb, rank - off)
+                    break
+                off += c
+    # one pass over the target buckets only: prune with the bucket
+    # maps, rank within (group, bucket) — each window partition holds
+    # ~n/1024 rows — then label rows whose local rank matches a target
+    # (a row can satisfy several labels when ranks coincide).
+    conds = {}
+    for which, bygroup in picks.items():
+        b_map = group_map({g: t[0] for g, t in bygroup.items()})
+        rn_map = group_map({g: t[1] for g, t in bygroup.items()})
+        conds[which] = (F.col("_b") == b_map, F.col("_lrn") == rn_map)
+    in_target = None
+    for bucket_cond, _ in conds.values():
+        in_target = bucket_cond if in_target is None else (in_target | bucket_cond)
+    w = Window.partitionBy(group_col, "_b").orderBy(F.asc(val_col), F.asc(id_col))
+    labels = F.array_compact(
+        F.array(
+            *[
+                F.when(bc & rc, F.lit(which))
+                for which, (bc, rc) in conds.items()
+            ]
+        )
+    )
+    picked = (
+        b.filter(in_target)
+        .withColumn("_lrn", F.row_number().over(w))
+        .select(group_col, F.explode(labels).alias("_which"), val_col)
+        .collect()
+    )
+    return [(r[group_col], r["_which"], int(r[val_col])) for r in picked]
+
 
 @query(
     "ev_mad_outliers",
@@ -999,29 +1134,38 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (value, event_id) order), so both engines pick the
     identical element — no interpolated-median float divergence.
 
-    Scale shape: two ranked passes (value rank, then deviation rank),
-    each ONE exchange keyed on event_type; the median rows are
-    group-cardinality and broadcast back onto events for the flag
-    join, so event rows shuffle exactly twice and the medians travel
-    broadcast-size. The rank-pick rows come out of WindowGroupLimit-
-    style early filters, never a per-group collect."""
+    Scale shape (r7 rewrite, VERDICT r6 task 2): two rank-pick passes
+    (value median, then deviation median), each through the bucketed
+    prefix rank of ``rank_picks`` — the r6 formulation's
+    `row_number().over(partitionBy(event_type))` was correct but
+    serialized each group's full sort in one task (worst measured 100x
+    exponent, 0.616).  Now every window partition holds ~n/1024 rows;
+    the median rows stay group-cardinality and broadcast back onto
+    events for the flag join."""
+    # one materialization of the projected stream; every rank-pick pass
+    # (and the final flag join) reads the cached blocks instead of
+    # re-running the parquet scan + projection per job
     cents = _events(spark, sf_dir).select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 10_000).cast("bigint").alias("v_cu"),
+    ).localCheckpoint(eager=True)
+    spark = cents.sparkSession
+
+    # ceil(n/2) in exact integer arithmetic = the oracle's
+    # CEIL(n / 2.0) (n/2.0 is exact in double for any corpus n)
+    lower = {"m": lambda n: (n + 1) // 2}
+    stats = {
+        r["event_type"]: (int(r["_vmin"]), int(r["_vmax"]))
+        for r in cents.groupBy("event_type")
+        .agg(F.min("v_cu").alias("_vmin"), F.max("v_cu").alias("_vmax"))
+        .collect()
+    }
+    med_rows = rank_picks(cents, "event_type", "v_cu", "event_id", lower, stats)
+    med_val = {g: v for g, _, v in med_rows}
+    med = spark.createDataFrame(
+        [(g, v) for g, v in med_val.items()], "event_type string, med_cu bigint"
     )
-
-    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(F.asc(col), F.asc("event_id"))
-        wn = Window.partitionBy("event_type")
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .withColumn("n", F.count("*").over(wn))
-            .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
-            .select("event_type", F.col(col).alias(out))
-        )
-
-    med = lower_median(cents, "v_cu", "med_cu")
     dev = cents.join(F.broadcast(med), "event_type").select(
         "event_id",
         "event_type",
@@ -1029,7 +1173,16 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_cu",
         F.abs(F.col("v_cu") - F.col("med_cu")).alias("d_cu"),
     )
-    mad = lower_median(dev, "d_cu", "mad_cu")
+    # deviation range is known analytically from the value range + the
+    # median — no second min/max job
+    dev_stats = {
+        g: (0, max(med_val[g] - vmin, vmax - med_val[g]))
+        for g, (vmin, vmax) in stats.items()
+    }
+    mad_rows = rank_picks(dev, "event_type", "d_cu", "event_id", lower, dev_stats)
+    mad = spark.createDataFrame(
+        [(g, v) for g, _, v in mad_rows], "event_type string, mad_cu bigint"
+    )
     return dev.join(F.broadcast(mad), "event_type").select(
         "event_id",
         "event_type",
@@ -1168,25 +1321,38 @@ def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines select the identical integer-cents element — no
     interpolated-percentile float surface.
 
-    Scale shape: one ranked pass per group (single exchange keyed on
-    event_type), bound rows are group-cardinality and broadcast back
-    onto events — same two-exchange shape as the MAD operator."""
+    Scale shape (r7 rewrite, VERDICT r6 task 2): BOTH bound ranks come
+    out of one bucketed prefix-rank pass (``rank_picks`` — window
+    partitions of ~n/1024 rows instead of one whole-group sort per
+    event_type); bound rows are group-cardinality and broadcast back
+    onto events.  The rank arithmetic is exact integer ceil
+    (ceil(n*p) = (n*p_pct + 99) DIV 100), reproducing the oracle's
+    CEIL(n * 0.05) decimal arithmetic for any n."""
     cents = _events(spark, sf_dir).select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 10_000).cast("bigint").alias("v_cu"),
+    ).localCheckpoint(eager=True)
+    spark = cents.sparkSession
+    lo_pct = int(round(WINSOR_LO * 100))
+    hi_pct = int(round(WINSOR_HI * 100))
+    picked = rank_picks(
+        cents,
+        "event_type",
+        "v_cu",
+        "event_id",
+        {
+            "lo": lambda n: max(1, (n * lo_pct + 99) // 100),
+            "hi": lambda n: (n * hi_pct + 99) // 100,
+        },
     )
-    w = Window.partitionBy("event_type").orderBy(F.asc("v_cu"), F.asc("event_id"))
-    wn = Window.partitionBy("event_type")
-    ranked = cents.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(wn)
+    lo = spark.createDataFrame(
+        [(g, v) for g, which, v in picked if which == "lo"],
+        "event_type string, lo_cu bigint",
     )
-    lo = ranked.filter(
-        F.col("rn")
-        == F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * WINSOR_LO))
-    ).select("event_type", F.col("v_cu").alias("lo_cu"))
-    hi = ranked.filter(F.col("rn") == F.ceil(F.col("n") * WINSOR_HI)).select(
-        "event_type", F.col("v_cu").alias("hi_cu")
+    hi = spark.createDataFrame(
+        [(g, v) for g, which, v in picked if which == "hi"],
+        "event_type string, hi_cu bigint",
     )
     return (
         cents.join(F.broadcast(lo), "event_type")
