@@ -79,18 +79,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries rotate to the front of the NEXT round's window via the same math —
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
-# Round 7 set (r6 ADVICE + VERDICT task 2): the embedding near-dup pair
-# surface was rewritten in round 6 (cos_sim DOUBLE -> cos_micros BIGINT,
-# bucketed integer matmul) but omitted from this set, so neither query got
-# first-hash evidence on the new values; the rank-pick medians were
-# re-implemented distributed in round 7 (identical element, new plan) and
-# need hash evidence that the rewrite picks the same row.
-_FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
-    "sim_embedding_neardup",
-    "dd_embedding_neardup_keepers",
-    "ev_mad_outliers",
-    "ev_winsorize",
-}
+# Round 8 (r7 VERDICT task 5): the round-7 set (the four rewrites) all
+# hold fresh r7 hash evidence, so the set is cleared — round 8's 50
+# window slots go to the 9 r4-stale streaming/sketch queries + the
+# r5-stale tail by natural rotation.  Re-populate only for queries whose
+# PLAN or VALUES changed this round.
+_FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era
 # `4: 10` demotion — r4 was then the freshest evidence — is retired: from

@@ -71,7 +71,11 @@ def typed_from_message(err: Exception) -> BlueprintError | None:
     ``ClassName: detail`` at a token boundary (optionally
     module-qualified, as Py4J prints it) — a bare substring match
     would let a class name inside a file path or quoted log fragment
-    misroute an unrelated failure to that exit code."""
+    misroute an unrelated failure to that exit code.  An exception
+    raised with an EMPTY message renders colon-less (tracebacks print
+    just ``ClassName`` on its own line), so the class name is also
+    matched at end-of-line/end-of-string — otherwise a bare
+    ``IncorrectCredentials`` would degrade to exit 1 instead of 3."""
     import re
 
     msg = str(err)
@@ -82,8 +86,13 @@ def typed_from_message(err: Exception) -> BlueprintError | None:
         MoveError,
         UploadError,
     ):
-        m = re.search(rf"(?<![A-Za-z0-9_]){cls.__name__}\s*:", msg)
+        m = re.search(
+            rf"(?<![A-Za-z0-9_]){cls.__name__}\s*(:|$)", msg, re.MULTILINE
+        )
         if m:
-            detail = msg[m.end():].lstrip().split("\n")[0]
+            if m.group(1) == ":":
+                detail = msg[m.end():].lstrip().split("\n")[0]
+            else:
+                detail = ""  # colon-less rendering: no message to recover
             return cls(detail)
     return None

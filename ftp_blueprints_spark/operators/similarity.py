@@ -265,7 +265,12 @@ def neardup_skipped_buckets(spark: SparkSession) -> int:
     this session (across all executed sim_embedding_neardup plans).
     Non-zero means the pair surface is missing every pair of at least
     one mass-duplication cluster and the caller should route those
-    members through exact/normalized dedup instead."""
+    members through exact/normalized dedup instead.
+
+    This is a SIGNAL, not an exact count: the accumulator increments
+    once per UDF execution, so plan re-execution (multiple actions on
+    the returned DataFrame, AQE re-runs, task retries/speculation)
+    inflates it by whole multiples of the per-pass skip count."""
     acc = _NEARDUP_SKIPPED_ACC.get(spark.sparkContext.applicationId)
     return int(acc.value) if acc is not None else 0
 

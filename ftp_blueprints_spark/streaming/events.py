@@ -1010,14 +1010,30 @@ def rank_picks(
     localCheckpoint ``df`` first: each pass then reads cached blocks
     instead of re-running the upstream scan."""
     if stats is None:
-        stats = {
-            r[group_col]: (int(r["_vmin"]), int(r["_vmax"]))
-            for r in df.groupBy(group_col).agg(
-                F.min(val_col).alias("_vmin"), F.max(val_col).alias("_vmax")
-            ).collect()
-        }
+        stats = {}
+        for r in df.groupBy(group_col).agg(
+            F.min(val_col).alias("_vmin"), F.max(val_col).alias("_vmax")
+        ).collect():
+            # NULL group guard: the create_map literal lookup below
+            # cannot represent a NULL key — a null group would be
+            # silently dropped from the median/bound joins, diverging
+            # from the window formulation and the DuckDB oracle (both
+            # treat NULL as a group).  Fail loudly instead; callers
+            # with nullable group columns must coalesce to a sentinel
+            # first.  Costs nothing: this rides the min/max collect
+            # that already runs.
+            if r[group_col] is None:
+                raise ValueError(
+                    f"rank_picks: NULL in group column {group_col!r}; "
+                    "coalesce to a sentinel before calling"
+                )
+            stats[r[group_col]] = (int(r["_vmin"]), int(r["_vmax"]))
     if not stats:
         return []
+    if None in stats:
+        raise ValueError(
+            f"rank_picks: NULL group key in supplied stats for {group_col!r}"
+        )
     widths = {
         g: (vmin, (vmax - vmin) // _RANK_PICK_BUCKETS + 1)
         for g, (vmin, vmax) in stats.items()

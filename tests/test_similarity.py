@@ -530,4 +530,10 @@ def test_neardup_bucket_cap_skips_are_observable(spark, tmp_path):
 
     assert rows == []  # every pair of the mass-dup cluster was dropped
     bands, _ = S.neardup_params(len(X))
-    assert skipped == bands
+    # The accumulator increments once per UDF EXECUTION, so plan
+    # re-execution (AQE re-runs, task retries, speculation) can only
+    # inflate it — it is a non-zero SIGNAL, not an exact count.  Assert
+    # the floor and divisibility (each re-execution adds a whole
+    # multiple of the per-pass band count), not equality, so a task
+    # retry can't flake the test.
+    assert skipped >= bands and skipped % bands == 0
