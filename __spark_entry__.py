@@ -80,11 +80,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
 # Round 8 (r7 VERDICT task 5): the round-7 set (the four rewrites) all
-# hold fresh r7 hash evidence, so the set is cleared — round 8's 50
-# window slots go to the 9 r4-stale streaming/sketch queries + the
-# r5-stale tail by natural rotation.  Re-populate only for queries whose
-# PLAN or VALUES changed this round.
-_FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
+# hold fresh r7 hash evidence and was cleared; slots then go to the 9
+# r4-stale streaming/sketch queries + the r5-stale tail by natural
+# rotation.  Named here: queries whose PLAN changed in round 8 (the
+# fused single-pass portable_centroids train — cells1 JOIN n1 collapsed
+# into one with_count aggregation; values unchanged by construction,
+# but the new plan needs its own hash evidence).
+_FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_kmeans",
+}
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era
 # `4: 10` demotion — r4 was then the freshest evidence — is retired: from

@@ -530,19 +530,6 @@ def kmeans_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 1) -> DataFram
 KM_ITERS = 3
 
 
-def _micro_vecs(emb: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    """(vec_id, vq): the vector quantized to integer micro-units —
-    FLOOR(x * 1e6) per component as BIGINT. Exact and order-independent
-    under summation, which is what makes centroid refinement and PQ
-    encoding reproducible across engines."""
-    return emb.select(
-        "vec_id",
-        F.transform(
-            F.col(emb_col), lambda e: F.floor(e.cast("double") * 1_000_000)
-        ).alias("vq"),
-    )
-
-
 def portable_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     """ONE engine-portable Lloyd round: seed with the k lowest vec_ids,
     assign on the ROUND(cos, 6) tie surface, and refine each centroid as
@@ -553,16 +540,19 @@ def portable_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     drop out (inner join) — identically in both engines.
 
     Scale: zero-shuffle literal-argmax assignment + a (cid, pos)-keyed
-    partial-combinable BIGINT sum of K x dim cells."""
-    xq = _micro_vecs(emb)
+    partial-combinable BIGINT sum of K x dim cells.  ONE corpus pass:
+    the per-cell count doubles as the cluster size (with_count=True in
+    _km_cells), so the r5-r7 shape — cells1 JOIN n1, each branch
+    re-running the argmax projection over the corpus — collapses to a
+    single aggregation (r8: that double pass + join was ~40% of the
+    1.7 s train phase at sf0.1, where n=2000 makes per-job overhead the
+    entire cost)."""
     seeds = emb.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     a1 = ivf_assign(emb, seeds, round_digits=6)
-    cells1 = _km_cells(a1, xq)
-    n1 = a1.groupBy("cid").agg(F.count("*").alias("n"))
     return (
-        cells1.join(n1, "cid")
+        _km_cells(a1, with_count=True)
         .select(
             "cid",
             "pos",
@@ -612,17 +602,33 @@ c1 AS (SELECT c.cid,
        FROM cells1 c JOIN n1 n USING (cid) GROUP BY c.cid)"""
 
 
-def _km_cells(assigned: DataFrame, xq: DataFrame) -> DataFrame:
+def _km_cells(assigned: DataFrame, with_count: bool = False) -> DataFrame:
     """(cid, pos) -> integer micro-unit component sum over the cluster's
     members. posexplode + two-level groupBy: partial-combinable BIGINT
-    sums, K x dim result cells — tiny at any corpus size."""
-    return (
-        assigned.select("vec_id", "cid")
-        .join(xq, "vec_id")
-        .select("cid", F.posexplode("vq").alias("pos", "sv"))
-        .groupBy("cid", "pos")
-        .agg(F.sum("sv").alias("s"))
-    )
+    sums, K x dim result cells — tiny at any corpus size.
+
+    Quantizes ``assigned.embedding`` inline (the _micro_vecs expression)
+    instead of joining a separate xq table on vec_id: the r7 profile
+    showed that join re-scanned the corpus through the argmax projection
+    a second time — at n=2000/sf0.1 the whole operator is per-job
+    overhead, and the join + extra pass was ~40% of the train phase.
+
+    ``with_count=True`` adds the per-(cid, pos) member count — equal to
+    the cluster size at every pos (posexplode emits all DIM positions
+    per member) — letting callers derive cluster sizes from THIS
+    aggregation instead of a second full assignment pass."""
+    cells = assigned.select(
+        "cid",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda e: F.floor(e.cast("double") * 1_000_000),
+            )
+        ).alias("pos", "sv"),
+    ).groupBy("cid", "pos")
+    if with_count:
+        return cells.agg(F.sum("sv").alias("s"), F.count("*").alias("n"))
+    return cells.agg(F.sum("sv").alias("s"))
 
 
 def _km_oracle() -> str:
@@ -677,7 +683,6 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py proves assignment parity with an
     independent numpy implementation of the same quantized algorithm."""
     emb = load_table(spark, sf_dir, "embeddings")
-    xq = _micro_vecs(emb)
     # localCheckpoint: consumed twice (ivf_assign's literal collect AND
     # the broadcast join in stats) — without it the full Lloyd training
     # DAG executes twice per call (the sibling IVF sites' discipline)
@@ -695,7 +700,7 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sums2 = (
-        _km_cells(a2, xq)
+        _km_cells(a2)
         .groupBy("cid")
         .agg(
             F.array_join(
