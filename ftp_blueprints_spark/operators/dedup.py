@@ -706,8 +706,23 @@ def dd_embedding_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDedup: cluster-scoped semantic dedup ------------------------------
 
-SEM_K = 16  # clusters; scale as ~n/target_cluster_size so clusters stay bounded
+SEM_K = 16  # cluster-count floor (the driver/bench-scale value)
 SEM_COS = 0.3  # within-cluster duplicate threshold (168/500 dupes at sf0.01)
+SEM_TARGET = 1000  # target cluster size: K = max(SEM_K, ceil(n / SEM_TARGET))
+
+
+def sem_k(n: int) -> int:
+    """Corpus-size-adaptive SemDedup cluster count: K ~ n/SEM_TARGET
+    (floored at SEM_K), so per-cluster membership — and therefore the
+    within-cluster quadratic — stays ~SEM_TARGET no matter the corpus.
+    Fixed K measured exponent 0.73 at the 100x probe (SCALEPROBE r6/r7,
+    the repo's worst); with K growing as n/1000 the cluster scoring is
+    O(n * SEM_TARGET) — linear.  The oracle reproduces this formula in
+    SQL (GREATEST/CEIL over COUNT(*)), so the adaptive K is part of the
+    checked contract, not a Python-side knob.  At the driver's sf0.01
+    (n=500) and bench's sf0.1 (n=2000) this returns SEM_K=16 —
+    evidence and bench numbers unchanged."""
+    return max(SEM_K, -(-n // SEM_TARGET))
 
 
 def _dd_semantic_oracle() -> str:
@@ -715,8 +730,15 @@ def _dd_semantic_oracle() -> str:
 
     cos_vs = _COS_SQL.replace("q.", "v.").replace("c.", "s.")
     return f"""
-WITH seeds AS (
-  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K}
+WITH kp AS (
+  SELECT GREATEST({SEM_K}, CAST(CEIL(COUNT(*) / {SEM_TARGET}.0) AS BIGINT)) AS k
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cid, embedding FROM (
+    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= (SELECT k FROM kp)
 ),
 assigned AS (
   SELECT vec_id, cid FROM (
@@ -763,13 +785,15 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster size stays ~1000 regardless of corpus size). Keeper
     choice is the lowest vec_id per epsilon-ball, deterministic.
 
-    Scale-probe note (r6): at 100x with K FIXED at SEM_K=16 the
-    measured wall-time exponent is 0.73 (SCALEPROBE.json mult_100) —
-    the per-cluster (n/K)^2 matmul growing exactly as predicted when K
-    does not scale. That is the fixture knob, not the plan: the
-    operator's contract at scale is K ~ n/1000, under which per-cluster
-    work is constant; the probe deliberately holds the driver-checked
-    configuration fixed so the oracle stays static.
+    Adaptive K (r8, closing the r6/r7 exponent finding): K = sem_k(n)
+    = max(SEM_K, ceil(n / SEM_TARGET)), computed from the parquet row
+    count Spark-side and from GREATEST/CEIL(COUNT(*)) oracle-side —
+    the K ~ n/1000 contract is now CODE in both engines, not prose.
+    With fixed K=16 the 100x probe measured exponent 0.73 (the
+    per-cluster (n/K)^2 matmul growing as predicted); with K growing
+    as n/1000, cluster scoring is O(n * SEM_TARGET) and assignment
+    switches to the vectorized mapInPandas argmax path past
+    IVF_LITERAL_MAX_K centroids (see ivf_assign).
 
     Per-cluster pair scoring runs as ONE Arrow-batched applyInPandas
     BLAS matmul per cluster (the published SemDedup implementation is
@@ -795,10 +819,12 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from ..session import table_rows
     from .similarity import ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = emb.orderBy("vec_id").limit(SEM_K).select(
+    k = sem_k(table_rows(sf_dir, "embeddings"))
+    seeds = emb.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     assigned = ivf_assign(emb, seeds, round_digits=6)

@@ -407,9 +407,61 @@ IVF_NPROBE = 6  # centroid lists searched per query
 # Up to this many centroids, assignment inlines the centroid matrix as
 # a literal array and argmaxes in ONE narrow projection — zero shuffle.
 # Past it (huge-K IVF), the K x dim literal would bloat the codegen'd
-# expression, so assignment falls back to broadcast-join + max_by agg
-# (one shuffle of N vector rows).
+# expression, so assignment falls back to a broadcast-numpy mapInPandas
+# argmax (still zero shuffle, BLAS matmul per Arrow batch) up to
+# IVF_PANDAS_MAX_K, and finally to broadcast-join + max_by agg (one
+# shuffle of N vector rows) when even collecting the centroid table to
+# the driver would be unreasonable.
 IVF_LITERAL_MAX_K = 256
+IVF_PANDAS_MAX_K = 65536
+
+
+def _ivf_assign_pandas(
+    emb: DataFrame, cents_rows: list, round_digits: int | None
+) -> DataFrame:
+    """Zero-shuffle argmax assignment for mid-size K: the collected
+    centroid matrix rides the mapInPandas closure (Arrow-batched, K x
+    dim float64 — a few MB at the IVF_PANDAS_MAX_K ceiling) and each
+    batch scores X_n @ C_n.T with BLAS.  Tie surface: round half-away
+    to ``round_digits`` as exact integer micros (matches Spark
+    F.round/DuckDB ROUND for all signs; np.round would be half-even),
+    then first-max argmax over cid-ASCENDING columns = lowest cid on
+    ties — the same order the literal path's strict-> fold and the
+    oracle's ROW_NUMBER produce."""
+    import numpy as np
+    import pandas as pd
+
+    cents_rows = sorted(cents_rows, key=lambda r: int(r["cid"]))
+    C = np.stack(
+        [np.asarray(r["c_emb"], dtype=np.float64) for r in cents_rows]
+    )
+    cids = np.array([int(r["cid"]) for r in cents_rows], dtype=np.int64)
+    c_norm = np.linalg.norm(C, axis=1)
+    scale = None if round_digits is None else float(10**round_digits)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            # dot / (|x| * |c|), norms multiplied separately — the same
+            # formula shape as functions.vectors.cosine / the oracle
+            g = (X @ C.T) / (np.linalg.norm(X, axis=1)[:, None] * c_norm)
+            if scale is not None:
+                g = np.sign(g) * np.floor(np.abs(g) * scale + 0.5)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "cid": cids[np.argmax(g, axis=1)],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cid long"
+    )
 
 
 def ivf_assign(
@@ -435,6 +487,18 @@ def ivf_assign(
     runs entirely inside whole-stage codegen with NO exchange — at
     100 TB the vectors never move.
 
+    Mid K (IVF_LITERAL_MAX_K < K <= IVF_PANDAS_MAX_K — the adaptive-K
+    SemDedup range, K ~ n/1000): collect the centroid matrix once
+    (bounded by IVF_PANDAS_MAX_K+1 rows), ship it to executors inside
+    the mapInPandas closure, and argmax a float64 BLAS matmul per Arrow
+    batch — still zero shuffle, and vectorized where the literal path's
+    interpreted HOF fold would cost n x K x dim interpreter steps.  The
+    tie surface reproduces ROUND-half-away to ``round_digits`` in
+    integer arithmetic (np.round is half-even — wrong here) and breaks
+    ties to the lowest cid via first-max argmax over a cid-sorted
+    matrix.  Residual risk is the BLAS-vs-sequential-fold summation
+    order (same accepted class as dd_semantic's cluster matmul).
+
     Large K: broadcast the centroids, score K rows per vector, collapse
     with map-side-combinable ``max_by`` so the single shuffle carries N
     rows, never N x K."""
@@ -443,6 +507,13 @@ def ivf_assign(
         if literal_max_k > 0
         else []
     )
+    if literal_max_k > 0 and len(cents) > literal_max_k:
+        # second bounded probe: is it small enough for the pandas path?
+        cents_mid = (
+            centroids.orderBy("cid").limit(IVF_PANDAS_MAX_K + 1).collect()
+        )
+        if len(cents_mid) <= IVF_PANDAS_MAX_K:
+            return _ivf_assign_pandas(emb, cents_mid, round_digits)
     if literal_max_k > 0 and len(cents) <= literal_max_k:
         # ONE parsed SQL literal, not K x dim F.lit() calls: per-Column
         # py4j round trips cost ~0.6s for 16x64 at build time. repr()

@@ -537,3 +537,37 @@ def test_neardup_bucket_cap_skips_are_observable(spark, tmp_path):
     # multiple of the per-pass band count), not equality, so a task
     # retry can't flake the test.
     assert skipped >= bands and skipped % bands == 0
+
+
+def test_ivf_assign_pandas_path_matches_literal(spark):
+    """The mid-K mapInPandas argmax (what adaptive-K SemDedup uses past
+    IVF_LITERAL_MAX_K centroids) must pick the same cid as the literal
+    HOF path on the same centroid table and tie surface."""
+    import pyspark.sql.functions as F
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    seeds = emb.orderBy("vec_id").limit(S.IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    lit = {
+        r["vec_id"]: r["cid"]
+        for r in S.ivf_assign(emb, seeds, round_digits=6).collect()
+    }
+    pdp = {
+        r["vec_id"]: r["cid"]
+        for r in S._ivf_assign_pandas(
+            emb, seeds.collect(), round_digits=6
+        ).collect()
+    }
+    assert lit == pdp and len(lit) == 500
+
+
+def test_sem_k_adaptive():
+    from ftp_blueprints_spark.operators.dedup import SEM_K, sem_k
+
+    assert sem_k(500) == SEM_K  # driver scale: unchanged
+    assert sem_k(2000) == SEM_K  # bench scale: unchanged
+    assert sem_k(200_000) == 200
+    assert sem_k(200_001) == 201  # ceil, not floor
