@@ -405,14 +405,20 @@ IVF_NPROBE = 6  # centroid lists searched per query
 
 
 # Up to this many centroids, assignment inlines the centroid matrix as
-# a literal array and argmaxes in ONE narrow projection — zero shuffle.
-# Past it (huge-K IVF), the K x dim literal would bloat the codegen'd
-# expression, so assignment falls back to a broadcast-numpy mapInPandas
-# argmax (still zero shuffle, BLAS matmul per Arrow batch) up to
-# IVF_PANDAS_MAX_K, and finally to broadcast-join + max_by agg (one
-# shuffle of N vector rows) when even collecting the centroid table to
-# the driver would be unreasonable.
-IVF_LITERAL_MAX_K = 256
+# a literal array and argmaxes in ONE narrow projection — zero shuffle,
+# and Catalyst arithmetic end-to-end (the surface the sf0.01/sf0.1
+# driver evidence is pinned to).  The HOF fold is INTERPRETED though —
+# n x K x dim interpreter steps — so past this K assignment switches to
+# a broadcast-numpy mapInPandas argmax (still zero shuffle, BLAS per
+# Arrow batch; measured at the 100x probe, K=200: literal 45.7 s vs
+# pandas 3.1 s) up to IVF_PANDAS_MAX_K, and finally to broadcast-join +
+# max_by agg (one shuffle of N vector rows) when even collecting the
+# centroid table to the driver would be unreasonable.  The crossover
+# sits at 32: every oracle-checked caller uses K=16 (IVF_K / SEM_K
+# floor), so the engine-exact literal surface is preserved exactly
+# where hash evidence exists, and the interpreter never pays for more
+# than 32 x dim steps per row.
+IVF_LITERAL_MAX_K = 32
 IVF_PANDAS_MAX_K = 65536
 
 
@@ -469,6 +475,7 @@ def ivf_assign(
     centroids: DataFrame,
     literal_max_k: int = IVF_LITERAL_MAX_K,
     round_digits: int | None = None,
+    pandas_max_k: int = IVF_PANDAS_MAX_K,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (argmax cosine;
     ties -> lowest cid, matching the original window order).
@@ -507,12 +514,12 @@ def ivf_assign(
         if literal_max_k > 0
         else []
     )
-    if literal_max_k > 0 and len(cents) > literal_max_k:
+    if literal_max_k > 0 and len(cents) > literal_max_k and pandas_max_k > 0:
         # second bounded probe: is it small enough for the pandas path?
         cents_mid = (
-            centroids.orderBy("cid").limit(IVF_PANDAS_MAX_K + 1).collect()
+            centroids.orderBy("cid").limit(pandas_max_k + 1).collect()
         )
-        if len(cents_mid) <= IVF_PANDAS_MAX_K:
+        if len(cents_mid) <= pandas_max_k:
             return _ivf_assign_pandas(emb, cents_mid, round_digits)
     if literal_max_k > 0 and len(cents) <= literal_max_k:
         # ONE parsed SQL literal, not K x dim F.lit() calls: per-Column

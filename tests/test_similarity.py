@@ -132,9 +132,28 @@ def test_ivf_assign_is_shuffle_free_projection(spark, sf_oracle):
 
 
 def test_ivf_assign_large_k_aggregates_map_side(spark, sf_oracle):
-    """Past IVF_LITERAL_MAX_K the fallback must collapse the K scored
-    rows per vector with map-side partial max_by BEFORE its exchange
-    (one shuffle of N rows, never N x K) and use no window."""
+    """At the huge-K extreme (pandas_max_k disabled) the fallback must
+    collapse the K scored rows per vector with map-side partial max_by
+    BEFORE its exchange (one shuffle of N rows, never N x K) and use no
+    window."""
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
+    plan = _physical_plan(
+        S.ivf_assign(emb, seeds, literal_max_k=2, pandas_max_k=0)
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
+def test_ivf_assign_mid_k_is_shuffle_free_pandas(spark, sf_oracle):
+    """Between the literal and join extremes (the adaptive-K SemDedup
+    range) assignment must be the vectorized mapInPandas argmax — no
+    Exchange, no Join, one Arrow pass."""
     from ftp_blueprints_spark.session import load_table
 
     emb = load_table(spark, sf_oracle, "embeddings")
@@ -143,8 +162,9 @@ def test_ivf_assign_large_k_aggregates_map_side(spark, sf_oracle):
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
     )
     plan = _physical_plan(S.ivf_assign(emb, seeds, literal_max_k=2))
-    assert "Window" not in plan
-    assert "partial_max_by" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_ann_lsh_no_cartesian(spark, sf_oracle):
