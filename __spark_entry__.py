@@ -87,9 +87,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # into one with_count aggregation; values unchanged by construction,
 # but the new plan needs its own hash evidence).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
+    # fused single-pass portable_centroids train (r8)
     "sim_ivf_topk",
     "sim_ivfpq_topk",
     "sim_kmeans",
+    # adaptive-K contract moved into the oracle SQL (r8)
+    "dd_semantic",
+    # capped_shingles broadcast-anti rewrite + SHJ pair joins (r8)
+    "dd_containment",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
 }
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era
