@@ -530,6 +530,83 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STATE_SCHEMA = "t_view long, t_click long, t_buy long, n_seen long"
+_FUNNEL_OUT_SCHEMA = (
+    "user_id long, n_seen long, t_view long, t_click long, t_buy long"
+)
+
+
+def stream_funnel(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming twin of ev_funnel via applyInPandasWithState: per-user
+    state is the funnel triple (first view; first qualifying click;
+    first qualifying purchase — -1 = not reached) plus an event counter
+    that versions the emitted snapshots.  Each micro-batch emits one
+    snapshot row per ACTIVE user (update semantics); the test keeps the
+    max-n_seen row per user and aggregates the stage counts, which must
+    equal the batch query's single row.
+
+    Equivalence argument: the batch stages chain MIN timestamps
+    (first view -> first click in (t_view, t_view+30m] -> first
+    purchase in (t_click, t_click+24h]), and a chronological sequential
+    scan latches exactly those firsts — so streaming equals batch
+    whenever per-user arrival is time-ordered (the chrono-split
+    harness; the standard CDC/event-log delivery contract).  State is
+    three bigints + a counter per live user — bounded."""
+    import pandas as pd
+
+    def scan(key, pdf_iter, state):
+        if state.hasTimedOut:  # NoTimeout: never fires; loud if it did
+            state.remove()
+            return iter(())
+        t_view, t_click, t_buy, n = (
+            state.get if state.exists else (-1, -1, -1, 0)
+        )
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+        for et, ts in zip(pdf["event_type"], pdf["ts_us"]):
+            n += 1
+            ts = int(ts)
+            if et == "view":
+                if t_view < 0:
+                    t_view = ts
+            elif et == "click":
+                if (
+                    t_view >= 0
+                    and t_click < 0
+                    and t_view < ts <= t_view + FUNNEL_CLICK_WINDOW_US
+                ):
+                    t_click = ts
+            elif et == "purchase":
+                if (
+                    t_click >= 0
+                    and t_buy < 0
+                    and t_click < ts <= t_click + FUNNEL_BUY_WINDOW_US
+                ):
+                    t_buy = ts
+        state.update((int(t_view), int(t_click), int(t_buy), int(n)))
+        return iter(
+            [
+                pd.DataFrame(
+                    [(key[0], n, t_view, t_click, t_buy)],
+                    columns=["user_id", "n_seen", "t_view", "t_click", "t_buy"],
+                )
+            ]
+        )
+
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    slim = ev.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 # --- stream-stream interval join -------------------------------------------
 
 ATTRIB_WINDOW_US = 6 * 3600 * 1_000_000  # view -> click attribution horizon
@@ -1527,6 +1604,76 @@ def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_STATE_SCHEMA = (
+    "state string, run_no long, valid_from_us long, n_events long"
+)
+_SCD2_OUT_SCHEMA = (
+    "user_id long, state string, valid_from_us long, valid_to_us long, "
+    "n_events long, is_current boolean, run_no long"
+)
+
+
+def stream_scd2(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming twin of ev_scd2_history (incremental SCD2 MERGE): per
+    user the state is the OPEN run (state value, run number, valid_from,
+    event count).  A state change CLOSES the open run — emitted exactly
+    once, stamped valid_to = the new run's valid_from, is_current=false
+    — and every micro-batch additionally emits a snapshot of the open
+    run (is_current=true) so the drained output always contains the
+    dimension's current rows; the test keeps the max-(run_no, n_events)
+    open snapshot per user.
+
+    Equivalence argument: the batch plan folds runs in COMMIT order
+    (event_id); the harness's chronological split preserves per-user
+    commit order (asserted against the fixtures — and real CDC streams
+    deliver in commit order by contract), so the sequential fold closes
+    exactly the runs the batch lag/lead windows produce, with identical
+    validity stamps.  This is the batch/incremental equivalence SCD2
+    users assume and rarely test."""
+    import pandas as pd
+
+    cols = [
+        "user_id", "state", "valid_from_us", "valid_to_us",
+        "n_events", "is_current", "run_no",
+    ]
+
+    def scan(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        cur, run_no, vf, n = (
+            state.get if state.exists else (None, 0, -1, 0)
+        )
+        out = []
+        pdf = pd.concat(list(pdf_iter)).sort_values("event_id")
+        for et, ts in zip(pdf["event_type"], pdf["ts_us"]):
+            ts = int(ts)
+            if cur is None:
+                cur, run_no, vf, n = et, 1, ts, 1
+            elif et == cur:
+                n += 1
+            else:
+                out.append((key[0], cur, vf, ts, n, False, run_no))
+                cur, run_no, vf, n = et, run_no + 1, ts, 1
+        state.update((cur, int(run_no), int(vf), int(n)))
+        out.append((key[0], cur, vf, None, n, True, run_no))
+        return iter([pd.DataFrame(out, columns=cols)])
+
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    slim = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 # --- last-touch attribution -------------------------------------------------
 
 ATTRIB_TOUCH_US = 6 * 3600 * 1_000_000  # purchase attributes to a touch <= 6h old
@@ -1613,6 +1760,68 @@ def ev_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(attributed, F.col("touch_id")).alias("touch_id"),
         F.when(attributed, F.col("touch_type")).otherwise("organic").alias("channel"),
         F.when(attributed, F.col("ts_us") - F.col("touch_us")).alias("touch_age_us"),
+    )
+
+
+_LT_STATE_SCHEMA = "touch_id long, touch_type string, touch_us long"
+_LT_OUT_SCHEMA = (
+    "purchase_id long, user_id long, touch_id long, channel string, "
+    "touch_age_us long"
+)
+
+
+def stream_last_touch(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming twin of ev_last_touch_attribution: per-user state is
+    the most recent touch (id, type, timestamp — the LOCF register the
+    batch query's last-non-null frame computes).  Purchases emit their
+    attribution row immediately (append semantics — the credited touch
+    precedes the purchase in event order, so the row is final the
+    moment it is produced); views/clicks just overwrite the register.
+
+    Equivalence argument: the batch frame is UNBOUNDED PRECEDING TO
+    1 PRECEDING over (ts, event_id) order — exactly 'the register as of
+    just before this row' under a sequential scan.  Ties in ts cannot
+    split across micro-batches (the chrono harness cuts at timestamp
+    boundaries), so streaming output equals batch row-for-row whenever
+    per-user arrival is time-ordered.  State is one touch per live
+    user — bounded."""
+    import pandas as pd
+
+    cols = ["purchase_id", "user_id", "touch_id", "channel", "touch_age_us"]
+
+    def scan(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        tid, ttype, tus = state.get if state.exists else (-1, "", -1)
+        out = []
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+        for eid, et, ts in zip(
+            pdf["event_id"], pdf["event_type"], pdf["ts_us"]
+        ):
+            eid, ts = int(eid), int(ts)
+            if et == "purchase":
+                if tus >= 0 and ts - tus <= ATTRIB_TOUCH_US:
+                    out.append((eid, key[0], tid, ttype, ts - tus))
+                else:
+                    out.append((eid, key[0], None, "organic", None))
+            elif et in ("view", "click"):
+                tid, ttype, tus = eid, et, ts
+        state.update((int(tid), ttype, int(tus)))
+        return iter([pd.DataFrame(out, columns=cols)])
+
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    slim = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=_LT_OUT_SCHEMA,
+        stateStructType=_LT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
 
 
