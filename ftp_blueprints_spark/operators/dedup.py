@@ -1121,9 +1121,13 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     1x — EXACTLY 100x, dominated by df 6-20 shingles (123.4M of 126.6M
     pre-halving pair rows; the df 51-100 tail contributes ~1%, so
     tightening MAX_SHINGLE_DF would lose recall for no speedup).  The
-    operator is honestly linear; the probe exponent reflects a
-    fixed-overhead-dominated 2 s base, and the r8 rewrite (broadcast-
-    anti cap + SHJ) cut the 100x wall time 52 -> ~27 s."""
+    operator is honestly linear with a ~2 s fixed-overhead base, which
+    is what the probe exponent reflects.  Measured 100x wall: old plan
+    52.4 s cold (controlled same-session A/B); new plan 29.2 cold /
+    21.0 warm isolated, 37.8 in the 22-query probe session
+    (SCALEPROBE.json mult_100, e=0.642 — session aging, not plan: the
+    executedPlan carries SHJ + AQE-broadcast sizes + broadcast-anti
+    cap exactly as designed)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = capped_shingles(docs, 3)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
