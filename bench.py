@@ -120,7 +120,12 @@ BUDGETS = {
     "q_json_events": 1.1,
     "q_asof_join": 1.0,
     "dd_exact": 1.0,
-    "dd_minhash_lsh": 2.9,
+    # raised 2.9 -> 3.4 in r8, deliberately: the capped-shingle rewrite
+    # (hot-set broadcast-anti instead of the count window) costs ~0.5 s
+    # of hot-build overhead at sf0.1 (measured A/B 2.2 -> 2.7 s warm)
+    # and halves the 100x wall time (18.6 -> 11.8 s, SCALEPROBE
+    # mult_100) — the scale trade is the point of the plan
+    "dd_minhash_lsh": 3.4,
     "sim_topk_bruteforce": 1.4,
     "sim_ivf_topk": 4.1,
     "sim_knn_label": 1.6,
@@ -430,12 +435,19 @@ def main() -> None:
     # its own round's file is the intended refresh); otherwise the
     # inferred name is opened with 'x' and, if taken, falls back to a
     # timestamped suffix — never clobbering an existing artifact.
+    # SPARK_GRAFT_BENCH_ARTIFACT=0 skips the durable write entirely:
+    # the test suite's bench subprocess is contended and must not claim
+    # a round's canonical artifact name (it did exactly that once the
+    # no-clobber logic landed — the suite ran before the driver).
     try:
         import glob
         import re
 
         explicit = os.environ.get("SPARK_GRAFT_ROUND")
-        if explicit:
+        if os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT") == "0":
+            pass  # opted out: contended callers (the test suite's
+            # bench subprocess) must not claim a round's artifact name
+        elif explicit:
             path = os.path.join(
                 _REPO, f"BENCH_LOCAL_r{int(explicit):02d}.json"
             )
