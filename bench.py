@@ -439,17 +439,30 @@ def main() -> None:
     # the test suite's bench subprocess is contended and must not claim
     # a round's canonical artifact name (it did exactly that once the
     # no-clobber logic landed — the suite ran before the driver).
+    explicit_round = None
+    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit:
+        # validate OUTSIDE the best-effort write below: a malformed
+        # round ("r08") must warn loudly and fall back to inference,
+        # not silently skip the artifact via the blanket except
+        try:
+            explicit_round = int(explicit)
+        except ValueError:
+            print(
+                f"bench: invalid SPARK_GRAFT_ROUND={explicit!r} "
+                "(expected an integer); falling back to round inference",
+                file=sys.stderr,
+            )
     try:
         import glob
         import re
 
-        explicit = os.environ.get("SPARK_GRAFT_ROUND")
         if os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT") == "0":
             pass  # opted out: contended callers (the test suite's
             # bench subprocess) must not claim a round's artifact name
-        elif explicit:
+        elif explicit_round is not None:
             path = os.path.join(
-                _REPO, f"BENCH_LOCAL_r{int(explicit):02d}.json"
+                _REPO, f"BENCH_LOCAL_r{explicit_round:02d}.json"
             )
             with open(path, "w") as fh:
                 json.dump(result, fh, indent=1)
@@ -468,7 +481,7 @@ def main() -> None:
                 stamp = int(time.time())
                 with open(f"{path[:-5]}_{stamp}.json", "w") as fh:
                     json.dump(result, fh, indent=1)
-    except (OSError, ValueError):
+    except OSError:
         pass  # read-only checkout: stdout line remains the record
     spark.stop()
 

@@ -73,9 +73,11 @@ def typed_from_message(err: Exception) -> BlueprintError | None:
     would let a class name inside a file path or quoted log fragment
     misroute an unrelated failure to that exit code.  An exception
     raised with an EMPTY message renders colon-less (tracebacks print
-    just ``ClassName`` on its own line), so the class name is also
-    matched at end-of-line/end-of-string — otherwise a bare
-    ``IncorrectCredentials`` would degrade to exit 1 instead of 3."""
+    just ``ClassName`` — optionally module-qualified — alone on its
+    final line), so that rendering is matched too, but ONLY as a whole
+    line of dotted identifiers: a mere line-final occurrence (e.g. a
+    path ``/tmp/MoveError`` ending a log line) must not match, or the
+    anchor's whole purpose is lost."""
     import re
 
     msg = str(err)
@@ -87,12 +89,15 @@ def typed_from_message(err: Exception) -> BlueprintError | None:
         UploadError,
     ):
         m = re.search(
-            rf"(?<![A-Za-z0-9_]){cls.__name__}\s*(:|$)", msg, re.MULTILINE
+            rf"(?<![A-Za-z0-9_]){cls.__name__}\s*:", msg
         )
         if m:
-            if m.group(1) == ":":
-                detail = msg[m.end():].lstrip().split("\n")[0]
-            else:
-                detail = ""  # colon-less rendering: no message to recover
+            detail = msg[m.end():].lstrip().split("\n")[0]
             return cls(detail)
+        if re.search(
+            rf"^(?:[A-Za-z_][A-Za-z0-9_.]*\.)?{cls.__name__}\s*$",
+            msg,
+            re.MULTILINE,
+        ):
+            return cls("")  # colon-less rendering: no message to recover
     return None

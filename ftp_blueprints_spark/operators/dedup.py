@@ -135,10 +135,12 @@ def capped_shingles(docs: DataFrame, n: int = 3, max_df: int = MAX_SHINGLE_DF) -
     exchange of its own: the pair self-join shuffles it once on s, the
     sizes agg once on doc_id, each as map-side-combined hash aggs with
     no sort.  Measured at 100x (dd_containment end-to-end): 52 -> 21 s
-    warm.  The hot set grows with corpus vocabulary, not corpus size —
-    df > 100 shingles are boilerplate by construction — but if it ever
-    outgrew a broadcast, the fallback is the old window form, not a
-    bigger driver."""
+    warm.  The anti-join strategy is left to AQE rather than hinted:
+    the hot set is tiny at every measured scale (~0.01% of distinct
+    shingles) so AQE broadcasts it from runtime stats, but it grows
+    with corpus VOCABULARY — and a forced broadcast hint ignores the
+    threshold, turning an outsized hot set into an OOM instead of a
+    graceful shuffled anti-join."""
     sh = shingles(docs, n)
     hot = (
         sh.groupBy("s")
@@ -146,7 +148,7 @@ def capped_shingles(docs: DataFrame, n: int = 3, max_df: int = MAX_SHINGLE_DF) -
         .filter(F.col("count") > max_df)
         .select("s")
     )
-    return sh.join(F.broadcast(hot), "s", "left_anti")
+    return sh.join(hot, "s", "left_anti")
 
 
 @query("dd_ngram_jaccard", _DD_JACCARD_ORACLE)

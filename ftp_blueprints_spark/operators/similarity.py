@@ -454,14 +454,24 @@ def _ivf_assign_pandas(
             )
             # dot / (|x| * |c|), norms multiplied separately — the same
             # formula shape as functions.vectors.cosine / the oracle
-            g = (X @ C.T) / (np.linalg.norm(X, axis=1)[:, None] * c_norm)
+            x_norm = np.linalg.norm(X, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                g = (X @ C.T) / (x_norm[:, None] * c_norm)
             if scale is not None:
                 g = np.sign(g) * np.floor(np.abs(g) * scale + 0.5)
+            # Zero-norm parity with the literal path: Spark SQL's /0 is
+            # NULL and NULL > acc is false, so a zero-norm CENTROID never
+            # wins and a zero-norm VECTOR keeps the fold's cid=-1 seed.
+            # numpy's 0/0 is NaN, which np.argmax treats as maximal —
+            # mask NaN to -inf, and stamp zero-norm rows -1 explicitly.
+            g = np.where(np.isnan(g), -np.inf, g)
+            best = cids[np.argmax(g, axis=1)]
+            best = np.where(x_norm == 0.0, np.int64(-1), best)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "embedding": pdf["embedding"],
-                    "cid": cids[np.argmax(g, axis=1)],
+                    "cid": best,
                 }
             )
 
@@ -509,18 +519,24 @@ def ivf_assign(
     Large K: broadcast the centroids, score K rows per vector, collapse
     with map-side-combinable ``max_by`` so the single shuffle carries N
     rows, never N x K."""
+    # ONE bounded collect decides the route (a separate probe per tier
+    # would run a second TakeOrdered job over the centroid source —
+    # for dd_semantic's adaptive K that source is a corpus TakeOrdered,
+    # so the double probe cost a full extra corpus pass).  The bound is
+    # the largest tier that collects at all: at most pandas_max_k + 1
+    # rows ever reach the driver.
+    collect_cap = max(literal_max_k, pandas_max_k if pandas_max_k > 0 else 0)
     cents = (
-        centroids.orderBy("cid").limit(literal_max_k + 1).collect()
+        centroids.orderBy("cid").limit(collect_cap + 1).collect()
         if literal_max_k > 0
         else []
     )
-    if literal_max_k > 0 and len(cents) > literal_max_k and pandas_max_k > 0:
-        # second bounded probe: is it small enough for the pandas path?
-        cents_mid = (
-            centroids.orderBy("cid").limit(pandas_max_k + 1).collect()
-        )
-        if len(cents_mid) <= pandas_max_k:
-            return _ivf_assign_pandas(emb, cents_mid, round_digits)
+    if (
+        literal_max_k > 0
+        and pandas_max_k > 0
+        and literal_max_k < len(cents) <= pandas_max_k
+    ):
+        return _ivf_assign_pandas(emb, cents, round_digits)
     if literal_max_k > 0 and len(cents) <= literal_max_k:
         # ONE parsed SQL literal, not K x dim F.lit() calls: per-Column
         # py4j round trips cost ~0.6s for 16x64 at build time. repr()

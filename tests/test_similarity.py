@@ -552,11 +552,12 @@ def test_neardup_bucket_cap_skips_are_observable(spark, tmp_path):
     bands, _ = S.neardup_params(len(X))
     # The accumulator increments once per UDF EXECUTION, so plan
     # re-execution (AQE re-runs, task retries, speculation) can only
-    # inflate it — it is a non-zero SIGNAL, not an exact count.  Assert
-    # the floor and divisibility (each re-execution adds a whole
-    # multiple of the per-pass band count), not equality, so a task
-    # retry can't flake the test.
-    assert skipped >= bands and skipped % bands == 0
+    # inflate it — it is a non-zero SIGNAL, not an exact count.  Only
+    # the floor is stable: a TASK-granular retry re-adds just that
+    # partition's skips (not a whole multiple of the band count), so
+    # any tighter arithmetic assertion can flake under exactly the
+    # retry scenario this relaxation exists for.
+    assert skipped >= bands
 
 
 def test_ivf_assign_pandas_path_matches_literal(spark):

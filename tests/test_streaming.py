@@ -546,3 +546,27 @@ def test_last_touch_multi_microbatch(spark, sf_oracle, tmp_path):
     assert any(t[3] == "organic" for t in batch) and any(
         t[3] != "organic" for t in batch
     )
+
+
+def test_fixture_commit_order_matches_event_time(spark, sf_oracle):
+    """stream_scd2's equivalence argument requires per-user COMMIT order
+    (event_id) to agree with EVENT-TIME order (the chrono harness splits
+    by ts): assert it on the fixture so any regeneration that introduces
+    an inversion fails loudly here instead of silently diverging the
+    streaming fold from the batch lag/lead plan."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_oracle}/events.parquet")
+    w_id = Window.partitionBy("user_id").orderBy("event_id")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mism = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w_id).alias("rn_commit"),
+            F.row_number().over(w_ts).alias("rn_time"),
+        )
+        .filter(F.col("rn_commit") != F.col("rn_time"))
+        .count()
+    )
+    assert mism == 0, f"{mism} events where commit order != event-time order"
