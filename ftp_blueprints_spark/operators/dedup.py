@@ -1125,11 +1125,10 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tightening MAX_SHINGLE_DF would lose recall for no speedup).  The
     operator is honestly linear with a ~2 s fixed-overhead base, which
     is what the probe exponent reflects.  Measured 100x wall: old plan
-    52.4 s cold (controlled same-session A/B); new plan 29.2 cold /
-    21.0 warm isolated, 37.8 in the 22-query probe session
-    (SCALEPROBE.json mult_100, e=0.642 — session aging, not plan: the
-    executedPlan carries SHJ + AQE-broadcast sizes + broadcast-anti
-    cap exactly as designed)."""
+    52.4 s cold (controlled same-session A/B); final plan 25.5 s in the
+    recorded probe run (SCALEPROBE.json mult_100, e=0.536, from r7's
+    0.651 at 29.1 s) — the executedPlan carries SHJ + AQE-broadcast
+    sizes + AQE-broadcast anti cap exactly as designed."""
     docs = load_table(spark, sf_dir, "documents")
     sh = capped_shingles(docs, 3)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
