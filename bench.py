@@ -439,12 +439,29 @@ def main() -> None:
     # the test suite's bench subprocess is contended and must not claim
     # a round's canonical artifact name (it did exactly that once the
     # no-clobber logic landed — the suite ran before the driver).
+    try:
+        write_artifact(result, _REPO, os.environ)
+    except OSError:
+        pass  # read-only checkout: stdout line remains the record
+    spark.stop()
+
+
+def write_artifact(result: dict, repo: str, env) -> str | None:
+    """Write the durable BENCH_LOCAL artifact; returns the path written
+    (None when opted out).  Pure function of (result, repo dir, env) so
+    the four-way round-selection policy is unit-testable without a
+    Spark run.  OSError propagates — main() treats it as best-effort."""
+    import glob
+    import re
+
+    if env.get("SPARK_GRAFT_BENCH_ARTIFACT") == "0":
+        return None  # opted out: contended callers (the test suite's
+        # bench subprocess) must not claim a round's artifact name
     explicit_round = None
-    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    explicit = env.get("SPARK_GRAFT_ROUND")
     if explicit:
-        # validate OUTSIDE the best-effort write below: a malformed
-        # round ("r08") must warn loudly and fall back to inference,
-        # not silently skip the artifact via the blanket except
+        # a malformed round ("r08") must warn loudly and fall back to
+        # inference, not silently skip the artifact
         try:
             explicit_round = int(explicit)
         except ValueError:
@@ -453,37 +470,27 @@ def main() -> None:
                 "(expected an integer); falling back to round inference",
                 file=sys.stderr,
             )
+    if explicit_round is not None:
+        path = os.path.join(repo, f"BENCH_LOCAL_r{explicit_round:02d}.json")
+        with open(path, "w") as fh:
+            json.dump(result, fh, indent=1)
+        return path
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    rnd = max(rounds, default=0) + 1
+    path = os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json")
     try:
-        import glob
-        import re
-
-        if os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT") == "0":
-            pass  # opted out: contended callers (the test suite's
-            # bench subprocess) must not claim a round's artifact name
-        elif explicit_round is not None:
-            path = os.path.join(
-                _REPO, f"BENCH_LOCAL_r{explicit_round:02d}.json"
-            )
-            with open(path, "w") as fh:
-                json.dump(result, fh, indent=1)
-        else:
-            rounds = [
-                int(m.group(1))
-                for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
-                if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-            ]
-            rnd = max(rounds, default=0) + 1
-            path = os.path.join(_REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
-            try:
-                with open(path, "x") as fh:
-                    json.dump(result, fh, indent=1)
-            except FileExistsError:
-                stamp = int(time.time())
-                with open(f"{path[:-5]}_{stamp}.json", "w") as fh:
-                    json.dump(result, fh, indent=1)
-    except OSError:
-        pass  # read-only checkout: stdout line remains the record
-    spark.stop()
+        with open(path, "x") as fh:
+            json.dump(result, fh, indent=1)
+        return path
+    except FileExistsError:
+        stamped = f"{path[:-5]}_{int(time.time())}.json"
+        with open(stamped, "w") as fh:
+            json.dump(result, fh, indent=1)
+        return stamped
 
 
 if __name__ == "__main__":
