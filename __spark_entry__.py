@@ -97,6 +97,9 @@ _FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
     "dd_containment",
     "dd_ngram_jaccard",
     "dd_minhash_lsh",
+    # bucket scorer rewritten as a partition-sorted mapInPandas scan (r8)
+    "sim_embedding_neardup",
+    "dd_embedding_neardup_keepers",
 }
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

@@ -327,12 +327,19 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH the join condition and the projection — HOFs are interpreted
     per element, and the double evaluation of 3 dot products per
     candidate pair dominated the query (~4.5 s of a 2000-vector sf0.1
-    run). Now the exploded signatures groupBy (band, sig) into ONE
-    applyInPandas pass: per bucket, quantize to FLOOR(x*1e6) int64
-    micro-units, one exact integer gram matmul (|terms| <= 64*1e12 <
-    2^63), upper-triangle threshold, emit surviving pairs. One
-    sig-keyed exchange moves each vector ``bands`` times; the pair
-    dedup exchange carries only true near-dups (ids + one BIGINT).
+    run). Round 8 rewrite (was: groupBy(band, sig).applyInPandas):
+    random LSH buckets hold ~TARGET_BUCKET rows, so the grouped-map
+    paid one pandas round trip per BUCKET — 310k buckets at the 100x
+    probe, ~40 s of pure per-group overhead. The scorer is now a
+    partition-sorted mapInPandas scan (repartition on (band, sig) +
+    sortWithinPartitions — the ttl_dedup_batch discipline): per
+    bucket, quantize to FLOOR(x*1e6) int64 micro-units, one exact
+    integer gram matmul (|terms| <= 64*1e12 < 2^63), upper-triangle
+    threshold, emit surviving pairs; buckets spanning Arrow batch
+    boundaries ride a NEARDUP_MAX_BUCKET-bounded carry. Measured 100x:
+    48 -> 10.1 s (keepers end-to-end 44 -> 10.1 s). One sig-keyed
+    exchange moves each vector ``bands`` times; the pair dedup
+    exchange carries only true near-dups (ids + one BIGINT).
 
     The output surface is cos_micros = FLOOR(cos * 1e6): derived from
     exact integer dots, it is bit-identical in numpy and DuckDB (see
@@ -359,41 +366,104 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = band_signatures(emb, bands, rows)
     skip_acc = _neardup_skip_acc(spark.sparkContext)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) > NEARDUP_MAX_BUCKET:
+    def _score_bucket(ids, X, out):
+        """Exact integer gram scoring of ONE bucket (vec_id-ascending);
+        appends surviving (a, b, cos_micros) arrays to ``out``."""
+        m = len(ids)
+        if m > NEARDUP_MAX_BUCKET:
             skip_acc.add(1)
             print(
-                f"[neardup] SKIPPED bucket of {len(pdf)} members "
+                f"[neardup] SKIPPED bucket of {m} members "
                 f"(> NEARDUP_MAX_BUCKET={NEARDUP_MAX_BUCKET}): "
                 "mass-duplication cluster — route through exact dedup"
             )
-        if len(pdf) < 2 or len(pdf) > NEARDUP_MAX_BUCKET:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_micros": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_micros": "int64"}
-            )
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        Q = np.floor(X * 1_000_000).astype(np.int64)
+            return
+        if m < 2:
+            return
+        Q = np.floor(X.astype(np.float64) * 1_000_000).astype(np.int64)
         G = Q @ Q.T  # exact: 64 terms x (1e6)^2 < 2^63
         nrm = np.sqrt(np.diag(G).astype(np.float64))
         micros = np.floor(
             G.astype(np.float64) / np.outer(nrm, nrm) * 1_000_000
         ).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = np.triu_indices(m, k=1)
         keep = micros[ia, ib] >= NEARDUP_COS_MICROS
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cos_micros": micros[ia[keep], ib[keep]],
-            }
-        )
+        out.append((ids[ia[keep]], ids[ib[keep]], micros[ia[keep], ib[keep]]))
+
+    def bucket_scan(batches):
+        """Partition-sorted scan over (band, sig, vec_id)-ordered rows:
+        random LSH buckets are ~TARGET_BUCKET rows, so a grouped-map
+        applyInPandas paid one pandas round trip per bucket — 310k
+        buckets at the 100x probe, ~40 s of pure per-group overhead
+        (the ttl_dedup_batch lesson: many small keys cost per GROUP,
+        a sorted scan costs per ROW).  Buckets may span Arrow batch
+        boundaries; the (key, ids, X) carry is bounded by
+        NEARDUP_MAX_BUCKET rows."""
+        carry_key = None
+        carry_ids = None
+        carry_X = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bsig = (
+                pdf["band"].astype(str).to_numpy()
+                + "|"
+                + pdf["sig"].to_numpy()
+            )
+            ids = pdf["vec_id"].to_numpy()
+            X = np.stack(pdf["embedding"].to_numpy())
+            # segment boundaries within the batch (vectorized)
+            starts = np.flatnonzero(
+                np.concatenate(([True], bsig[1:] != bsig[:-1]))
+            )
+            ends = np.append(starts[1:], len(bsig))
+            out: list = []
+            # a carried bucket whose key does NOT continue into this
+            # batch is complete: score and clear it before scanning
+            if carry_key is not None and bsig[0] != carry_key:
+                _score_bucket(carry_ids, carry_X, out)
+                carry_key = carry_ids = carry_X = None
+            for s0, e0 in zip(starts, ends):
+                key = bsig[s0]
+                seg_ids, seg_X = ids[s0:e0], X[s0:e0]
+                if key == carry_key:
+                    seg_ids = np.concatenate((carry_ids, seg_ids))
+                    seg_X = np.concatenate((carry_X, seg_X))
+                    carry_key = carry_ids = carry_X = None
+                if e0 == len(bsig):
+                    # bucket may continue into the next batch: carry —
+                    # over-cap carries keep only the cap+1 head (the
+                    # bucket is already condemned to the skip branch;
+                    # the +1 keeps len > cap so the skip still fires)
+                    carry_key = key
+                    carry_ids = seg_ids[: NEARDUP_MAX_BUCKET + 1]
+                    carry_X = seg_X[: NEARDUP_MAX_BUCKET + 1]
+                else:
+                    _score_bucket(seg_ids, seg_X, out)
+            if out:
+                a = np.concatenate([o[0] for o in out])
+                b = np.concatenate([o[1] for o in out])
+                c = np.concatenate([o[2] for o in out])
+                yield pd.DataFrame(
+                    {"vec_a": a, "vec_b": b, "cos_micros": c}
+                )
+        if carry_key is not None:
+            out = []
+            _score_bucket(carry_ids, carry_X, out)
+            if out:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": out[0][0],
+                        "vec_b": out[0][1],
+                        "cos_micros": out[0][2],
+                    }
+                )
 
     return (
         sig.select("band", "sig", "vec_id", "embedding")
-        .groupBy("band", "sig")
-        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cos_micros long")
+        .repartition("band", "sig")
+        .sortWithinPartitions("band", "sig", "vec_id")
+        .mapInPandas(bucket_scan, "vec_a long, vec_b long, cos_micros long")
         .dropDuplicates(["vec_a", "vec_b"])
     )
 
