@@ -592,3 +592,30 @@ def test_sem_k_adaptive():
     assert sem_k(2000) == SEM_K  # bench scale: unchanged
     assert sem_k(200_000) == 200
     assert sem_k(200_001) == 201  # ceil, not floor
+
+
+def test_neardup_scan_carry_across_tiny_arrow_batches(spark, tmp_path):
+    """The r8 sorted-scan bucket scorer carries buckets across Arrow
+    batch boundaries; with maxRecordsPerBatch forced to 8, the crafted
+    clusters' LSH buckets (up to 12 members per band bucket) are
+    guaranteed to span batches — the pair surface must be identical to
+    the default-batch run (a carry bug drops or double-scores exactly
+    the rows this split exposes)."""
+    _write_crafted_embeddings(
+        tmp_path / "embeddings.parquet", _crafted_neardup_corpus()
+    )
+    want = {
+        tuple(r) for r in S.sim_embedding_neardup(spark, str(tmp_path)).collect()
+    }
+    assert want  # non-empty: the carry path is actually exercised
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        got = {
+            tuple(r)
+            for r in S.sim_embedding_neardup(spark, str(tmp_path)).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert got == want
