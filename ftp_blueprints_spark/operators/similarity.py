@@ -366,14 +366,16 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = band_signatures(emb, bands, rows)
     skip_acc = _neardup_skip_acc(spark.sparkContext)
 
-    def _score_bucket(ids, X, out):
+    def _score_bucket(ids, X, out, true_size=None):
         """Exact integer gram scoring of ONE bucket (vec_id-ascending);
-        appends surviving (a, b, cos_micros) arrays to ``out``."""
+        appends surviving (a, b, cos_micros) arrays to ``out``.
+        ``true_size`` reports the REAL membership in the skip
+        diagnostic when the rows were cap-truncated in the carry."""
         m = len(ids)
         if m > NEARDUP_MAX_BUCKET:
             skip_acc.add(1)
             print(
-                f"[neardup] SKIPPED bucket of {m} members "
+                f"[neardup] SKIPPED bucket of {true_size or m} members "
                 f"(> NEARDUP_MAX_BUCKET={NEARDUP_MAX_BUCKET}): "
                 "mass-duplication cluster — route through exact dedup"
             )
@@ -399,47 +401,53 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a sorted scan costs per ROW).  Buckets may span Arrow batch
         boundaries; the (key, ids, X) carry is bounded by
         NEARDUP_MAX_BUCKET rows."""
-        carry_key = None
+        carry_key = None  # (band, sig) tuple of the in-flight bucket
         carry_ids = None
         carry_X = None
+        carry_total = 0  # TRUE membership incl. cap-truncated rows
         for pdf in batches:
             if not len(pdf):
                 continue
-            bsig = (
-                pdf["band"].astype(str).to_numpy()
-                + "|"
-                + pdf["sig"].to_numpy()
-            )
+            band = pdf["band"].to_numpy()
+            sgn = pdf["sig"].to_numpy()
             ids = pdf["vec_id"].to_numpy()
             X = np.stack(pdf["embedding"].to_numpy())
-            # segment boundaries within the batch (vectorized)
+            # segment boundaries from the native columns (an object-
+            # string composite key cost ~100s of ns/row of allocation
+            # in exactly the hot scan this rewrite exists to speed up)
             starts = np.flatnonzero(
-                np.concatenate(([True], bsig[1:] != bsig[:-1]))
+                np.concatenate(
+                    ([True], (band[1:] != band[:-1]) | (sgn[1:] != sgn[:-1]))
+                )
             )
-            ends = np.append(starts[1:], len(bsig))
+            ends = np.append(starts[1:], len(band))
             out: list = []
             # a carried bucket whose key does NOT continue into this
             # batch is complete: score and clear it before scanning
-            if carry_key is not None and bsig[0] != carry_key:
-                _score_bucket(carry_ids, carry_X, out)
-                carry_key = carry_ids = carry_X = None
+            if carry_key is not None and (band[0], sgn[0]) != carry_key:
+                _score_bucket(carry_ids, carry_X, out, carry_total)
+                carry_key, carry_ids, carry_X = None, None, None
             for s0, e0 in zip(starts, ends):
-                key = bsig[s0]
+                key = (band[s0], sgn[s0])
                 seg_ids, seg_X = ids[s0:e0], X[s0:e0]
+                seg_total = e0 - s0
                 if key == carry_key:
                     seg_ids = np.concatenate((carry_ids, seg_ids))
                     seg_X = np.concatenate((carry_X, seg_X))
-                    carry_key = carry_ids = carry_X = None
-                if e0 == len(bsig):
+                    seg_total += carry_total
+                    carry_key, carry_ids, carry_X = None, None, None
+                if e0 == len(band):
                     # bucket may continue into the next batch: carry —
                     # over-cap carries keep only the cap+1 head (the
                     # bucket is already condemned to the skip branch;
-                    # the +1 keeps len > cap so the skip still fires)
+                    # the +1 keeps len > cap so the skip still fires,
+                    # and carry_total reports the real membership)
                     carry_key = key
                     carry_ids = seg_ids[: NEARDUP_MAX_BUCKET + 1]
                     carry_X = seg_X[: NEARDUP_MAX_BUCKET + 1]
+                    carry_total = seg_total
                 else:
-                    _score_bucket(seg_ids, seg_X, out)
+                    _score_bucket(seg_ids, seg_X, out, seg_total)
             if out:
                 a = np.concatenate([o[0] for o in out])
                 b = np.concatenate([o[1] for o in out])
@@ -449,7 +457,7 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         if carry_key is not None:
             out = []
-            _score_bucket(carry_ids, carry_X, out)
+            _score_bucket(carry_ids, carry_X, out, carry_total)
             if out:
                 yield pd.DataFrame(
                     {
