@@ -570,3 +570,50 @@ def test_fixture_commit_order_matches_event_time(spark, sf_oracle):
         .count()
     )
     assert mism == 0, f"{mism} events where commit order != event-time order"
+
+
+def test_rank_picks_randomized_vs_naive(spark):
+    """Property test for the distributed bucketed rank-pick
+    (events.rank_picks): on randomized data — heavy value duplication,
+    skewed groups, multiple coinciding targets — the picked element per
+    (group, label) must equal a naive driver-side sort.  This is the
+    only check of the bucketing/offset/tie machinery that isn't routed
+    through the two driver-hash-checked consumers (MAD/winsorize),
+    whose fixed fixtures can't reach e.g. a rank landing on a bucket
+    boundary or every-value-equal groups."""
+    import random
+
+    from ftp_blueprints_spark.streaming.events import rank_picks
+
+    rng = random.Random(20260815)
+    targets = {
+        "median_lo": lambda n: (n + 1) // 2,
+        "p25": lambda n: max(1, (n + 3) // 4),
+        "first": lambda n: 1,
+        "last": lambda n: n,
+    }
+    for trial in range(4):
+        rows = []
+        eid = 0
+        for g in range(rng.randint(1, 5)):
+            n = rng.choice([1, 2, 3, 17, 400, 1500])
+            # heavy duplication: values from a tiny domain, plus one
+            # constant-only group shape in some trials
+            domain = rng.choice([1, 3, 1000])
+            for _ in range(n):
+                eid += 1
+                rows.append((f"g{g}", rng.randint(0, domain), eid))
+        df = spark.createDataFrame(rows, "grp string, v long, id long")
+        got = {
+            (g, which): v
+            for g, which, v in rank_picks(df, "grp", "v", "id", targets)
+        }
+        by_group: dict = {}
+        for g, v, i in rows:
+            by_group.setdefault(g, []).append((v, i))
+        want = {}
+        for g, vals in by_group.items():
+            vals.sort()
+            for which, fn in targets.items():
+                want[(g, which)] = vals[fn(len(vals)) - 1][0]
+        assert got == want, f"trial {trial}: {got} != {want}"
