@@ -977,6 +977,74 @@ def ev_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_STATE_SCHEMA = (
+    "n_changes long, last_eid long, last_type string, last_ts_us long, "
+    "last_value_cu long"
+)
+_CDC_OUT_SCHEMA = (
+    "user_id long, n_changes long, last_type string, last_ts_us long, "
+    "last_value_cu long"
+)
+
+
+def stream_cdc_compact(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming twin of ev_cdc_compact (incremental Hudi/Delta-style
+    upsert compaction): per-key state is the change count plus the
+    max-event_id change seen so far; every micro-batch emits the
+    compacted snapshot for keys it touched (update semantics — exactly
+    what a MERGE INTO target table would hold after that batch).
+    Tombstoned keys (latest change = 'error') still emit snapshots so
+    a downstream DELETE can act on them; the drained-output test
+    filters them like the batch plan does.
+
+    Equivalence argument: max_by(event_id) is order-insensitive WITHIN
+    a batch and max-combines across batches, so unlike the SCD2 fold
+    this twin is correct under ANY per-key arrival order — the state
+    merge is commutative.  The test still drives the chrono harness so
+    the snapshots demonstrably accumulate across micro-batches."""
+    import pandas as pd
+
+    cols = ["user_id", "n_changes", "last_type", "last_ts_us", "last_value_cu"]
+
+    def scan(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        n, eid, typ, ts, val = (
+            state.get if state.exists else (0, -1, "", -1, 0)
+        )
+        for pdf in pdf_iter:
+            n += len(pdf)
+            j = pdf["event_id"].idxmax()
+            if int(pdf["event_id"][j]) > eid:
+                eid = int(pdf["event_id"][j])
+                typ = str(pdf["event_type"][j])
+                ts = int(pdf["ts_us"][j])
+                val = int(pdf["value_cu"][j])
+        state.update((int(n), int(eid), typ, int(ts), int(val)))
+        return iter(
+            [pd.DataFrame([(key[0], n, typ, ts, val)], columns=cols)]
+        )
+
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    slim = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 10_000).cast("bigint").alias("value_cu"),
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 # --- forward fill (last observation carried forward) ------------------------
 
 

@@ -172,7 +172,7 @@ def _chrono_source(spark, sf_oracle, tmp_path, n_parts: int = 4):
     from ftp_blueprints_spark.session import load_table
 
     ev = load_table(spark, sf_oracle, "events").select(
-        "event_id", "ts", "user_id", "event_type"
+        "event_id", "ts", "user_id", "event_type", "value"
     )
     qt = [i / n_parts for i in range(1, n_parts)]
     bounds = ev.selectExpr("unix_micros(ts) AS us").approxQuantile("us", qt, 0.0)
@@ -191,7 +191,8 @@ def _chrono_source(spark, sf_oracle, tmp_path, n_parts: int = 4):
             os.utime(os.path.join(out, f), (1_700_000_000 + i, 1_700_000_000 + i))
     source = (
         spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
         )
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
@@ -446,7 +447,9 @@ def test_funnel_multi_microbatch_crafted_progression(spark, tmp_path):
     crafted.mkdir()
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string"
-    ).coalesce(1).write.mode("overwrite").parquet(str(crafted / "events.parquet"))
+    ).withColumn("value", F.lit(0.0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(crafted / "events.parquet"))
 
     _, source = _chrono_source(spark, str(crafted), tmp_path)
     q = E.run_to_memory(
@@ -617,3 +620,37 @@ def test_rank_picks_randomized_vs_naive(spark):
             for which, fn in targets.items():
                 want[(g, which)] = vals[fn(len(vals)) - 1][0]
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_cdc_compact_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Incremental upsert compaction: per-key max-event_id state
+    accumulates across micro-batches; the final snapshot per key (max
+    n_changes), tombstones dropped, equals the batch ev_cdc_compact
+    row-for-row — the MERGE-INTO equivalence every Hudi/Delta-style
+    ingest pipeline assumes."""
+    _, source = _chrono_source(spark, sf_oracle, tmp_path)
+    q = E.run_to_memory(
+        E.stream_cdc_compact(spark, sf_oracle, source=source),
+        "t_cdc_mb",
+        "update",
+    )
+    _assert_multi_batch(q)
+    latest = {}
+    for r in spark.table("t_cdc_mb").collect():
+        k = r["user_id"]
+        if k not in latest or r["n_changes"] > latest[k]["n_changes"]:
+            latest[k] = r
+    streamed = {
+        (r["user_id"], r["n_changes"], r["last_type"], r["last_ts_us"],
+         r["last_value_cu"])
+        for r in latest.values() if r["last_type"] != "error"
+    }
+    batch = {
+        (r["user_id"], r["n_changes"], r["last_type"], r["last_ts_us"],
+         r["last_value_cu"])
+        for r in E.ev_cdc_compact(spark, sf_oracle).collect()
+    }
+    assert streamed == batch
+    # tombstoned keys were really exercised: some latest snapshot IS an
+    # error (dropped above, matching the batch filter)
+    assert any(r["last_type"] == "error" for r in latest.values())
