@@ -235,6 +235,36 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_avg(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """ev_sliding_avg as a real stream: watermark + sliding (2h/1h)
+    windowed aggregation — every event updates exactly two window
+    states.  Partial counts/sums merge associatively across
+    micro-batches, and the integer micro-unit average is computed only
+    at emit time from the merged (sum, count), so a complete-mode drain
+    equals the batch query bit-for-bit regardless of how the rows were
+    batched — the equivalence test feeds the chronological quartile
+    harness to prove windows straddling a batch boundary keep merging."""
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "(SUM(CAST(ROUND(value * 10000) AS BIGINT)) * 100) DIV COUNT(*)"
+            ).alias("avg_value_micros"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value_micros",
+        )
+    )
+
+
 def stream_session_windows(
     spark: SparkSession, sf_dir: str, source: DataFrame | None = None
 ) -> DataFrame:
@@ -1587,6 +1617,78 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MKV_STATE_SCHEMA = "last_ts_us long, last_eid long, last_type string"
+_MKV_OUT_SCHEMA = "from_type string, to_type string, n long"
+
+
+def stream_markov_transitions(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming twin of ev_markov_transitions' transition-counting
+    core: per-user state is the latest event (max (ts_us, event_id)),
+    so a user's first event of a micro-batch pairs with their last
+    event of an EARLIER batch — the cross-batch edge a stateless
+    per-batch lead() would silently drop.  Emits per-(user, batch)
+    transition counts in append mode; summing the drained output over
+    (from_type, to_type) reproduces the batch lead() pair counts
+    exactly (the normalizing p_mu join is a finishing step over the
+    tiny matrix, recomputed identically by the equivalence test).
+
+    Equivalence needs per-key event-time order to agree with arrival
+    order across batches; the chronological harness guarantees it (and
+    ties never straddle a split because the quartile cut is on ts).
+    Within a batch the group scan concats + sorts all Arrow chunks
+    first — the chunk-order-invariance rule applyInPandasWithState
+    demands (tests/test_streaming.py::test_ttl_group_scan...)."""
+    import pandas as pd
+
+    def scan(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if not len(pdf):
+            return iter(())
+        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        types = list(pdf["event_type"])
+        if state.exists:
+            _, _, last_type = state.get
+            types = [last_type, *types]
+        j = len(pdf) - 1
+        state.update(
+            (
+                int(pdf["ts_us"].iloc[j]),
+                int(pdf["event_id"].iloc[j]),
+                str(pdf["event_type"].iloc[j]),
+            )
+        )
+        pairs: dict = {}
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        if not pairs:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    [(a, b, n) for (a, b), n in pairs.items()],
+                    columns=["from_type", "to_type", "n"],
+                )
+            ]
+        )
+
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    slim = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=_MKV_OUT_SCHEMA,
+        stateStructType=_MKV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 # --- SCD2 history build (type-2 dimension from a change log) ----------------
 
 
@@ -1932,6 +2034,13 @@ def ev_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count("*").cast("bigint").alias("n"))
+    return _trending_rank(counts)
+
+
+def _trending_rank(counts: DataFrame) -> DataFrame:
+    """rank<=K per window over a (w, event_type, n) count table — shared
+    by the batch query and the foreachBatch leaderboard publisher so the
+    two paths cannot drift."""
     w = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
     return (
         counts.withColumn("rk", F.row_number().over(w))
@@ -1943,3 +2052,48 @@ def ev_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+def run_trending_topk_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_dir: str,
+    source: DataFrame | None = None,
+    timeout_s: int = 300,
+):
+    """ev_trending_topk as a live leaderboard: the stream-native top-k
+    pattern the batch docstring promises.  Rank is not an incremental
+    aggregation, so the stream keeps only the (window, type) COUNT state
+    (complete mode — merge-friendly, cardinality |windows| x |types|)
+    and each micro-batch re-ranks that state in foreachBatch, publishing
+    the refreshed leaderboard snapshot with an idempotent overwrite (the
+    batchId-keyed redelivery story is covered by the foreachBatch sink
+    test; here the snapshot is whole-replace, so redelivery is a no-op
+    by construction).  After an availableNow drain the last published
+    snapshot equals the batch query row-for-row.
+
+    Returns the terminated StreamingQuery; the snapshot lives in
+    ``sink_dir`` as parquet."""
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).withWatermark("ts", "1 hour")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        _trending_rank(batch_df).write.mode("overwrite").parquet(sink_dir)
+
+    q = (
+        counts.writeStream.foreachBatch(publish)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{sink_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"trending leaderboard did not drain within {timeout_s}s"
+        )
+    return q

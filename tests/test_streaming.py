@@ -654,3 +654,72 @@ def test_cdc_compact_multi_microbatch(spark, sf_oracle, tmp_path):
     # tombstoned keys were really exercised: some latest snapshot IS an
     # error (dropped above, matching the batch filter)
     assert any(r["last_type"] == "error" for r in latest.values())
+
+
+def test_sliding_avg_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Sliding-window merge under real incremental execution: each
+    event feeds two window states, and windows straddling a micro-batch
+    boundary keep merging partial (sum, count) pairs; the integer
+    micro-unit average computed at drain time equals the batch query
+    exactly (associative state merge + emit-time division)."""
+    _, source = _chrono_source(spark, sf_oracle, tmp_path)
+    q = E.run_to_memory(
+        E.stream_sliding_avg(spark, sf_oracle, source=source),
+        "t_sliding_mb",
+        "complete",
+    )
+    _assert_multi_batch(q)
+    streamed = _rows(spark.table("t_sliding_mb"))
+    batch = _rows(E.ev_sliding_avg(spark, sf_oracle))
+    assert streamed == batch
+
+
+def test_trending_topk_foreachbatch_leaderboard(spark, sf_oracle, tmp_path):
+    """The stream-native top-k pattern: windowed counts as streaming
+    state, rank re-derived per micro-batch in foreachBatch, leaderboard
+    published as an overwrite snapshot. The final snapshot after an
+    availableNow drain equals the batch ev_trending_topk row-for-row,
+    and the publisher demonstrably ran once per micro-batch."""
+    _, source = _chrono_source(spark, sf_oracle, tmp_path)
+    sink = str(tmp_path / "leaderboard")
+    q = E.run_trending_topk_stream(spark, sf_oracle, sink, source=source)
+    _assert_multi_batch(q)
+    snapshot = _rows(spark.read.parquet(sink))
+    batch = _rows(E.ev_trending_topk(spark, sf_oracle))
+    assert snapshot == batch
+    assert len(batch) > 0
+
+
+def test_markov_transitions_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Per-key last-event state carry: a user's first event of a batch
+    must pair with their last event of an earlier batch. Summing the
+    drained per-batch pair counts and renormalizing reproduces the
+    batch lead() transition matrix exactly; the pair-count identity
+    (sum n == events - users) independently proves no cross-batch edge
+    was dropped, since users' event runs really span the quartiles."""
+    ev, source = _chrono_source(spark, sf_oracle, tmp_path)
+    q = E.run_to_memory(
+        E.stream_markov_transitions(spark, sf_oracle, source=source),
+        "t_mkv_mb",
+        "append",
+    )
+    _assert_multi_batch(q)
+    pairs: dict = {}
+    for r in spark.table("t_mkv_mb").collect():
+        k = (r["from_type"], r["to_type"])
+        pairs[k] = pairs.get(k, 0) + r["n"]
+    totals: dict = {}
+    for (a, _), n in pairs.items():
+        totals[a] = totals.get(a, 0) + n
+    streamed = {
+        (a, b, n, (n * 1_000_000) // totals[a]) for (a, b), n in pairs.items()
+    }
+    batch = _rows(E.ev_markov_transitions(spark, sf_oracle))
+    assert streamed == batch
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every user contributes (their event count - 1) transitions
+    assert (
+        spark.table("t_mkv_mb").agg(F.sum("n")).collect()[0][0]
+        == n_events - n_users
+    )
