@@ -104,6 +104,11 @@ HEADLINE = [
     "tx_corpus_drift",
     "ev_trending_topk",
     "q_label_propagation",
+    # r8 additions: quality-aware survivorship, incremental snapshot
+    # dedup, Gopher repetition fractions
+    "dd_quality_keeper",
+    "dd_incremental",
+    "tx_rep_ngram",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -212,6 +217,11 @@ BUDGETS = {
     "ev_trending_topk": 1.5,
     # two rounds over the co-purchase self-join graph (pagerank family)
     "q_label_propagation": 8.0,
+    # jaccard pair pipeline + diameter-bounded label-propagation rounds
+    # (each round is a blocking job; cost is job count, not data)
+    "dd_quality_keeper": 7.4,
+    "dd_incremental": 1.8,
+    "tx_rep_ngram": 2.9,
 }
 
 

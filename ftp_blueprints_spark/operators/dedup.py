@@ -1216,3 +1216,262 @@ def dd_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_mu"),
     )
+
+
+# --- quality-aware survivorship ---------------------------------------------
+
+_LEX_MU_SQL = f"""
+CAST((len(list_distinct({_TOKS})) * 1000000)
+     // GREATEST(len({_TOKS}), 1) AS BIGINT)
+"""
+
+_DD_QUALITY_KEEPER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_DD_JACCARD_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+scored AS (
+  SELECT doc_id, {_LEX_MU_SQL} AS lex_mu FROM documents
+),
+cs AS (
+  SELECT c.cluster, c.doc_id, s.lex_mu
+  FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+),
+best AS (
+  SELECT cs.cluster, MIN(cs.doc_id) AS keeper
+  FROM cs JOIN (SELECT cluster, MAX(lex_mu) AS mx FROM cs GROUP BY cluster) m
+    ON cs.cluster = m.cluster AND cs.lex_mu = m.mx
+  GROUP BY cs.cluster
+)
+SELECT cs.doc_id, cs.cluster, cs.lex_mu, b.keeper,
+       cs.doc_id = b.keeper AS is_kept
+FROM cs JOIN best b ON cs.cluster = b.cluster
+"""
+
+
+def lex_diversity_mu(docs: DataFrame) -> DataFrame:
+    """(doc_id, lex_mu): distinct-token ratio in integer micro-units —
+    the deterministic quality signal survivorship ranks by. Stateless
+    projection; exact in both engines (BIGINT multiply + floor-div)."""
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return docs.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        F.expr(
+            "CAST((size(array_distinct(t)) * CAST(1000000 AS BIGINT))"
+            " DIV GREATEST(size(t), 1) AS BIGINT)"
+        ).alias("lex_mu"),
+    )
+
+
+@query("dd_quality_keeper", _DD_QUALITY_KEEPER_ORACLE)
+def dd_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivorship: within each near-dup
+    connected component, keep the HIGHEST-quality document (lexical-
+    diversity micro-units; ties -> lowest doc_id) instead of the
+    arrival-order keeper dd_neardup_components uses. This is the
+    survivorship rule production corpora actually want (FineWeb/Dolma
+    keep the best variant of a duplicated page, not the first-crawled
+    one — often a truncated or boilerplate-wrapped copy arrives
+    first).
+
+    Scale design: components come from the same iterative min-label
+    propagation as dd_neardup_components (diameter-bounded equi-join
+    rounds, no transitive-closure materialization); scoring is a
+    stateless projection; the argmax is two map-side-combinable hash
+    aggs (per-cluster max, then min-id among the maxima) plus
+    cluster-keyed equi-joins — no windows, so no single-reducer
+    per-cluster sort, and cluster keys are near-dup components
+    (small, clique-like) so skew is structurally bounded by the LSH
+    bucket caps upstream. The oracle recomputes the identical
+    partition via a recursive-CTE closure and the identical integer
+    score, so keeper choice hash-checks end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_keepers(pairs, docs.select("doc_id")).select(
+        "doc_id", F.col("keeper").alias("cluster")
+    )
+    cs = comp.join(lex_diversity_mu(docs), "doc_id")
+    mx = cs.groupBy("cluster").agg(F.max("lex_mu").alias("mx"))
+    best = (
+        cs.join(mx, "cluster")
+        .filter(F.col("lex_mu") == F.col("mx"))
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    return cs.join(best, "cluster").select(
+        "doc_id",
+        "cluster",
+        "lex_mu",
+        "keeper",
+        (F.col("doc_id") == F.col("keeper")).alias("is_kept"),
+    )
+
+
+# --- incremental (batch-vs-corpus) dedup -------------------------------------
+
+# Deterministic snapshot split for the fixture: even doc_ids play the
+# "arriving batch", odd ids the standing corpus. Real deployments key
+# this on ingest date; the modulus keeps the surface reproducible
+# across engines and cluster sizes, and is chosen so the fixture
+# exercises BOTH dup statuses (the sf0.01 near-dup pair set has 12
+# cross-split and 6 within-batch pairs at mod 2; mod 5 left dup_batch
+# structurally empty — a vacuous surface).
+INCR_BATCH_MOD = 2
+
+_NORM_SHA_SQL = r"sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+_DD_INCREMENTAL_ORACLE = f"""
+WITH pairs AS ({_DD_JACCARD_ORACLE}),
+norm AS (
+  SELECT doc_id, {_NORM_SHA_SQL} AS h FROM documents
+),
+batch AS (SELECT doc_id, h FROM norm WHERE doc_id % {INCR_BATCH_MOD} = 0),
+corpus AS (SELECT doc_id, h FROM norm WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+exact_corpus AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS ref
+  FROM batch b JOIN corpus c ON b.h = c.h GROUP BY b.doc_id
+),
+near_corpus AS (
+  SELECT e.a AS doc_id, MIN(e.b) AS ref
+  FROM edges e
+  WHERE e.a % {INCR_BATCH_MOD} = 0 AND e.b % {INCR_BATCH_MOD} <> 0
+  GROUP BY e.a
+),
+exact_batch AS (
+  SELECT b.doc_id, MIN(b2.doc_id) AS ref
+  FROM batch b JOIN batch b2 ON b.h = b2.h AND b2.doc_id < b.doc_id
+  GROUP BY b.doc_id
+),
+near_batch AS (
+  SELECT e.a AS doc_id, MIN(e.b) AS ref
+  FROM edges e
+  WHERE e.a % {INCR_BATCH_MOD} = 0 AND e.b % {INCR_BATCH_MOD} = 0
+        AND e.b < e.a
+  GROUP BY e.a
+)
+SELECT b.doc_id,
+       CASE WHEN ec.ref IS NOT NULL OR nc.ref IS NOT NULL THEN 'dup_corpus'
+            WHEN eb.ref IS NOT NULL OR nb.ref IS NOT NULL THEN 'dup_batch'
+            ELSE 'kept' END AS status,
+       CAST(COALESCE(LEAST(ec.ref, nc.ref), LEAST(eb.ref, nb.ref),
+                     b.doc_id) AS BIGINT) AS dedup_ref
+FROM batch b
+LEFT JOIN exact_corpus ec ON b.doc_id = ec.doc_id
+LEFT JOIN near_corpus nc ON b.doc_id = nc.doc_id
+LEFT JOIN exact_batch eb ON b.doc_id = eb.doc_id
+LEFT JOIN near_batch nb ON b.doc_id = nb.doc_id
+"""
+
+
+def incremental_classify(norm: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Classify arriving-batch docs against the standing corpus.
+
+    ``norm``: (doc_id, h) normalized content hashes for ALL docs;
+    ``pairs``: symmetric-free near-dup pairs (doc_a < doc_b). A batch
+    doc (doc_id % INCR_BATCH_MOD == 0) is dup_corpus when an exact
+    hash twin or a near-dup partner exists in the corpus, dup_batch
+    when (not dup_corpus and) an EARLIER batch doc is its twin/partner
+    — the greedy first-wins rule — else kept. dedup_ref points at the
+    smallest surviving reference (nulls skipped by least/coalesce,
+    matching DuckDB's null-skipping LEAST)."""
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == 0
+    batch = norm.filter(is_batch)
+    corpus = norm.filter(~is_batch)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    a_batch = (F.col("a") % INCR_BATCH_MOD) == 0
+    b_batch = (F.col("b") % INCR_BATCH_MOD) == 0
+    exact_corpus = (
+        batch.alias("b")
+        .join(corpus.alias("c"), F.col("b.h") == F.col("c.h"))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min("c.doc_id").alias("ec_ref"))
+    )
+    near_corpus = (
+        edges.filter(a_batch & ~b_batch)
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nc_ref"))
+    )
+    exact_batch = (
+        batch.alias("b")
+        .join(
+            batch.alias("b2"),
+            (F.col("b.h") == F.col("b2.h"))
+            & (F.col("b2.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min("b2.doc_id").alias("eb_ref"))
+    )
+    near_batch = (
+        edges.filter(a_batch & b_batch & (F.col("b") < F.col("a")))
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nb_ref"))
+    )
+    j = (
+        batch.join(exact_corpus, "doc_id", "left")
+        .join(near_corpus, "doc_id", "left")
+        .join(exact_batch, "doc_id", "left")
+        .join(near_batch, "doc_id", "left")
+    )
+    corpus_ref = F.least("ec_ref", "nc_ref")
+    batch_ref = F.least("eb_ref", "nb_ref")
+    return j.select(
+        "doc_id",
+        F.when(corpus_ref.isNotNull(), F.lit("dup_corpus"))
+        .when(batch_ref.isNotNull(), F.lit("dup_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.coalesce(corpus_ref, batch_ref, F.col("doc_id"))
+        .cast("bigint")
+        .alias("dedup_ref"),
+    )
+
+
+@query("dd_incremental", _DD_INCREMENTAL_ORACLE)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify each arriving-batch document
+    as kept / dup_corpus / dup_batch against the standing corpus using
+    BOTH dedup layers a production pipeline runs on a daily snapshot —
+    exact normalized-hash identity and n-gram-Jaccard near-dup pairs —
+    with dedup_ref pointing at the surviving copy. The point of the
+    operator: dedup the new crawl against 100 TB WITHOUT re-deduping
+    the 100 TB.
+
+    Scale design: the exact layer touches the corpus only through a
+    (hash, min-id) index built by one map-side-combinable agg — at
+    scale that index is MAINTAINED across runs (append kept hashes)
+    and stored bucketed by hash, so the standing corpus is never
+    rescanned; only the day-scale batch shuffles to its bucketing.
+    The near layer consumes the same df-capped shingle pair surface as
+    dd_ngram_jaccard — at scale the shingle postings index is likewise
+    maintained and the batch's shingles probe it, so pair work is
+    batch x df-cap, never corpus x corpus. Classification itself is
+    four min-aggs + doc_id-keyed left joins; no windows, no collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.sha2(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256
+        ).alias("h"),
+    )
+    pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return incremental_classify(norm, pairs)

@@ -1757,3 +1757,136 @@ def tx_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2_micros"), F.asc("tok"))
         .limit(DRIFT_TOP_K)
     )
+
+
+# --- Gopher repetition fractions ---------------------------------------------
+
+_REP_NCHARS = r"length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+_TX_REP_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_LTOKS} AS t, {_REP_NCHARS} AS nchars FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM g2 GROUP BY doc_id, g),
+m2 AS (SELECT doc_id, MAX(cnt) AS mx FROM c2 GROUP BY doc_id),
+top2 AS (
+  SELECT c.doc_id, m.mx AS top2_cnt, MIN(c.g) AS top2_gram
+  FROM c2 c JOIN m2 m ON c.doc_id = m.doc_id AND c.cnt = m.mx
+  GROUP BY c.doc_id, m.mx
+),
+g5 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4])) AS g
+  FROM toks WHERE len(t) >= 5
+),
+c5 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM g5 GROUP BY doc_id, g),
+d5 AS (
+  SELECT doc_id, CAST(SUM(cnt * length(g)) AS BIGINT) AS dup5_chars
+  FROM c5 WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(p.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+       p.top2_gram,
+       CAST(COALESCE(p.top2_cnt * length(p.top2_gram), 0) * 1000000
+            // GREATEST(t.nchars, 1) AS BIGINT) AS top2_frac_mu,
+       CAST(COALESCE(d.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+       CAST(COALESCE(d.dup5_chars, 0) * 1000000
+            // GREATEST(t.nchars, 1) AS BIGINT) AS dup5_frac_mu
+FROM toks t
+LEFT JOIN top2 p ON t.doc_id = p.doc_id
+LEFT JOIN d5 d ON t.doc_id = d.doc_id
+"""
+
+
+def _rep_grams(toks: DataFrame, n: int) -> DataFrame:
+    """All overlapping word n-grams per doc (occurrences kept, unlike
+    ``shingles``' distinct sets — repetition is what we are counting)."""
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+        ),
+    )
+    return toks.filter(F.size("t") >= n).select(
+        "doc_id", F.explode(gram).alias("g")
+    )
+
+
+@query("tx_rep_ngram", _TX_REP_NGRAM_ORACLE)
+def tx_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021, Table A1): the
+    fraction of characters covered by the most frequent word 2-gram
+    and by all duplicated word 5-grams — the signature "repetitious
+    document" filters (thresholds 0.20 / 0.15 in the paper) that
+    catch keyword-stuffed and template-looped pages which per-token
+    ratios miss. Fractions are integer micro-units over the
+    normalized character count; occurrence overlaps are counted (the
+    standard Dolma/DataTrove accounting), so values can exceed 1e6 on
+    degenerate all-repeat docs — consumers threshold, not sum. The
+    most-frequent 2-gram ties break to the lexicographically smallest
+    gram so both engines pick the identical witness.
+
+    Scale design: two (doc_id, gram)-keyed map-side-combinable count
+    aggs (the gram key space is bounded by document length, not
+    corpus size), one per-doc max agg, and doc_id-keyed equi-joins —
+    no corpus-wide vocabulary, no windows, no pair joins; every
+    shuffle key contains doc_id so skew is bounded by the longest
+    single document."""
+    return rep_ngram_report(load_table(spark, sf_dir, "documents"))
+
+
+def rep_ngram_report(docs: DataFrame) -> DataFrame:
+    """Core of tx_rep_ngram over any (doc_id, text) frame — factored
+    so crafted-fixture tests can drive degenerate repetition shapes
+    the corpus fixture does not contain."""
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nchars = F.length(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    toks = docs.select("doc_id", t.alias("t"), nchars.alias("nchars"))
+    c2 = _rep_grams(toks, 2).groupBy("doc_id", "g").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    m2 = c2.groupBy("doc_id").agg(F.max("cnt").alias("mx"))
+    top2 = (
+        c2.join(m2, "doc_id")
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("doc_id", F.col("mx").alias("top2_cnt"))
+        .agg(F.min("g").alias("top2_gram"))
+    )
+    d5 = (
+        _rep_grams(toks, 5)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).cast("bigint").alias("dup5_chars"))
+    )
+    return (
+        toks.join(top2, "doc_id", "left")
+        .join(d5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top2_cnt", F.lit(0)).cast("bigint").alias("top2_cnt"),
+            "top2_gram",
+            F.expr(
+                "CAST(COALESCE(top2_cnt * length(top2_gram), 0) * 1000000"
+                " DIV GREATEST(nchars, 1) AS BIGINT)"
+            ).alias("top2_frac_mu"),
+            F.coalesce("dup5_chars", F.lit(0)).cast("bigint").alias("dup5_chars"),
+            F.expr(
+                "CAST(COALESCE(dup5_chars, 0) * 1000000"
+                " DIV GREATEST(nchars, 1) AS BIGINT)"
+            ).alias("dup5_frac_mu"),
+        )
+    )

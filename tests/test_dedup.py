@@ -229,3 +229,83 @@ def test_lsh_census_broadcast_guard_paths_agree(spark):
                 spark.conf.unset(aqe_thr)
     finally:
         sig.unpersist()
+
+
+def test_quality_keeper_is_best_in_cluster(spark, sf_oracle):
+    """Every cluster elects exactly one keeper; the keeper carries the
+    cluster's max lexical-diversity score, ties broken to the lowest
+    doc_id; multi-member clusters exist so the election is exercised."""
+    rows = D.dd_quality_keeper(spark, sf_oracle).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())
+    for members in by_cluster.values():
+        keepers = {r.keeper for r in members}
+        assert len(keepers) == 1
+        k = keepers.pop()
+        kept = [r for r in members if r.is_kept]
+        assert len(kept) == 1 and kept[0].doc_id == k
+        mx = max(r.lex_mu for r in members)
+        assert kept[0].lex_mu == mx
+        assert k == min(r.doc_id for r in members if r.lex_mu == mx)
+
+
+def test_quality_keeper_partition_matches_components(spark, sf_oracle):
+    """dd_quality_keeper only changes the SURVIVOR, never the clusters:
+    its cluster ids are exactly dd_neardup_components' min-label
+    keepers, doc for doc."""
+    qk = {r.doc_id: r.cluster for r in D.dd_quality_keeper(spark, sf_oracle).collect()}
+    comp = {
+        r.doc_id: r.keeper for r in D.dd_neardup_components(spark, sf_oracle).collect()
+    }
+    assert qk == comp
+
+
+def test_incremental_statuses_consistent(spark, sf_oracle):
+    """Statuses partition the batch; refs point the right way (corpus
+    refs are corpus ids, batch refs are EARLIER batch ids, kept docs
+    self-reference); the fixture exercises all three statuses."""
+    rows = D.dd_incremental(spark, sf_oracle).collect()
+    seen = {r.status for r in rows}
+    assert seen == {"kept", "dup_corpus", "dup_batch"}
+    for r in rows:
+        assert r.doc_id % D.INCR_BATCH_MOD == 0
+        if r.status == "kept":
+            assert r.dedup_ref == r.doc_id
+        elif r.status == "dup_corpus":
+            assert r.dedup_ref % D.INCR_BATCH_MOD != 0
+        else:
+            assert r.dedup_ref % D.INCR_BATCH_MOD == 0
+            assert r.dedup_ref < r.doc_id
+
+
+def test_incremental_exact_layer_crafted(spark):
+    """The corpus fixture has zero exact duplicates, so the exact-hash
+    layer is driven here with a crafted snapshot: batch doc 2 is a
+    byte-twin of corpus doc 1 (dup_corpus via hash), batch doc 6 twins
+    batch doc 4 (dup_batch via hash), batch doc 8 is novel."""
+    norm = spark.createDataFrame(
+        [(1, "h_a"), (2, "h_a"), (4, "h_b"), (6, "h_b"), (8, "h_c"), (3, "h_d")],
+        "doc_id long, h string",
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in D.incremental_classify(norm, pairs).collect()}
+    assert set(out) == {2, 4, 6, 8}
+    assert (out[2].status, out[2].dedup_ref) == ("dup_corpus", 1)
+    assert (out[4].status, out[4].dedup_ref) == ("kept", 4)
+    assert (out[6].status, out[6].dedup_ref) == ("dup_batch", 4)
+    assert (out[8].status, out[8].dedup_ref) == ("kept", 8)
+
+
+def test_incremental_corpus_ref_beats_batch_ref(spark):
+    """A doc that is both an exact batch-twin and a near-dup of a
+    corpus doc classifies as dup_corpus (corpus layer wins), and the
+    ref is the smallest corpus partner."""
+    norm = spark.createDataFrame(
+        [(2, "h_x"), (6, "h_x"), (3, "h_y"), (5, "h_z")], "doc_id long, h string"
+    )
+    pairs = spark.createDataFrame([(3, 6), (5, 6)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in D.incremental_classify(norm, pairs).collect()}
+    assert (out[6].status, out[6].dedup_ref) == ("dup_corpus", 3)
+    assert (out[2].status, out[2].dedup_ref) == ("kept", 2)

@@ -370,3 +370,43 @@ def test_registry_rejects_duplicate_names():
     name = next(iter(QUERIES))
     with _pytest.raises(ValueError, match="duplicate query registration"):
         query(name)(lambda spark, sf_dir: None)
+
+
+def test_rep_ngram_crafted_fractions(spark):
+    """Hand-computed Gopher repetition fractions on degenerate docs the
+    corpus fixture lacks: a looped 2-gram doc, an all-distinct doc, an
+    all-same-token doc (fraction > 1e6 by overlap accounting), and a
+    single-token doc (no 2-grams at all)."""
+    from ftp_blueprints_spark.plans.text_queries import rep_ngram_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x y z w v u t s"),
+            (3, "q q q q q q q q q q"),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rep_ngram_report(docs).collect()}
+    # doc 1: 'a b' x3 beats 'b a' x2; 3 * len('a b')=9 chars over 11.
+    assert (out[1].top2_gram, out[1].top2_cnt) == ("a b", 3)
+    assert out[1].top2_frac_mu == 9 * 1_000_000 // 11
+    assert out[1].dup5_chars == 0  # both 5-grams occur once
+    # doc 2: all 2-grams distinct -> cnt 1, tie breaks to smallest gram.
+    assert out[2].top2_cnt == 1
+    toks2 = "x y z w v u t s".split()
+    assert out[2].top2_gram == min(
+        f"{a} {b}" for a, b in zip(toks2, toks2[1:])
+    )
+    assert out[2].dup5_chars == 0
+    # doc 3: 'q q' x9, 9*3=27 chars over 19 -> exceeds 1e6 (documented).
+    assert (out[3].top2_gram, out[3].top2_cnt) == ("q q", 9)
+    assert out[3].top2_frac_mu == 27 * 1_000_000 // 19
+    assert out[3].top2_frac_mu > 1_000_000
+    # 'q q q q q' occurs 6 times, 6*9=54 chars over 19.
+    assert out[3].dup5_chars == 54
+    assert out[3].dup5_frac_mu == 54 * 1_000_000 // 19
+    # doc 4: no 2-grams -> zeroed signals, null witness.
+    assert (out[4].top2_cnt, out[4].top2_gram, out[4].top2_frac_mu) == (0, None, 0)
+    assert (out[4].dup5_chars, out[4].dup5_frac_mu) == (0, 0)
