@@ -220,7 +220,12 @@ BUDGETS = {
     # jaccard pair pipeline + diameter-bounded label-propagation rounds
     # (each round is a blocking job; cost is job count, not data)
     "dd_quality_keeper": 7.4,
-    "dd_incremental": 1.8,
+    # runs the full jaccard pair pipeline (same family as dd_minhash_lsh)
+    # plus four min-agg/join layers: fresh-JVM warm is ~3.1-3.3 s (a
+    # back-to-back run after dd_quality_keeper measures 0.9 s because the
+    # shared shingle subtree is page-cache/codegen warm — don't budget
+    # from that)
+    "dd_incremental": 4.5,
     "tx_rep_ngram": 2.9,
 }
 

@@ -1465,7 +1465,13 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd_ngram_jaccard — at scale the shingle postings index is likewise
     maintained and the batch's shingles probe it, so pair work is
     batch x df-cap, never corpus x corpus. Classification itself is
-    four min-aggs + doc_id-keyed left joins; no windows, no collects."""
+    four min-aggs + doc_id-keyed left joins; no windows, no collects.
+
+    The maintained-index contract is not just words: the exact layer
+    has a streaming twin (run_incremental_exact_stream) whose
+    foreachBatch-updated index is proven equal to this batch
+    classification under multi-micro-batch execution in
+    tests/test_streaming.py."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id",
@@ -1475,3 +1481,88 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return incremental_classify(norm, pairs)
+
+
+_INCR_IDX_SCHEMA = "h string, ref bigint, origin string"
+
+
+def run_incremental_exact_stream(
+    spark: SparkSession,
+    corpus_norm: DataFrame,
+    source: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    timeout_s: int = 300,
+):
+    """Streaming twin of dd_incremental's exact layer: arriving docs
+    stream through a foreachBatch-MAINTAINED (hash, keeper, origin)
+    index — exactly the "never rescan the standing corpus" contract the
+    batch operator's docstring claims. The corpus seeds the index once;
+    each micro-batch classifies against the index as of its start
+    (corpus hit -> dup_corpus, earlier-batch hit -> dup_batch,
+    earlier-in-this-micro-batch -> dup_batch via the min-id firsts agg)
+    and then appends ONLY its first-seen hashes, so index growth is
+    O(new content), not O(stream length). localCheckpoint(eager)
+    severs each read of the index from the same-directory append that
+    follows it (self-read-while-append is otherwise undefined).
+
+    Equivalence contract (proven in tests/test_streaming.py): when
+    micro-batches arrive in doc_id order, the drained classification
+    equals incremental_classify(norm, no-pairs) row for row."""
+    (
+        corpus_norm.groupBy("h")
+        .agg(F.min("doc_id").alias("ref"))
+        .select("h", "ref", F.lit("corpus").alias("origin"))
+        .write.mode("overwrite")
+        .parquet(index_dir)
+    )
+
+    def classify(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        idx = s.read.schema(_INCR_IDX_SCHEMA).parquet(index_dir)
+        firsts = batch_df.groupBy("h").agg(F.min("doc_id").alias("mb_first"))
+        j = (
+            batch_df.join(idx, "h", "left")
+            .join(firsts, "h")
+            .select(
+                "doc_id",
+                F.when(F.col("origin") == "corpus", F.lit("dup_corpus"))
+                .when(F.col("origin") == "batch", F.lit("dup_batch"))
+                .when(F.col("doc_id") > F.col("mb_first"), F.lit("dup_batch"))
+                .otherwise(F.lit("kept"))
+                .alias("status"),
+                F.coalesce(
+                    "ref",
+                    F.when(
+                        F.col("doc_id") > F.col("mb_first"), F.col("mb_first")
+                    ),
+                    "doc_id",
+                )
+                .cast("bigint")
+                .alias("dedup_ref"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        j.write.mode("append").parquet(out_dir)
+        new_rows = (
+            batch_df.join(idx, "h", "left_anti")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("ref"))
+            .select("h", "ref", F.lit("batch").alias("origin"))
+            .localCheckpoint(eager=True)
+        )
+        new_rows.write.mode("append").parquet(index_dir)
+
+    q = (
+        source.writeStream.foreachBatch(classify)
+        .outputMode("append")
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"incremental dedup stream did not drain within {timeout_s}s"
+        )
+    return q

@@ -723,3 +723,71 @@ def test_markov_transitions_multi_microbatch(spark, sf_oracle, tmp_path):
         spark.table("t_mkv_mb").agg(F.sum("n")).collect()[0][0]
         == n_events - n_users
     )
+
+
+def test_incremental_dedup_index_multi_microbatch(spark, tmp_path):
+    """dd_incremental's docstring claims the standing corpus is touched
+    only through a MAINTAINED (hash, keeper) index. Prove the
+    maintenance: stream three doc_id-ordered micro-batches of crafted
+    docs through run_incremental_exact_stream's foreachBatch-updated
+    index and require the drained classification to equal the batch
+    twin (incremental_classify with no near-dup pairs) — dup_corpus AND
+    dup_batch decisions provably carry across micro-batch boundaries,
+    including a twin whose first copy arrived two micro-batches
+    earlier."""
+    import os
+
+    from ftp_blueprints_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "A"), (3, "B"), (5, "C")], "doc_id long, h string"
+    )
+    files = [
+        [(2, "A"), (4, "X"), (6, "X")],  # corpus twin; kept; same-batch twin
+        [(8, "X"), (10, "Y")],  # twin of batch-0 doc; kept
+        [(12, "Y"), (14, "B"), (16, "Z")],  # batch-1 twin; corpus twin; kept
+    ]
+    src_dir = tmp_path / "incr_parts"
+    for i, rows in enumerate(files):
+        out = str(src_dir / f"part{i}")
+        spark.createDataFrame(rows, "doc_id long, h string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
+    source = (
+        spark.readStream.schema("doc_id long, h string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    out_dir = str(tmp_path / "incr_out")
+    q = D.run_incremental_exact_stream(
+        spark, corpus, source, str(tmp_path / "incr_idx"), out_dir
+    )
+    _assert_multi_batch(q, 3)
+    streamed = {
+        (r.doc_id, r.status, r.dedup_ref)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    norm = corpus.unionAll(
+        spark.createDataFrame(
+            [r for rows in files for r in rows], "doc_id long, h string"
+        )
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    expected = {
+        (r.doc_id, r.status, r.dedup_ref)
+        for r in D.incremental_classify(norm, pairs).collect()
+    }
+    assert streamed == expected
+    assert streamed == {
+        (2, "dup_corpus", 1),
+        (4, "kept", 4),
+        (6, "dup_batch", 4),
+        (8, "dup_batch", 4),
+        (10, "kept", 10),
+        (12, "dup_batch", 10),
+        (14, "dup_corpus", 3),
+        (16, "kept", 16),
+    }
