@@ -309,3 +309,55 @@ def test_incremental_corpus_ref_beats_batch_ref(spark):
     out = {r.doc_id: r for r in D.incremental_classify(norm, pairs).collect()}
     assert (out[6].status, out[6].dedup_ref) == ("dup_corpus", 3)
     assert (out[2].status, out[2].dedup_ref) == ("kept", 2)
+
+
+def test_incremental_classify_randomized_vs_naive(spark):
+    """Property test for incremental_classify's precedence rules on
+    randomized snapshots: tiny hash alphabets (mass collisions), random
+    near-dup pair graphs, batch/corpus interleavings. The naive
+    reference walks the rules directly: corpus layer (exact OR near)
+    beats batch layer; within a layer the ref is the smallest
+    qualifying partner; batch partners must be strictly earlier."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        n = rng.randint(4, 40)
+        ids = rng.sample(range(1, 400), n)
+        alphabet = [f"h{k}" for k in range(rng.choice([2, 3, 8]))]
+        norm_rows = [(i, rng.choice(alphabet)) for i in ids]
+        pair_rows = set()
+        for _ in range(rng.randint(0, n)):
+            a, b = rng.sample(ids, 2)
+            pair_rows.add((min(a, b), max(a, b)))
+        norm = spark.createDataFrame(norm_rows, "doc_id long, h string")
+        pairs = spark.createDataFrame(
+            sorted(pair_rows) or [], "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: (r.status, r.dedup_ref)
+            for r in D.incremental_classify(norm, pairs).collect()
+        }
+        h_of = dict(norm_rows)
+        nbrs: dict[int, set[int]] = {}
+        for a, b in pair_rows:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        m = D.INCR_BATCH_MOD
+        want = {}
+        for i in ids:
+            if i % m != 0:
+                continue
+            corpus_refs = [
+                j for j in ids if j % m != 0 and h_of[j] == h_of[i] and j != i
+            ] + [j for j in nbrs.get(i, ()) if j % m != 0]
+            batch_refs = [
+                j for j in ids if j % m == 0 and h_of[j] == h_of[i] and j < i
+            ] + [j for j in nbrs.get(i, ()) if j % m == 0 and j < i]
+            if corpus_refs:
+                want[i] = ("dup_corpus", min(corpus_refs))
+            elif batch_refs:
+                want[i] = ("dup_batch", min(batch_refs))
+            else:
+                want[i] = ("kept", i)
+        assert got == want, f"trial {trial}: {got} != {want}"
