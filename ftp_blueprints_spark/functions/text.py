@@ -53,6 +53,30 @@ def _count_in_set(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
+def norm_text(text: Column | str) -> Column:
+    """Canonical content normalization for exact dedup: lowercase +
+    whitespace fold. THE single spelling — dd_exact_normalized,
+    dd_incremental's exact layer, and tx_corpus_prep all hash this, so
+    their keeper indexes agree by construction; NORM_SHA_SQL is the
+    DuckDB mirror."""
+    return F.regexp_replace(F.trim(F.lower(_c(text))), r"\s+", " ")
+
+
+NORM_SHA_SQL = r"sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+
+def word_grams(n: int, t: str = "t") -> Column:
+    """All overlapping word n-grams of token-array column ``t`` (one
+    gram per window position, occurrences kept). Shingle pipelines wrap
+    this in array_distinct; repetition counters must not."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col(t), i + j) for j in range(n)]
+        ),
+    )
+
+
 def lower_tokens(text: Column | str) -> Column:
     """Whitespace tokens of the lowercased text. Compute this ONCE into
     a column and feed the ``*_from`` variants when several text metrics

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.text import NORM_SHA_SQL, lower_tokens, norm_text, word_grams
 from ..plans.registry import query
 from ..session import load_table
 
@@ -30,16 +31,12 @@ _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, s)."""
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
-    ).filter(F.size("t") >= n)
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
-        ),
+    toks = docs.select("doc_id", lower_tokens("text").alias("t")).filter(
+        F.size("t") >= n
     )
-    return toks.select("doc_id", F.explode(F.array_distinct(gram)).alias("s"))
+    return toks.select(
+        "doc_id", F.explode(F.array_distinct(word_grams(n))).alias("s")
+    )
 
 
 # --- exact dedup ----------------------------------------------------------
@@ -71,8 +68,7 @@ GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
 def dd_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after canonicalization (case + whitespace folding)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    return docs.groupBy(F.sha2(norm, 256).alias("norm_sha")).agg(
+    return docs.groupBy(F.sha2(norm_text("text"), 256).alias("norm_sha")).agg(
         F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
     )
 
@@ -1266,8 +1262,7 @@ def lex_diversity_mu(docs: DataFrame) -> DataFrame:
     """(doc_id, lex_mu): distinct-token ratio in integer micro-units —
     the deterministic quality signal survivorship ranks by. Stateless
     projection; exact in both engines (BIGINT multiply + floor-div)."""
-    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    return docs.select("doc_id", t.alias("t")).select(
+    return docs.select("doc_id", lower_tokens("text").alias("t")).select(
         "doc_id",
         F.expr(
             "CAST((size(array_distinct(t)) * CAST(1000000 AS BIGINT))"
@@ -1331,12 +1326,10 @@ def dd_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 # structurally empty — a vacuous surface).
 INCR_BATCH_MOD = 2
 
-_NORM_SHA_SQL = r"sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
-
 _DD_INCREMENTAL_ORACLE = f"""
 WITH pairs AS ({_DD_JACCARD_ORACLE}),
 norm AS (
-  SELECT doc_id, {_NORM_SHA_SQL} AS h FROM documents
+  SELECT doc_id, {NORM_SHA_SQL} AS h FROM documents
 ),
 batch AS (SELECT doc_id, h FROM norm WHERE doc_id % {INCR_BATCH_MOD} = 0),
 corpus AS (SELECT doc_id, h FROM norm WHERE doc_id % {INCR_BATCH_MOD} <> 0),
@@ -1395,8 +1388,13 @@ def incremental_classify(norm: DataFrame, pairs: DataFrame) -> DataFrame:
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == 0
     batch = norm.filter(is_batch)
     corpus = norm.filter(~is_batch)
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    # one materialization: without this, near_corpus and near_batch each
+    # embed the (potentially expensive) pair-pipeline subtree again —
+    # same reason connected_keepers checkpoints its edge frame
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint(eager=True)
     )
     a_batch = (F.col("a") % INCR_BATCH_MOD) == 0
     b_batch = (F.col("b") % INCR_BATCH_MOD) == 0
@@ -1473,17 +1471,80 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification under multi-micro-batch execution in
     tests/test_streaming.py."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = docs.select(
-        "doc_id",
-        F.sha2(
-            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256
-        ).alias("h"),
-    )
+    norm = docs.select("doc_id", F.sha2(norm_text("text"), 256).alias("h"))
     pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return incremental_classify(norm, pairs)
 
 
-_INCR_IDX_SCHEMA = "h string, ref bigint, origin string"
+_INCR_IDX_SCHEMA = "h string, ref bigint, origin string, bid long"
+
+
+def _incremental_microbatch(
+    batch_df: DataFrame, batch_id: int, index_dir: str, out_dir: str
+) -> None:
+    """One idempotent micro-batch step of the maintained-index stream.
+
+    foreachBatch is at-least-once: a recovering query MAY replay a
+    micro-batch whose side effects partially committed. Both writes are
+    therefore batch_id-keyed dynamic partition overwrites — a replay
+    rewrites exactly its own (bid=batch_id) partitions — and the index
+    read excludes bid >= batch_id, so a replay that already appended
+    its first-seen hashes does not see them and reclassify its own docs
+    as self-duplicates. localCheckpoint(eager) severs each index read
+    from the same-root write that follows (self-read-while-write is
+    otherwise undefined)."""
+    s = batch_df.sparkSession
+    idx = (
+        s.read.schema(_INCR_IDX_SCHEMA)
+        .parquet(index_dir)
+        .filter(F.col("bid") < F.lit(batch_id))
+    )
+    firsts = batch_df.groupBy("h").agg(F.min("doc_id").alias("mb_first"))
+    j = (
+        batch_df.join(idx, "h", "left")
+        .join(firsts, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("origin") == "corpus", F.lit("dup_corpus"))
+            .when(F.col("origin") == "batch", F.lit("dup_batch"))
+            .when(F.col("doc_id") > F.col("mb_first"), F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(
+                "ref",
+                F.when(F.col("doc_id") > F.col("mb_first"), F.col("mb_first")),
+                "doc_id",
+            )
+            .cast("bigint")
+            .alias("dedup_ref"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        j.withColumn("bid", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid")
+        .parquet(out_dir)
+    )
+    new_rows = (
+        batch_df.join(idx, "h", "left_anti")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("ref"))
+        .select(
+            "h",
+            "ref",
+            F.lit("batch").alias("origin"),
+            F.lit(batch_id).cast("long").alias("bid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        new_rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid")
+        .parquet(index_dir)
+    )
 
 
 def run_incremental_exact_stream(
@@ -1497,14 +1558,15 @@ def run_incremental_exact_stream(
     """Streaming twin of dd_incremental's exact layer: arriving docs
     stream through a foreachBatch-MAINTAINED (hash, keeper, origin)
     index — exactly the "never rescan the standing corpus" contract the
-    batch operator's docstring claims. The corpus seeds the index once;
-    each micro-batch classifies against the index as of its start
-    (corpus hit -> dup_corpus, earlier-batch hit -> dup_batch,
+    batch operator's docstring claims. The corpus seeds the index once
+    (bid = -1); each micro-batch classifies against the index as of its
+    start (corpus hit -> dup_corpus, earlier-batch hit -> dup_batch,
     earlier-in-this-micro-batch -> dup_batch via the min-id firsts agg)
     and then appends ONLY its first-seen hashes, so index growth is
-    O(new content), not O(stream length). localCheckpoint(eager)
-    severs each read of the index from the same-directory append that
-    follows it (self-read-while-append is otherwise undefined).
+    O(new content), not O(stream length). Every side effect is a
+    batch_id-keyed idempotent overwrite (see _incremental_microbatch),
+    so at-least-once redelivery cannot duplicate output rows or corrupt
+    the index — replay-proven in tests/test_streaming.py.
 
     Equivalence contract (proven in tests/test_streaming.py): when
     micro-batches arrive in doc_id order, the drained classification
@@ -1512,46 +1574,19 @@ def run_incremental_exact_stream(
     (
         corpus_norm.groupBy("h")
         .agg(F.min("doc_id").alias("ref"))
-        .select("h", "ref", F.lit("corpus").alias("origin"))
+        .select(
+            "h",
+            "ref",
+            F.lit("corpus").alias("origin"),
+            F.lit(-1).cast("long").alias("bid"),
+        )
         .write.mode("overwrite")
+        .partitionBy("bid")
         .parquet(index_dir)
     )
 
     def classify(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        idx = s.read.schema(_INCR_IDX_SCHEMA).parquet(index_dir)
-        firsts = batch_df.groupBy("h").agg(F.min("doc_id").alias("mb_first"))
-        j = (
-            batch_df.join(idx, "h", "left")
-            .join(firsts, "h")
-            .select(
-                "doc_id",
-                F.when(F.col("origin") == "corpus", F.lit("dup_corpus"))
-                .when(F.col("origin") == "batch", F.lit("dup_batch"))
-                .when(F.col("doc_id") > F.col("mb_first"), F.lit("dup_batch"))
-                .otherwise(F.lit("kept"))
-                .alias("status"),
-                F.coalesce(
-                    "ref",
-                    F.when(
-                        F.col("doc_id") > F.col("mb_first"), F.col("mb_first")
-                    ),
-                    "doc_id",
-                )
-                .cast("bigint")
-                .alias("dedup_ref"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        j.write.mode("append").parquet(out_dir)
-        new_rows = (
-            batch_df.join(idx, "h", "left_anti")
-            .groupBy("h")
-            .agg(F.min("doc_id").alias("ref"))
-            .select("h", "ref", F.lit("batch").alias("origin"))
-            .localCheckpoint(eager=True)
-        )
-        new_rows.write.mode("append").parquet(index_dir)
+        _incremental_microbatch(batch_df, batch_id, index_dir, out_dir)
 
     q = (
         source.writeStream.foreachBatch(classify)

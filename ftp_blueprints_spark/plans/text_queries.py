@@ -130,7 +130,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREP_MIN_QUALITY = 0.5
 
-_NORM_SHA_SQL = r"sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+_NORM_SHA_SQL = T.NORM_SHA_SQL  # one spelling, shared with the dedup layer
 
 
 @query(
@@ -1811,14 +1811,8 @@ LEFT JOIN d5 d ON t.doc_id = d.doc_id
 def _rep_grams(toks: DataFrame, n: int) -> DataFrame:
     """All overlapping word n-grams per doc (occurrences kept, unlike
     ``shingles``' distinct sets — repetition is what we are counting)."""
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
-        ),
-    )
     return toks.filter(F.size("t") >= n).select(
-        "doc_id", F.explode(gram).alias("g")
+        "doc_id", F.explode(T.word_grams(n)).alias("g")
     )
 
 
@@ -1830,9 +1824,14 @@ def tx_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     document" filters (thresholds 0.20 / 0.15 in the paper) that
     catch keyword-stuffed and template-looped pages which per-token
     ratios miss. Fractions are integer micro-units over the
-    normalized character count; occurrence overlaps are counted (the
-    standard Dolma/DataTrove accounting), so values can exceed 1e6 on
-    degenerate all-repeat docs — consumers threshold, not sum. The
+    normalized character count. Accounting note: ALL occurrences of a
+    duplicated gram are counted, including the first, and overlapping
+    windows are not merged — a deliberate upper-bound variant (cheap:
+    no positional bookkeeping), stricter than DataTrove's
+    find_all_duplicate, which excludes the first occurrence and skips
+    overlaps; values can therefore exceed 1e6 on degenerate all-repeat
+    docs, and thresholds must be calibrated to THIS column, not lifted
+    verbatim from the Gopher paper. Consumers threshold, not sum. The
     most-frequent 2-gram ties break to the lexicographically smallest
     gram so both engines pick the identical witness.
 
@@ -1849,11 +1848,11 @@ def rep_ngram_report(docs: DataFrame) -> DataFrame:
     """Core of tx_rep_ngram over any (doc_id, text) frame — factored
     so crafted-fixture tests can drive degenerate repetition shapes
     the corpus fixture does not contain."""
-    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    nchars = F.length(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = docs.select(
+        "doc_id",
+        T.lower_tokens("text").alias("t"),
+        F.length(T.norm_text("text")).alias("nchars"),
     )
-    toks = docs.select("doc_id", t.alias("t"), nchars.alias("nchars"))
     c2 = _rep_grams(toks, 2).groupBy("doc_id", "g").agg(
         F.count("*").cast("bigint").alias("cnt")
     )

@@ -762,9 +762,8 @@ def test_incremental_dedup_index_multi_microbatch(spark, tmp_path):
         .parquet(str(src_dir))
     )
     out_dir = str(tmp_path / "incr_out")
-    q = D.run_incremental_exact_stream(
-        spark, corpus, source, str(tmp_path / "incr_idx"), out_dir
-    )
+    index_dir = str(tmp_path / "incr_idx")
+    q = D.run_incremental_exact_stream(spark, corpus, source, index_dir, out_dir)
     _assert_multi_batch(q, 3)
     streamed = {
         (r.doc_id, r.status, r.dedup_ref)
@@ -791,3 +790,27 @@ def test_incremental_dedup_index_multi_microbatch(spark, tmp_path):
         (14, "dup_corpus", 3),
         (16, "kept", 16),
     }
+    # foreachBatch is at-least-once: REPLAY the last micro-batch (its
+    # index append already committed) and require both the drained
+    # classification and the index to be bit-identical afterwards —
+    # the idempotence that makes the recovery story sound.
+    out_df = spark.read.parquet(out_dir)
+    last_bid = max(r.bid for r in out_df.select("bid").distinct().collect())
+    last_docs = {
+        r.doc_id for r in out_df.filter(F.col("bid") == last_bid).collect()
+    }
+    idx_before = {
+        tuple(r) for r in spark.read.parquet(index_dir).collect()
+    }
+    replay = spark.createDataFrame(
+        [r for rows in files for r in rows if r[0] in last_docs],
+        "doc_id long, h string",
+    )
+    D._incremental_microbatch(replay, last_bid, index_dir, out_dir)
+    streamed_after = {
+        (r.doc_id, r.status, r.dedup_ref)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    idx_after = {tuple(r) for r in spark.read.parquet(index_dir).collect()}
+    assert streamed_after == streamed
+    assert idx_after == idx_before
