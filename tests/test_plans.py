@@ -265,3 +265,34 @@ def test_attribution_single_exchange_no_join(spark, sf_oracle):
     plan = _plan(spark, "ev_last_touch_attribution", sf_oracle)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_quality_keeper_no_cartesian_no_window(spark, sf_oracle):
+    """dd_quality_keeper: the keeper election is two hash aggs plus
+    cluster-keyed equi-joins — no window (which would single-reduce
+    each cluster) and no cartesian anywhere in the component/scoring
+    pipeline."""
+    plan = _plan(spark, "dd_quality_keeper", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_incremental_no_cartesian_no_window(spark, sf_oracle):
+    """dd_incremental: hash/doc_id-keyed min-aggs and equi-joins only —
+    the corpus index and batch firsts must partial-aggregate map-side
+    (no window), and nothing may expand to a cartesian."""
+    plan = _plan(spark, "dd_incremental", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_rep_ngram_no_join_blowup(spark, sf_oracle):
+    """tx_rep_ngram: every shuffle key contains doc_id (gram counts,
+    per-doc maxima) — no window, no cartesian; the per-doc left joins
+    stay equi-joins."""
+    plan = _plan(spark, "tx_rep_ngram", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
