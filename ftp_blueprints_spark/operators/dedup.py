@@ -1298,7 +1298,14 @@ def dd_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_keepers(pairs, docs.select("doc_id")).select(
         "doc_id", F.col("keeper").alias("cluster")
     )
-    cs = comp.join(lex_diversity_mu(docs), "doc_id")
+    return quality_elect(comp.join(lex_diversity_mu(docs), "doc_id"))
+
+
+def quality_elect(cs: DataFrame) -> DataFrame:
+    """Keeper election over (doc_id, cluster, lex_mu): max score wins,
+    ties to the lowest doc_id — two map-side-combinable aggs plus
+    cluster-keyed equi-joins, no windows. Factored so randomized tests
+    can drive tie/singleton shapes the corpus fixture lacks."""
     mx = cs.groupBy("cluster").agg(F.max("lex_mu").alias("mx"))
     best = (
         cs.join(mx, "cluster")

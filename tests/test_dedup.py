@@ -361,3 +361,36 @@ def test_incremental_classify_randomized_vs_naive(spark):
             else:
                 want[i] = ("kept", i)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_quality_elect_randomized_vs_naive(spark):
+    """Randomized election shapes the fixture lacks: all-tied clusters,
+    singletons, duplicate scores across clusters, keeper-by-tiebreak.
+    The Spark election (max score, min id among maxima) must equal a
+    direct Python argmax for every cluster."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        rows = []
+        next_id = 1
+        for c in range(rng.randint(1, 12)):
+            size = rng.choice([1, 1, 2, 3, 9])
+            for _ in range(size):
+                rows.append((next_id, c, rng.choice([0, 5, 5, 7])))
+                next_id += rng.randint(1, 3)
+        cs = spark.createDataFrame(rows, "doc_id long, cluster long, lex_mu long")
+        got = {
+            r.doc_id: (r.cluster, r.lex_mu, r.keeper, r.is_kept)
+            for r in D.quality_elect(cs).collect()
+        }
+        by_cluster: dict[int, list] = {}
+        for i, c, s in rows:
+            by_cluster.setdefault(c, []).append((i, s))
+        want = {}
+        for c, members in by_cluster.items():
+            mx = max(s for _, s in members)
+            keeper = min(i for i, s in members if s == mx)
+            for i, s in members:
+                want[i] = (c, s, keeper, i == keeper)
+        assert got == want, f"trial {trial}"
