@@ -77,23 +77,30 @@ def typed_from_message(err: Exception) -> BlueprintError | None:
     final line), so that rendering is matched too, but ONLY as a whole
     line of dotted identifiers: a mere line-final occurrence (e.g. a
     path ``/tmp/MoveError`` ending a log line) must not match, or the
-    anchor's whole purpose is lost."""
+    anchor's whole purpose is lost.  The colon-ful rendering is the
+    primary signal and wins across ALL classes before any colon-less
+    fallback is consulted (two passes): in a chained traceback whose
+    FIRST exception rendered bare (empty message) and whose second
+    rendered ``OtherError: detail``, the detail-carrying match is the
+    one that should route the exit code."""
     import re
 
-    msg = str(err)
-    for cls in (
+    classes = (
         IncorrectCredentials,
         NoMatchesFound,
         InvalidFilePath,
         MoveError,
         UploadError,
-    ):
+    )
+    msg = str(err)
+    for cls in classes:
         m = re.search(
             rf"(?<![A-Za-z0-9_]){cls.__name__}\s*:", msg
         )
         if m:
             detail = msg[m.end():].lstrip().split("\n")[0]
             return cls(detail)
+    for cls in classes:
         if re.search(
             rf"^(?:[A-Za-z_][A-Za-z0-9_.]*\.)?{cls.__name__}\s*$",
             msg,

@@ -1389,9 +1389,12 @@ def incremental_classify(norm: DataFrame, pairs: DataFrame) -> DataFrame:
     doc (doc_id % INCR_BATCH_MOD == 0) is dup_corpus when an exact
     hash twin or a near-dup partner exists in the corpus, dup_batch
     when (not dup_corpus and) an EARLIER batch doc is its twin/partner
-    — the greedy first-wins rule — else kept. dedup_ref points at the
-    smallest surviving reference (nulls skipped by least/coalesce,
-    matching DuckDB's null-skipping LEAST)."""
+    — the greedy first-wins rule — else kept. dedup_ref is the
+    smallest qualifying PARTNER (nulls skipped by least/coalesce,
+    matching DuckDB's null-skipping LEAST); note a dup_batch ref can
+    itself be dup_corpus, so materializing survivors means following
+    the chain (or anti-joining against kept ids), not dereferencing
+    one hop."""
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == 0
     batch = norm.filter(is_batch)
     corpus = norm.filter(~is_batch)
@@ -1457,9 +1460,10 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     as kept / dup_corpus / dup_batch against the standing corpus using
     BOTH dedup layers a production pipeline runs on a daily snapshot —
     exact normalized-hash identity and n-gram-Jaccard near-dup pairs —
-    with dedup_ref pointing at the surviving copy. The point of the
-    operator: dedup the new crawl against 100 TB WITHOUT re-deduping
-    the 100 TB.
+    with dedup_ref naming the smallest duplicate partner (one hop, not
+    transitively resolved — a dup_batch ref may itself be dup_corpus;
+    survivors are exactly the kept rows). The point of the operator:
+    dedup the new crawl against 100 TB WITHOUT re-deduping the 100 TB.
 
     Scale design: the exact layer touches the corpus only through a
     (hash, min-id) index built by one map-side-combinable agg — at
@@ -1578,6 +1582,11 @@ def run_incremental_exact_stream(
     Equivalence contract (proven in tests/test_streaming.py): when
     micro-batches arrive in doc_id order, the drained classification
     equals incremental_classify(norm, no-pairs) row for row."""
+    # dynamic overwrite: the seed data only contains bid=-1, so ONLY
+    # that partition is replaced — a restart (same checkpoint, index
+    # already holding bid>=0 batch partitions) must not wipe what the
+    # stream has learned, or recovered runs misclassify earlier-batch
+    # twins as kept (restart-proven in tests/test_streaming.py)
     (
         corpus_norm.groupBy("h")
         .agg(F.min("doc_id").alias("ref"))
@@ -1588,6 +1597,7 @@ def run_incremental_exact_stream(
             F.lit(-1).cast("long").alias("bid"),
         )
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bid")
         .parquet(index_dir)
     )

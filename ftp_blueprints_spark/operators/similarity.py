@@ -507,11 +507,17 @@ def _ivf_assign_pandas(
     centroid matrix rides the mapInPandas closure (Arrow-batched, K x
     dim float64 — a few MB at the IVF_PANDAS_MAX_K ceiling) and each
     batch scores X_n @ C_n.T with BLAS.  Tie surface: round half-away
-    to ``round_digits`` as exact integer micros (matches Spark
-    F.round/DuckDB ROUND for all signs; np.round would be half-even),
-    then first-max argmax over cid-ASCENDING columns = lowest cid on
-    ties — the same order the literal path's strict-> fold and the
-    oracle's ROW_NUMBER produce."""
+    to ``round_digits`` via floor(|x|*scale + 0.5) on the BINARY value
+    (np.round would be half-even — wrong here).  Spark's F.round on
+    DOUBLE rounds the shortest-decimal repr instead (Scala BigDecimal),
+    which agrees with the binary form except when x*scale lands within
+    ~1 ulp (~1e-11 relative at 6 digits) of an exact .5 boundary AND
+    the two roundings cross it in different directions — measured
+    strictly smaller than the BLAS summation-order residual this path
+    already documents, and only observable if an argmax tie ALSO hangs
+    on that boundary.  First-max argmax over cid-ASCENDING columns =
+    lowest cid on ties — the same order the literal path's strict->
+    fold and the oracle's ROW_NUMBER produce."""
     import numpy as np
     import pandas as pd
 
@@ -545,6 +551,11 @@ def _ivf_assign_pandas(
             g = np.where(np.isnan(g), -np.inf, g)
             best = cids[np.argmax(g, axis=1)]
             best = np.where(x_norm == 0.0, np.int64(-1), best)
+            # all-candidates--inf parity: the literal fold's seed cid=-1
+            # survives when every centroid is zero-norm (NULL > acc is
+            # false); np.argmax over an all--inf row returns column 0,
+            # which would silently elect cids[0] instead
+            best = np.where(np.all(g == -np.inf, axis=1), np.int64(-1), best)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),

@@ -333,3 +333,26 @@ def test_typed_from_message_anchored():
     # boundary -> unrelated failure stays exit 1
     assert typed_from_message(RuntimeError("open /tmp/NoMatchesFound/x failed")) is None
     assert typed_from_message(RuntimeError("saw word MoveErrors: elsewhere")) is None
+
+
+def test_typed_from_message_colonful_beats_colonless_across_classes():
+    """Two-pass precedence: in a chained traceback where an EARLIER
+    class renders bare (empty message) and a LATER class renders with
+    ': detail', the detail-carrying colon match must win — the bare
+    line is secondary evidence, not a first-match shortcut."""
+    from ftp_blueprints_spark.errors import (
+        MoveError,
+        NoMatchesFound,
+        typed_from_message,
+    )
+
+    t = typed_from_message(
+        RuntimeError(
+            "ftp_blueprints_spark.errors.NoMatchesFound\n"
+            "MoveError: permission denied"
+        )
+    )
+    assert isinstance(t, MoveError) and "permission denied" in str(t)
+    # colon-less alone still maps (empty-message rendering)
+    t = typed_from_message(RuntimeError("errors.NoMatchesFound"))
+    assert isinstance(t, NoMatchesFound) and str(t) == ""

@@ -814,3 +814,26 @@ def test_incremental_dedup_index_multi_microbatch(spark, tmp_path):
     idx_after = {tuple(r) for r in spark.read.parquet(index_dir).collect()}
     assert streamed_after == streamed
     assert idx_after == idx_before
+    # RESTART: a fresh invocation re-seeds ONLY the corpus partition
+    # (dynamic overwrite) — the batch-learned partitions must survive,
+    # or a recovered run misclassifies a twin of a pre-restart doc.
+    # Same checkpoint, one new file: doc 18 twins batch-0 doc 4 ('X'),
+    # doc 20 is novel.
+    out4 = str(src_dir / "part3")
+    spark.createDataFrame(
+        [(18, "X"), (20, "W")], "doc_id long, h string"
+    ).coalesce(1).write.mode("overwrite").parquet(out4)
+    for f in os.listdir(out4):
+        os.utime(os.path.join(out4, f), (1_700_000_003,) * 2)
+    source2 = (
+        spark.readStream.schema("doc_id long, h string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    D.run_incremental_exact_stream(spark, corpus, source2, index_dir, out_dir)
+    after_restart = {
+        (r.doc_id, r.status, r.dedup_ref)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert after_restart == streamed | {(18, "dup_batch", 4), (20, "kept", 20)}
