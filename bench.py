@@ -105,10 +105,12 @@ HEADLINE = [
     "ev_trending_topk",
     "q_label_propagation",
     # r8 additions: quality-aware survivorship, incremental snapshot
-    # dedup, Gopher repetition fractions
+    # dedup, Gopher repetition fractions, per-doc keywords, dwell time
     "dd_quality_keeper",
     "dd_incremental",
     "tx_rep_ngram",
+    "tx_keywords",
+    "ev_dwell_time",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -227,6 +229,8 @@ BUDGETS = {
     # from that)
     "dd_incremental": 4.5,
     "tx_rep_ngram": 2.9,
+    "tx_keywords": 3.0,
+    "ev_dwell_time": 1.6,
 }
 
 

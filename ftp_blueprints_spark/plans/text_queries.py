@@ -1889,3 +1889,70 @@ def rep_ngram_report(docs: DataFrame) -> DataFrame:
             ).alias("dup5_frac_mu"),
         )
     )
+
+
+# --- per-document keyword extraction -----------------------------------------
+
+KEYWORDS_K = 3
+
+
+@query(
+    "tx_keywords",
+    f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_LTOKS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         CAST((t.tf * 1000000) // d.df AS BIGINT) AS score_mu,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY (t.tf * 1000000) // d.df DESC, t.tok)
+           AS rk
+  FROM tf t JOIN df d ON t.tok = d.tok
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score_mu
+FROM scored WHERE rk <= {KEYWORDS_K}
+""",
+)
+def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT keyword extraction: the top-KEYWORDS_K tokens by integer
+    tf·1e6 DIV df — each doc's topical signature, the signal topic
+    balancing and curriculum bucketing key on. Distinct from
+    tx_top_terms, which ranks a per-LANGUAGE vocabulary after
+    aggregation; here the window partitions by doc_id over the full
+    (doc, token) tf table. Ties break lexicographically; (doc, tok) is
+    unique after the tf agg so ranking is total and deterministic.
+
+    Scale shape: tf is one (doc_id, tok)-keyed map-side-combinable
+    count; df aggregates the tf table itself (vocabulary-sized, one
+    row per (doc,tok) — no second corpus scan); the df join back is
+    token-keyed and skew-bounded (a stopword fans out to its df, which
+    is linear); the per-doc top-K plans as WindowGroupLimit — rank
+    partitions are single documents, so no reducer ever sees more than
+    one doc's vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.lower_tokens("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = tf.join(df, "tok").withColumn(
+        "score_mu", F.expr("CAST((tf * 1000000) DIV df AS BIGINT)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_mu"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= KEYWORDS_K)
+        .select("doc_id", "rk", "tok", "tf", "df", "score_mu")
+    )

@@ -2097,3 +2097,54 @@ def run_trending_topk_stream(
             f"trending leaderboard did not drain within {timeout_s}s"
         )
     return q
+
+
+# --- per-state dwell time ----------------------------------------------------
+
+
+@query(
+    "ev_dwell_time",
+    """
+WITH seq AS (
+  SELECT event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_spells,
+       CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS total_dwell_us,
+       CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) // COUNT(*) AS BIGINT)
+         AS avg_dwell_us
+FROM seq WHERE next_ts IS NOT NULL
+GROUP BY event_type
+""",
+)
+def ev_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state analytics: how long users DWELL in each event
+    type before their next action — the duration complement of
+    ev_markov_transitions' P(next | current) (which counts hops but
+    not how long each state holds). A spell is the interval from an
+    event to the same user's next event, attributed to the state being
+    left; each user's last event is an open spell and is excluded in
+    both engines. Durations are epoch-microsecond BIGINT differences —
+    exact cross-engine, no interval arithmetic.
+
+    Scale shape: the same single user_id-keyed exchange as the Markov
+    operator serves the lead() window (per-user sequences sort within
+    their key); the spell aggregation is then map-side combinable over
+    an |event types|-cardinality key space — the exchange after the
+    window carries |types| rows, nothing user-scale."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_spells"),
+        F.sum(F.col("next_us") - F.col("us")).cast("bigint").alias("total_dwell_us"),
+        F.expr("SUM(next_us - us) DIV COUNT(*)")
+        .cast("bigint")
+        .alias("avg_dwell_us"),
+    )

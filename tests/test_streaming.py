@@ -837,3 +837,21 @@ def test_incremental_dedup_index_multi_microbatch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert after_restart == streamed | {(18, "dup_batch", 4), (20, "kept", 20)}
+
+
+def test_dwell_time_spell_accounting(spark, sf_oracle):
+    """Spell count conservation: every event opens a spell except each
+    user's last (open) one, so sum(n_spells) = |events| - |users|; all
+    dwell totals are non-negative and the mean is the exact floor-div
+    of total by count."""
+    from ftp_blueprints_spark.session import load_table
+    from ftp_blueprints_spark.streaming.events import ev_dwell_time
+
+    ev = load_table(spark, sf_oracle, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    rows = ev_dwell_time(spark, sf_oracle).collect()
+    assert sum(r.n_spells for r in rows) == n_events - n_users
+    for r in rows:
+        assert r.total_dwell_us >= 0
+        assert r.avg_dwell_us == r.total_dwell_us // r.n_spells

@@ -410,3 +410,22 @@ def test_rep_ngram_crafted_fractions(spark):
     # doc 4: no 2-grams -> zeroed signals, null witness.
     assert (out[4].top2_cnt, out[4].top2_gram, out[4].top2_frac_mu) == (0, None, 0)
     assert (out[4].dup5_chars, out[4].dup5_frac_mu) == (0, 0)
+
+
+def test_keywords_rank_contract(spark, sf_oracle):
+    """Every doc emits at most KEYWORDS_K rows with contiguous ranks
+    from 1; scores are non-increasing in rank and ties are ordered
+    lexicographically by token."""
+    from ftp_blueprints_spark.plans.text_queries import KEYWORDS_K, tx_keywords
+
+    rows = tx_keywords(spark, sf_oracle).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rk)
+        assert 1 <= len(rs) <= KEYWORDS_K
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (-a.score_mu, a.tok) <= (-b.score_mu, b.tok)
