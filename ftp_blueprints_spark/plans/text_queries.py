@@ -1931,23 +1931,32 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique after the tf agg so ranking is total and deterministic.
 
     Scale shape: tf is one (doc_id, tok)-keyed map-side-combinable
-    count; df aggregates the tf table itself (vocabulary-sized, one
-    row per (doc,tok) — no second corpus scan); the df join back is
-    token-keyed and skew-bounded (a stopword fans out to its df, which
-    is linear); the per-doc top-K plans as WindowGroupLimit — rank
-    partitions are single documents, so no reducer ever sees more than
-    one doc's vocabulary."""
-    docs = load_table(spark, sf_dir, "documents")
+    count; df is an unbounded count window OVER the tf table keyed on
+    tok — a separate groupBy+join reads like less work but plans as a
+    SECOND corpus scan+tokenize (column pruning makes the two agg
+    subtrees non-identical, so ReusedExchange never fires; measured 2
+    FileScans), and the tokenize is the dominant cost. So: ONE corpus
+    scan, three key-local exchanges ((doc_id,tok) -> tok -> doc_id); a
+    stopword's tok partition is its df (linear, no pair blowup); the
+    per-doc top-K plans as WindowGroupLimit — rank partitions are
+    single documents, so no reducer ever sees more than one doc's
+    vocabulary."""
+    return keywords_report(load_table(spark, sf_dir, "documents"))
+
+
+def keywords_report(docs: DataFrame) -> DataFrame:
+    """Core of tx_keywords over any (doc_id, text) frame — factored so
+    hand-computed-fixture tests can pin tf/df/score values, not just
+    rank shape."""
     toks = docs.select(
         "doc_id", F.explode(T.lower_tokens("text")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").cast("bigint").alias("tf")
     )
-    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    scored = tf.join(df, "tok").withColumn(
-        "score_mu", F.expr("CAST((tf * 1000000) DIV df AS BIGINT)")
-    )
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
+    ).withColumn("score_mu", F.expr("CAST((tf * 1000000) DIV df AS BIGINT)"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_mu"), F.asc("tok")
     )

@@ -429,3 +429,37 @@ def test_keywords_rank_contract(spark, sf_oracle):
         assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
         for a, b in zip(rs, rs[1:]):
             assert (-a.score_mu, a.tok) <= (-b.score_mu, b.tok)
+
+
+def test_keywords_hand_computed(spark):
+    """Pin the actual tf/df/score arithmetic on a crafted corpus (the
+    rank-contract test checks shape only — a shared misconception in
+    both engines would pass it AND the oracle). apple: tf 2 in doc 1,
+    df 1 -> 2e6; banana: df 2 -> 5e5 in both docs; durian tf 3 df 1 ->
+    3e6; single scan verified by plan (one FileScan / tokenize)."""
+    from ftp_blueprints_spark.plans.text_queries import keywords_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Apple banana APPLE"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rk): (r.tok, r.tf, r.df, r.score_mu)
+           for r in keywords_report(docs).collect()}
+    assert out == {
+        (1, 1): ("apple", 2, 1, 2_000_000),
+        (1, 2): ("banana", 1, 2, 500_000),
+        (2, 1): ("cherry", 1, 1, 1_000_000),
+        (2, 2): ("banana", 1, 2, 500_000),
+        (3, 1): ("durian", 3, 1, 3_000_000),
+    }
+    plan = (
+        keywords_report(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1, plan
