@@ -82,24 +82,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 8 (r7 VERDICT task 5): the round-7 set (the four rewrites) all
 # hold fresh r7 hash evidence and was cleared; slots then go to the 9
 # r4-stale streaming/sketch queries + the r5-stale tail by natural
-# rotation.  Named here: queries whose PLAN changed in round 8 (the
-# fused single-pass portable_centroids train — cells1 JOIN n1 collapsed
-# into one with_count aggregation; values unchanged by construction,
-# but the new plan needs its own hash evidence).
+# rotation.  Named here: queries whose PLAN changed in round 9 (the 9
+# r8 names all carry green r8 evidence — CORRECTNESS_r08.json — and are
+# cleared so the r5/r6-stale rows front-rank naturally).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
-    # fused single-pass portable_centroids train (r8)
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "sim_kmeans",
-    # adaptive-K contract moved into the oracle SQL (r8)
-    "dd_semantic",
-    # capped_shingles broadcast-anti rewrite + SHJ pair joins (r8)
-    "dd_containment",
-    "dd_ngram_jaccard",
-    "dd_minhash_lsh",
-    # bucket scorer rewritten as a partition-sorted mapInPandas scan (r8)
-    "sim_embedding_neardup",
-    "dd_embedding_neardup_keepers",
+    # df window -> checkpointed-tf groupBy + equi-join (r9, skew fix)
+    "tx_keywords",
 }
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

@@ -1931,16 +1931,20 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique after the tf agg so ranking is total and deterministic.
 
     Scale shape: tf is one (doc_id, tok)-keyed map-side-combinable
-    count; df is an unbounded count window OVER the tf table keyed on
-    tok — a separate groupBy+join reads like less work but plans as a
-    SECOND corpus scan+tokenize (column pruning makes the two agg
-    subtrees non-identical, so ReusedExchange never fires; measured 2
-    FileScans), and the tokenize is the dominant cost. So: ONE corpus
-    scan, three key-local exchanges ((doc_id,tok) -> tok -> doc_id); a
-    stopword's tok partition is its df (linear, no pair blowup); the
-    per-doc top-K plans as WindowGroupLimit — rank partitions are
-    single documents, so no reducer ever sees more than one doc's
-    vocabulary."""
+    count, materialized ONCE via localCheckpoint (the
+    materialize-before-reuse pattern of operators/manifest.py:109 —
+    without it the df agg and the scoring branch each replay the
+    corpus scan+tokenize, the dominant cost; with a naive
+    count-window-over-tok instead, the hottest token funnels
+    O(n_docs) rows through ONE task: windows get no partial
+    aggregation and no AQE skew splitting, a straggler/OOM on any
+    Zipf corpus). From the checkpoint: df = groupBy(tok).count()
+    (map-side combinable — each task emits one partial row per
+    distinct token, so the "the"-row shuffle is n_partitions rows,
+    not n_docs) and an equi-join back, which AQE CAN skew-split.
+    The per-doc top-K plans as WindowGroupLimit — rank partitions
+    are single documents, so no reducer ever sees more than one
+    doc's vocabulary."""
     return keywords_report(load_table(spark, sf_dir, "documents"))
 
 
@@ -1951,12 +1955,15 @@ def keywords_report(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(T.lower_tokens("text")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("bigint").alias("tf")
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    scored = tf.withColumn(
-        "df", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
-    ).withColumn("score_mu", F.expr("CAST((tf * 1000000) DIV df AS BIGINT)"))
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = tf.join(df, "tok").withColumn(
+        "score_mu", F.expr("CAST((tf * 1000000) DIV df AS BIGINT)")
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_mu"), F.asc("tok")
     )

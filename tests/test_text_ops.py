@@ -436,7 +436,10 @@ def test_keywords_hand_computed(spark):
     rank-contract test checks shape only — a shared misconception in
     both engines would pass it AND the oracle). apple: tf 2 in doc 1,
     df 1 -> 2e6; banana: df 2 -> 5e5 in both docs; durian tf 3 df 1 ->
-    3e6; single scan verified by plan (one FileScan / tokenize)."""
+    3e6. Single-scan property after the r9 rewrite: the corpus is
+    scanned+tokenized exactly once, EAGERLY, by the tf localCheckpoint;
+    the final plan then reads the checkpoint RDD twice (scoring branch
+    + df agg) and contains no corpus scan at all."""
     from ftp_blueprints_spark.plans.text_queries import keywords_report
 
     docs = spark.createDataFrame(
@@ -462,4 +465,45 @@ def test_keywords_hand_computed(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1, plan
+    # Both post-checkpoint consumers read the materialized tf RDD; the
+    # corpus scan/tokenize (explode) happened once, outside this plan.
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "FileScan" not in plan and "Generate explode" not in plan, plan
+
+
+def test_keywords_df_is_not_a_window(spark):
+    """Zipf-shaped fixture: one stopword in EVERY doc. The r8 plan
+    computed df as count(*) OVER (PARTITION BY tok) — a window
+    partition is one task with no partial aggregation and no AQE skew
+    splitting, so the stopword funnels O(n_docs) rows through one
+    reducer at scale. The r9 plan must (a) still produce the exact df
+    for the hot token and (b) contain NO aggregate window at all: df
+    comes from a map-side-combinable groupBy feeding a skew-splittable
+    equi-join; the only window is the per-doc row_number rank."""
+    import re
+
+    from ftp_blueprints_spark.plans.text_queries import keywords_report
+
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, f"the uniq{i} uniq{i} uniq{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    rows = keywords_report(docs).collect()
+    by_key = {(r.doc_id, r.tok): r for r in rows}
+    for i in range(n):
+        hot = by_key[(i, "the")]
+        assert (hot.tf, hot.df) == (1, n)
+        uniq = by_key[(i, f"uniq{i}")]
+        assert (uniq.tf, uniq.df, uniq.rk) == (3, 1, 1)
+    plan = (
+        keywords_report(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = re.findall(r"Window \[.*", plan)
+    assert windows, plan
+    for w in windows:
+        assert "row_number()" in w and "doc_id" in w, w
+        assert "count(" not in w, w
