@@ -219,18 +219,22 @@ BUDGETS = {
     "ev_trending_topk": 1.5,
     # two rounds over the co-purchase self-join graph (pagerank family)
     "q_label_propagation": 8.0,
+    # r9 re-baseline: all five r8 budgets below derive from fresh-JVM
+    # standalone warm times (tools/standalone_time.py, one JVM per
+    # query, idle sandbox) at 2x warm — never from in-suite numbers,
+    # where shared-subtree warming (the dd_incremental-after-
+    # dd_quality_keeper trap: 0.9 s in-suite vs 3.55 s fresh) makes
+    # budgets look generous while actually modeling the wrong run.
     # jaccard pair pipeline + diameter-bounded label-propagation rounds
     # (each round is a blocking job; cost is job count, not data)
-    "dd_quality_keeper": 7.4,
+    "dd_quality_keeper": 7.6,  # fresh-JVM warm 3.80
     # runs the full jaccard pair pipeline (same family as dd_minhash_lsh)
-    # plus four min-agg/join layers: fresh-JVM warm is ~3.1-3.3 s (a
-    # back-to-back run after dd_quality_keeper measures 0.9 s because the
-    # shared shingle subtree is page-cache/codegen warm — don't budget
-    # from that)
-    "dd_incremental": 4.5,
-    "tx_rep_ngram": 2.9,
-    "tx_keywords": 3.0,
-    "ev_dwell_time": 1.6,
+    # plus four min-agg/join layers
+    "dd_incremental": 7.1,  # fresh-JVM warm 3.55 (was 4.5, set in-suite)
+    "tx_rep_ngram": 4.4,  # fresh-JVM warm 2.22 (was 2.9, set in-suite)
+    # r9 checkpointed-tf plan
+    "tx_keywords": 2.5,  # fresh-JVM warm 1.26
+    "ev_dwell_time": 1.5,  # fresh-JVM warm 0.75
 }
 
 
