@@ -2148,3 +2148,79 @@ def ev_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_dwell_us"),
     )
+
+
+_DWELL_STATE_SCHEMA = "last_ts_us long, last_eid long, last_type string"
+_DWELL_OUT_SCHEMA = "event_type string, n_spells long, total_dwell_us long"
+
+
+def stream_dwell_time(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming twin of ev_dwell_time's spell-closing core: per-user
+    state is the latest event (max (ts_us, event_id) seen so far), so a
+    user's first event of a micro-batch CLOSES the spell opened by
+    their last event of an earlier batch — the cross-batch edge a
+    stateless per-batch lead() would silently drop (each user's final
+    event overall stays an open spell, held in state and never
+    emitted, matching the batch plan's next_ts IS NOT NULL filter).
+    Emits per-(event_type, batch) partial (n_spells, total_dwell_us)
+    rows in append mode; summing the drained output per event_type and
+    floor-dividing reproduces the batch aggregate exactly — the same
+    partials-then-finish contract as stream_markov_transitions, whose
+    state layout this shares.
+
+    Equivalence needs per-key event-time order to agree with arrival
+    order across batches; the chronological harness guarantees it (the
+    quartile cut is on ts, so (ts, event_id) ties never straddle a
+    split).  Within a batch the group scan concats + sorts all Arrow
+    chunks first — the chunk-order-invariance rule
+    applyInPandasWithState demands."""
+    import pandas as pd
+
+    def scan(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if not len(pdf):
+            return iter(())
+        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        rows = list(
+            zip(
+                (int(v) for v in pdf["ts_us"]),
+                (int(v) for v in pdf["event_id"]),
+                (str(v) for v in pdf["event_type"]),
+            )
+        )
+        if state.exists:
+            last_us, last_eid, last_type = state.get
+            rows = [(int(last_us), int(last_eid), str(last_type)), *rows]
+        tail_us, tail_eid, tail_type = rows[-1]
+        state.update((tail_us, tail_eid, tail_type))
+        agg: dict = {}
+        for (us_a, _, ty_a), (us_b, _, _) in zip(rows, rows[1:]):
+            n, tot = agg.get(ty_a, (0, 0))
+            agg[ty_a] = (n + 1, tot + (us_b - us_a))
+        if not agg:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    [(t, n, tot) for t, (n, tot) in agg.items()],
+                    columns=["event_type", "n_spells", "total_dwell_us"],
+                )
+            ]
+        )
+
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    slim = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=_DWELL_OUT_SCHEMA,
+        stateStructType=_DWELL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -855,3 +855,113 @@ def test_dwell_time_spell_accounting(spark, sf_oracle):
     for r in rows:
         assert r.total_dwell_us >= 0
         assert r.avg_dwell_us == r.total_dwell_us // r.n_spells
+
+
+def test_dwell_time_multi_microbatch(spark, sf_oracle, tmp_path):
+    """Per-key last-event state carry for spell durations: a user's
+    first event of a batch must CLOSE the spell opened by their last
+    event of an earlier batch. Summing the drained per-batch partials
+    per event_type and floor-dividing reproduces the batch aggregate
+    exactly; the spell-count identity (sum n_spells == events - users)
+    independently proves no cross-batch spell was dropped, since
+    users' event runs really span the quartile files."""
+    ev, source = _chrono_source(spark, sf_oracle, tmp_path)
+    q = E.run_to_memory(
+        E.stream_dwell_time(spark, sf_oracle, source=source),
+        "t_dwell_mb",
+        "append",
+    )
+    _assert_multi_batch(q)
+    agg: dict = {}
+    for r in spark.table("t_dwell_mb").collect():
+        n, tot = agg.get(r["event_type"], (0, 0))
+        agg[r["event_type"]] = (n + r["n_spells"], tot + r["total_dwell_us"])
+    streamed = {(t, n, tot, tot // n) for t, (n, tot) in agg.items()}
+    batch = _rows(E.ev_dwell_time(spark, sf_oracle))
+    assert streamed == batch
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(n for n, _ in agg.values()) == n_events - n_users
+
+
+def test_dwell_time_restart_safe(spark, sf_oracle, tmp_path):
+    """Recovery: drain the first three quartile files to a parquet sink
+    with a durable checkpoint, STOP, then start a fresh query on the
+    same source dir + checkpoint after the fourth file lands. The
+    recovered run must resume from per-user state (each user's open
+    spell at the stop point closes against their first post-restart
+    event) — the summed output over both runs equals the batch
+    aggregate, and the conservation identity fails if any cross-restart
+    spell was dropped or double-counted (the parquet sink's transaction
+    log makes redelivered batches a no-op)."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    qt = [0.25, 0.5, 0.75]
+    bounds = ev.selectExpr("unix_micros(ts) AS us").approxQuantile("us", qt, 0.0)
+    src_dir = tmp_path / "dwell_parts"
+    lo = [None, *bounds]
+    hi = [*bounds, None]
+    parts = []
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        part = ev
+        if a is not None:
+            part = part.filter(F.unix_micros("ts") > a)
+        if b is not None:
+            part = part.filter(F.unix_micros("ts") <= b)
+        parts.append((i, part))
+
+    def land(i, part):
+        out = str(src_dir / f"part{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    sink = str(tmp_path / "dwell_sink")
+    ckpt = str(tmp_path / "dwell_ckpt")
+
+    def drain() -> None:
+        source = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        q = (
+            E.stream_dwell_time(spark, sf_oracle, source=source)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("dwell restart drain timed out")
+
+    for i, part in parts[:3]:
+        land(i, part)
+    drain()  # run 1: three micro-batches, then the query STOPS
+    mid = spark.read.parquet(sink).count()
+    land(*parts[3])
+    drain()  # run 2: fresh query object, same checkpoint — recovery
+    assert spark.read.parquet(sink).count() > mid  # batch 4 really ran
+    agg: dict = {}
+    for r in spark.read.parquet(sink).collect():
+        n, tot = agg.get(r["event_type"], (0, 0))
+        agg[r["event_type"]] = (n + r["n_spells"], tot + r["total_dwell_us"])
+    streamed = {(t, n, tot, tot // n) for t, (n, tot) in agg.items()}
+    batch = _rows(E.ev_dwell_time(spark, sf_oracle))
+    assert streamed == batch
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(n for n, _ in agg.values()) == n_events - n_users
