@@ -140,7 +140,9 @@ class FTPClient(RemoteClient):
         out = []
         for name in self._ftp.nlst(folder):
             if "/" not in name:  # bare-name servers (download_file.py:154-157)
-                name = f"{folder}/{name}"
+                # root-level listing keeps bare names (no leading '/') —
+                # the same path convention as LocalFSClient.listdir
+                name = f"{folder}/{name}" if folder.strip("/") else name
             try:
                 self._ftp.cwd(name)
             except ftplib.error_perm:

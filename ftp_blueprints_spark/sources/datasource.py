@@ -101,14 +101,41 @@ class ManifestReader(DataSourceReader):
         self.root = options.get("folder", "")
         self.skip_dot_dirs = options.get("skip_dot_dirs", "true") == "true"
         self.with_content = options.get("with_content", "false") == "true"
+        # regex-prefix traversal pruning (SURVEY §4.2): a FULLPATH-scoped
+        # ^-anchored pattern seeds the partition listing at its static
+        # folder prefix, so the executor walk covers one subtree instead
+        # of the whole server. Never pass a basename-scoped pattern.
+        pat = options.get("path_pattern", "") or ""
+        self._pruned = False
+        self._no_match = False
+        if pat:
+            from .listing import pattern_prefix, seed_for
+
+            seed = seed_for(self.root, pattern_prefix(pat))
+            if seed is None:  # divergent literals: nothing can match
+                self._no_match = True
+            elif seed != self.root:
+                self.root = seed
+                self._pruned = True
 
     def partitions(self):
         """One cheap root-level listing on the driver; each entry's
-        subtree becomes an executor-side partition."""
+        subtree becomes an executor-side partition.  A missing root —
+        e.g. a pruned prefix folder that doesn't exist — is a tree with
+        no matches (the reference reports zero matches, not an error,
+        for an unmatched traversal), so it yields the empty partition."""
+        if self._no_match:
+            return [_TreePartition(None, False)]
         client = self.spec.connect()
         try:
+            try:
+                entries = client.listdir(self.root)
+            except Exception:
+                if not self._pruned:
+                    raise  # a bad real root is the caller's error
+                return [_TreePartition(None, False)]
             parts = []
-            for path, is_dir, size in client.listdir(self.root):
+            for path, is_dir, size in entries:
                 name = path.rsplit("/", 1)[-1]
                 if self.skip_dot_dirs and set(name) == {"."}:
                     continue

@@ -40,6 +40,61 @@ MANIFEST_SCHEMA = "path string, folder string, name string, is_dir boolean, size
 # the driver and delegates to the executor-partitioned DataSource walk.
 DRIVER_ROWS_THRESHOLD = 100_000
 
+_REGEX_META = set(".^$*+?{}[]|()")
+
+
+def pattern_prefix(pattern: str) -> str:
+    """Static folder prefix of a ^-anchored path regex — SURVEY §4.2's
+    below-source traversal pruning; the reference's exact-match branch
+    (download_file.py:251,282-296) is the fully-literal degenerate form.
+
+    Returns the longest literal prefix cut at its last '/', or '' when
+    the pattern is unanchored (rlike has re.search semantics — an
+    unanchored pattern may match anywhere, so no subtree can be safely
+    excluded) or has no static folder component.  Sound to seed a
+    traversal at: the literal run continues past the returned prefix
+    with '/' (or more characters after it), so every matching path
+    starts with '<prefix>/' — entries outside that subtree, including
+    the seed folder row itself and its ancestors, can never match a
+    fullpath-scoped filter.  Basename-scoped patterns (F1) anchor to
+    the NAME, not the path: never pass them here."""
+    if not pattern.startswith("^"):
+        return ""
+    lit: list[str] = []
+    i = 1
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+            if nxt and not nxt.isalnum():
+                lit.append(nxt)  # escaped metachar is a literal
+                i += 2
+                continue
+            break  # \d, \w, \S, ... — a character class
+        if c in _REGEX_META:
+            break
+        lit.append(c)
+        i += 1
+    s = "".join(lit)
+    return s[: s.rfind("/")] if "/" in s else ""
+
+
+def seed_for(root: str, prefix: str) -> str | None:
+    """Effective traversal seed for a walk rooted at ``root`` given a
+    pattern's static folder prefix (both in manifest-path coordinates —
+    the ``path`` column contains the root).  ``None`` means no path
+    under ``root`` can match at all (divergent literals), so the walk
+    can be skipped entirely."""
+    if not prefix or prefix == root:
+        return root
+    if not root:
+        return prefix
+    if prefix.startswith(root + "/"):
+        return prefix  # pattern pins a subtree strictly below root
+    if root.startswith(prefix + "/"):
+        return root  # literal runs out above root: no pruning possible
+    return None
+
 
 def _datasource_tree(
     spark: SparkSession, spec: ClientSpec, root: str, skip_dot_dirs: bool
@@ -84,6 +139,7 @@ def list_tree(
     skip_dot_dirs: bool = True,
     max_depth: int = 64,
     driver_rows_threshold: int = DRIVER_ROWS_THRESHOLD,
+    path_pattern: str | None = None,
 ) -> DataFrame:
     """BFS the tree under ``root`` into a manifest DataFrame (S2+S3).
 
@@ -91,19 +147,55 @@ def list_tree(
     download's behavior (download_file.py:150-152); delete does NOT
     skip them (delete_file.py:45-73), hence the flag.
 
+    ``path_pattern`` (a FULLPATH-scoped match regex, F2 semantics)
+    enables regex-prefix traversal pruning: the BFS is seeded at the
+    pattern's static folder prefix (:func:`pattern_prefix`) instead of
+    ``root``, so ``^logs/2026-08/.*\\.gz`` lists one month's subtree
+    instead of walking the whole server.  The resulting manifest holds
+    exactly the seed's subtree — everything a fullpath match of the
+    pattern could select; a missing seed folder yields an empty
+    manifest (the same zero-match outcome the full walk would reach,
+    F7 exit-200).  Never pass a basename-scoped (F1) pattern.
+
     Driver memory is bounded: once the accumulated manifest crosses
     ``driver_rows_threshold`` rows the walk hands off to the
     executor-partitioned DataSource (the partial BFS work is discarded —
     crossing the threshold means the tree is big enough that a clean
     distributed walk beats finishing a driver-side one)."""
     sc = spark.sparkContext
-    frontier = [root]
+    seed = root
+    if path_pattern:
+        seed = seed_for(root, pattern_prefix(path_pattern))
+        if seed is None:  # literals diverge: nothing under root matches
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+    frontier = [seed]
     all_rows: list[tuple] = []
+    if seed != root:
+        # pruned entry: one driver-side listing doubles as the seed
+        # probe — a prefix folder that doesn't exist is simply a tree
+        # with no matches, not an error (the full walk would never
+        # visit it and report zero matches)
+        client = spec.connect()
+        try:
+            try:
+                level0 = client.listdir(seed)
+            except Exception:
+                return spark.createDataFrame([], MANIFEST_SCHEMA)
+        finally:
+            client.close()
+        frontier = []
+        for path, is_dir, size in level0:
+            name = path.rsplit("/", 1)[-1]
+            if skip_dot_dirs and set(name) == {"."}:
+                continue
+            all_rows.append((path, seed, name, is_dir, size))
+            if is_dir:
+                frontier.append(path)
     for _ in range(max_depth):
         if not frontier:
             break
         if len(all_rows) > driver_rows_threshold:
-            return _datasource_tree(spark, spec, root, skip_dot_dirs)
+            return _datasource_tree(spark, spec, seed, skip_dot_dirs)
         n_parts = max(1, min(len(frontier), spec.max_connections))
         level = (
             sc.parallelize(frontier, n_parts)

@@ -148,6 +148,7 @@ class _Session(threading.Thread):
         self.send(227, f"entering passive mode (127,0,0,1,{port >> 8},{port & 255})")
 
     def do_nlst(self, arg: str) -> None:
+        self.server.nlst_count += 1  # traversal-pruning accounting
         real = self.resolve(arg or ".")
         if not os.path.isdir(real):
             self.send(550, "no such directory")
@@ -272,6 +273,9 @@ class FtpStubServer:
         # overwrite is the permissive minority behavior) — the upload
         # writer's retry idempotency depends on handling this
         self.strict_rnto = strict_rnto
+        # NLST calls served across all sessions (GIL-atomic increments
+        # are plenty for test accounting)
+        self.nlst_count = 0
         self._listener: socket.socket | None = None
         self._accept_thread: threading.Thread | None = None
 

@@ -545,3 +545,131 @@ def test_ingest_orc_over_ftp(spark, tmp_path):
     rows = {(r["src_path"], r["row_no"]): r for r in out.collect()}
     assert rows[("in/o1.orc", 3)]["text"] == "c"
     assert rows[("in/o2.orc", 1)]["id"] == 4
+
+
+# --- regex-prefix traversal pruning (SURVEY §4.2) ----------------------------
+
+def test_pattern_prefix_derivation():
+    """Unit contract for the static-prefix parser: ^-anchored literal
+    folder runs are extracted up to the last '/', escaped metachars
+    count as literals, character classes and unanchored patterns
+    disable pruning entirely (rlike is re.search — an unanchored
+    pattern may match anywhere)."""
+    from ftp_blueprints_spark.sources.listing import pattern_prefix
+
+    assert pattern_prefix(r"^logs/2026-08/.*\.gz") == "logs/2026-08"
+    assert pattern_prefix(r"^logs/2026-08/x") == "logs/2026-08"
+    assert pattern_prefix(r"^data/sub\-dir/.*") == "data/sub-dir"
+    assert pattern_prefix(r"^data/\d+/.*") == "data"
+    assert pattern_prefix(r"^(a|b)/c") == ""
+    assert pattern_prefix(r"logs/.*\.gz") == ""  # unanchored
+    assert pattern_prefix(r"^nofolder.*") == ""
+    assert pattern_prefix(r"^exact/path\.txt$") == "exact"
+
+
+def test_seed_for_root_interaction():
+    """The pattern prefix is in manifest-path coordinates (the path
+    column contains the root), so seeding must reconcile the two:
+    below-root prefixes prune, above-root prefixes don't, divergent
+    literals prove zero matches without a single listing."""
+    from ftp_blueprints_spark.sources.listing import seed_for
+
+    assert seed_for("", "data/sub") == "data/sub"
+    assert seed_for("data", "data/sub") == "data/sub"
+    assert seed_for("data/sub", "data") == "data/sub"  # ancestor: no prune
+    assert seed_for("data", "data") == "data"
+    assert seed_for("data", "") == "data"
+    assert seed_for("data", "other") is None
+    assert seed_for("data", "dat") is None  # not a path-segment prefix
+
+
+def test_pruned_listing_saves_nlst_calls(spark, ftp_root):
+    """A ^-anchored fullpath pattern seeds the BFS at its static folder
+    prefix: the pruned walk lists ONE folder where the full walk lists
+    the whole tree, and the post-match manifests are identical — the
+    generalization of the reference's exact-match pushdown
+    (download_file.py:251,282-296)."""
+    from ftp_blueprints_spark.operators.manifest import match_files
+
+    pattern = r"^data/sub/.*[.]txt$"
+
+    srv_full = FtpStubServer(ftp_root, USERS)
+    with srv_full as (host, port):
+        full = list_tree(spark, spec_for(host, port), "")
+        full_match = {
+            tuple(r) for r in match_files(full, pattern=pattern,
+                                          scope="fullpath").collect()
+        }
+        full_nlst = srv_full.nlst_count
+
+    srv_pruned = FtpStubServer(ftp_root, USERS)
+    with srv_pruned as (host, port):
+        pruned = list_tree(
+            spark, spec_for(host, port), "", path_pattern=pattern
+        )
+        pruned_match = {
+            tuple(r) for r in match_files(pruned, pattern=pattern,
+                                          scope="fullpath").collect()
+        }
+        pruned_nlst = srv_pruned.nlst_count
+
+    assert pruned_match == full_match
+    assert len(full_match) == 1  # data/sub/c.txt really matched
+    # full walk: root + data + data/sub (dot-dir pruned in traversal);
+    # pruned walk: the seed folder only
+    assert full_nlst == 3
+    assert pruned_nlst == 1
+
+
+def test_pruned_listing_missing_prefix_is_empty(spark, ftp_root):
+    """A prefix folder that doesn't exist is a tree with no matches —
+    the same zero-match outcome the full walk reaches (F7 exit-200),
+    not an error."""
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        mf = list_tree(
+            spark, spec_for(host, port), "",
+            path_pattern=r"^no/such/folder/.*[.]gz$",
+        )
+        assert mf.count() == 0
+
+
+def test_datasource_prunes_partitions_by_pattern(spark, ftp_root):
+    """The executor-partitioned DataSource honors the same option: with
+    path_pattern, partitions() lists the seed folder instead of the
+    root, so the walk covers one subtree; rows equal the pruned
+    list_tree manifest."""
+    from ftp_blueprints_spark.sources.datasource import ManifestDataSource
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:
+        pass
+    srv = FtpStubServer(ftp_root, USERS)
+    with srv as (host, port):
+        df = (
+            spark.read.format("ftp_manifest")
+            .option("kind", "ftp").option("host", host)
+            .option("port", str(port))
+            .option("username", "alice").option("password", "secret")
+            .option("timeout", "10")
+            .option("folder", "")
+            .option("path_pattern", r"^data/sub/.*[.]txt$")
+            .load()
+        )
+        rows = {r["path"] for r in df.collect()}
+        assert rows == {"data/sub/c.txt"}
+        # driver partitions() listing + the (empty) subtree walk of the
+        # seed's one file partition; never the root or data/ levels
+        assert srv.nlst_count <= 2
+
+        missing = (
+            spark.read.format("ftp_manifest")
+            .option("kind", "ftp").option("host", host)
+            .option("port", str(port))
+            .option("username", "alice").option("password", "secret")
+            .option("timeout", "10")
+            .option("folder", "")
+            .option("path_pattern", r"^no/such/prefix/.*")
+            .load()
+        )
+        assert missing.count() == 0
