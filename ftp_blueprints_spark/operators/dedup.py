@@ -1124,9 +1124,39 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     52.4 s cold (controlled same-session A/B); final plan 25.5 s in the
     recorded probe run (SCALEPROBE.json mult_100, e=0.536, from r7's
     0.651 at 29.1 s) — the executedPlan carries SHJ + AQE-broadcast
-    sizes + AQE-broadcast anti cap exactly as designed."""
+    sizes + AQE-broadcast anti cap exactly as designed.
+
+    Recall-vs-df-cap, MEASURED (r9, tools/containment_recall.py at
+    sf0.1; the uncapped pair set is the ground truth — note the cap
+    removes a shingle from the shared counts AND both size
+    denominators, so in principle it can flip decisions either way):
+
+        cap        pairs   recall   extras   wall
+        uncapped     256        -        -   8.8 s
+        200          256    1.000        0   1.7 s
+        100 (ship)   256    1.000        0   1.8 s
+        50           256    1.000        0   1.9 s
+        25           256    1.000        0   2.4 s
+
+    Zero qualifying pairs are gained or lost at ANY cap between 25 and
+    uncapped: every >=50%-containment pair is carried entirely by
+    rare shingles, while the high-df tail only inflates join fan-out
+    (uncapped is ~5x the wall for identical output).  The 0.536
+    exponent is hereby closed as physics-with-evidence: the cap costs
+    nothing and the residual >0.5 slope is the exactly-100x pair
+    stream over the fixed base, not a recoverable plan term."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = capped_shingles(docs, 3)
+    return containment_pairs(docs)
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Core of dd_containment over any (doc_id, text) frame — factored
+    (plan-identical) so the recall-vs-df-cap table in dd_containment's
+    docstring is reproducible: tools/containment_recall.py sweeps
+    ``max_df`` against the uncapped pair set."""
+    sh = capped_shingles(docs, n, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s").hint("shuffle_hash")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
