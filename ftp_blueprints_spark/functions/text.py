@@ -65,16 +65,33 @@ def norm_text(text: Column | str) -> Column:
 NORM_SHA_SQL = r"sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
 
 
-def word_grams(n: int, t: str = "t") -> Column:
+def word_grams_prefiltered(n: int, t: str = "t") -> Column:
     """All overlapping word n-grams of token-array column ``t`` (one
-    gram per window position, occurrences kept). Shingle pipelines wrap
-    this in array_distinct; repetition counters must not."""
+    gram per window position, occurrences kept). CONTRACT: the caller
+    must already have filtered to ``size(t) >= n`` — for shorter
+    arrays ``sequence(1, size-(n-1))`` generates a DESCENDING sequence
+    (sequence(1,-1) -> [1,0,-1]) whose element_at(..., 0) errors under
+    ANSI mode and yields garbage grams otherwise. The pre-filtered
+    shingle/repetition pipelines use this spelling to keep their plans
+    free of a per-row branch; everyone else wants :func:`word_grams`.
+    Shingle pipelines wrap the result in array_distinct; repetition
+    counters must not."""
     return F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(F.col(t), i + j) for j in range(n)]
         ),
     )
+
+
+def word_grams(n: int, t: str = "t") -> Column:
+    """All overlapping word n-grams of token-array column ``t``; the
+    empty array when the input has fewer than ``n`` tokens (see
+    :func:`word_grams_prefiltered` for why short arrays need the
+    guard — this is the safe general-purpose spelling)."""
+    return F.when(
+        F.size(t) >= n, word_grams_prefiltered(n, t)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def lower_tokens(text: Column | str) -> Column:

@@ -22,7 +22,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.text import NORM_SHA_SQL, lower_tokens, norm_text, word_grams
+from ..functions.text import (
+    NORM_SHA_SQL,
+    lower_tokens,
+    norm_text,
+    word_grams_prefiltered,
+)
 from ..plans.registry import query
 from ..session import load_table
 
@@ -35,7 +40,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         F.size("t") >= n
     )
     return toks.select(
-        "doc_id", F.explode(F.array_distinct(word_grams(n))).alias("s")
+        "doc_id", F.explode(F.array_distinct(word_grams_prefiltered(n))).alias("s")
     )
 
 

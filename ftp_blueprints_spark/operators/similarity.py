@@ -275,6 +275,14 @@ def neardup_skipped_buckets(spark: SparkSession) -> int:
     return int(acc.value) if acc is not None else 0
 
 
+def neardup_any_skipped(spark: SparkSession) -> bool:
+    """Boolean form of :func:`neardup_skipped_buckets` — the only
+    magnitude-safe reading of the accumulator (re-execution inflates
+    the count by whole multiples; zero-vs-nonzero is invariant). New
+    callers should branch on this, not on the count."""
+    return neardup_skipped_buckets(spark) > 0
+
+
 def neardup_pairs_sql() -> str:
     """All-pairs ground-truth SQL for the near-dup pair surface, shared
     by the sim_embedding_neardup and dd_embedding_neardup_keepers
@@ -611,9 +619,16 @@ def ivf_assign(
     # ONE bounded collect decides the route (a separate probe per tier
     # would run a second TakeOrdered job over the centroid source —
     # for dd_semantic's adaptive K that source is a corpus TakeOrdered,
-    # so the double probe cost a full extra corpus pass).  The bound is
+    # so the double probe cost a full extra corpus pass; an r9
+    # checkpoint-the-prefix variant that avoided the double pass
+    # measured +1.2 s on sim_ivf_topk because k-means calls this per
+    # round and paid 3 jobs per assign instead of 1).  The bound is
     # the largest tier that collects at all: at most pandas_max_k + 1
-    # rows ever reach the driver.
+    # rows ever reach the driver.  Known-huge-K callers (K certain to
+    # exceed pandas_max_k — the collect would ship ~35 MB at the
+    # default cap only to be discarded) should pass literal_max_k=0,
+    # which skips the probe entirely and goes straight to the
+    # broadcast-join route.
     collect_cap = max(literal_max_k, pandas_max_k if pandas_max_k > 0 else 0)
     cents = (
         centroids.orderBy("cid").limit(collect_cap + 1).collect()
@@ -799,7 +814,16 @@ def _km_cells(assigned: DataFrame, with_count: bool = False) -> DataFrame:
     ``with_count=True`` adds the per-(cid, pos) member count — equal to
     the cluster size at every pos (posexplode emits all DIM positions
     per member) — letting callers derive cluster sizes from THIS
-    aggregation instead of a second full assignment pass."""
+    aggregation instead of a second full assignment pass.
+
+    CONTRACT: every member's embedding is non-empty and fixed-DIM
+    (the embeddings-table invariant every caller trains on).
+    posexplode emits zero rows for an empty/NULL embedding, so such a
+    member would silently vanish from both the sums AND the
+    with_count sizes — whereas the oracle's n1 = COUNT(*) would still
+    count it. If variable/empty vectors ever become legal inputs,
+    count members from a distinct-(cid, vec_id) aggregation
+    instead."""
     cells = assigned.select(
         "cid",
         F.posexplode(

@@ -1812,7 +1812,7 @@ def _rep_grams(toks: DataFrame, n: int) -> DataFrame:
     """All overlapping word n-grams per doc (occurrences kept, unlike
     ``shingles``' distinct sets — repetition is what we are counting)."""
     return toks.filter(F.size("t") >= n).select(
-        "doc_id", F.explode(T.word_grams(n)).alias("g")
+        "doc_id", F.explode(T.word_grams_prefiltered(n)).alias("g")
     )
 
 

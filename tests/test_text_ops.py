@@ -507,3 +507,19 @@ def test_keywords_df_is_not_a_window(spark):
     for w in windows:
         assert "row_number()" in w and "doc_id" in w, w
         assert "count(" not in w, w
+
+
+def test_word_grams_short_arrays_are_empty(spark):
+    """The exported helper must be total: below n tokens the gram list
+    is empty, not a descending-sequence error (ANSI: element_at(_, 0))
+    or garbage grams. The unguarded spelling is a separate, contract-
+    documented function used only by pre-filtered pipelines."""
+    import ftp_blueprints_spark.functions.text as T
+
+    df = spark.createDataFrame(
+        [(0, []), (1, ["a"]), (2, ["a", "b"]), (3, ["a", "b", "c"])],
+        "doc_id long, t array<string>",
+    )
+    got = {r.doc_id: r.g for r in
+           df.select("doc_id", T.word_grams(2).alias("g")).collect()}
+    assert got == {0: [], 1: [], 2: ["a b"], 3: ["a b", "b c"]}
