@@ -307,3 +307,40 @@ def mf_real_listing_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter(~F.col("is_dir")).select("path", "name", "size")
+
+
+@query(
+    "mf_pruned_listing",
+    f"""
+SELECT 'sf0.01/' || regexp_replace(filename, '.*/', '') AS path,
+       regexp_replace(filename, '.*/', '') AS name,
+       CAST(size AS BIGINT) AS size
+FROM read_blob('{_SF01}/*.parquet')
+""",
+)
+def mf_pruned_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-prefix traversal pruning (r9; SURVEY §4.2's one
+    below-source optimization, generalizing the reference's
+    exact-match pushdown download_file.py:251,282-296) over a REAL
+    tree: the walk is rooted at the PARENT of sf_dir — a directory
+    that also holds the sibling sf0.001/sf0.1 trees — but the
+    ^-anchored fullpath pattern's static prefix seeds the traversal at
+    the sf0.01 subtree, so the siblings (10x the file bytes in sf0.1)
+    are never listed. The matched manifest equals what the full
+    parent walk + F2 fullpath filter would select — that equivalence
+    is what the NLST-counting stub-server test pins; here the oracle
+    checks the pruned listing's VALUES against DuckDB's read_blob of
+    the pinned subtree."""
+    import os
+
+    from ..sources.connector import ClientSpec
+    from ..sources.listing import list_tree
+
+    _require_pinned_sf(sf_dir)
+    parent = os.path.dirname(sf_dir.rstrip("/"))
+    pattern = r"^sf0\.01/.*\.parquet$"
+    mf = list_tree(
+        spark, ClientSpec(kind="local", root=parent), "", path_pattern=pattern
+    )
+    m = match_files(mf, pattern=pattern, scope="fullpath")
+    return m.select("path", "name", "size")

@@ -1951,7 +1951,16 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def keywords_report(docs: DataFrame) -> DataFrame:
     """Core of tx_keywords over any (doc_id, text) frame — factored so
     hand-computed-fixture tests can pin tf/df/score values, not just
-    rank shape."""
+    rank shape.
+
+    Lifetime note: the tf localCheckpoint is EAGER — building this
+    DataFrame runs the corpus scan+tokenize once, and the checkpointed
+    blocks live until the returned plan's references are GC'd
+    (ContextCleaner reclaims them — the same
+    materialize-before-reuse lifetime operators/manifest.py:109
+    accepts). Callers that only want to inspect the plan pay the scan;
+    callers that execute it pay nothing extra — construction and
+    execution are adjacent everywhere this query runs."""
     toks = docs.select(
         "doc_id", F.explode(T.lower_tokens("text")).alias("tok")
     )

@@ -126,13 +126,17 @@ class ManifestReader(DataSourceReader):
         for an unmatched traversal), so it yields the empty partition."""
         if self._no_match:
             return [_TreePartition(None, False)]
+        import ftplib
+
         client = self.spec.connect()
         try:
             try:
                 entries = client.listdir(self.root)
-            except Exception:
+            except (ftplib.error_perm, FileNotFoundError, NotADirectoryError):
                 if not self._pruned:
                     raise  # a bad real root is the caller's error
+                # a pruned prefix folder that doesn't exist is a tree
+                # with no matches; transient failures still propagate
                 return [_TreePartition(None, False)]
             parts = []
             for path, is_dir, size in entries:

@@ -57,8 +57,21 @@ def pattern_prefix(pattern: str) -> str:
     starts with '<prefix>/' — entries outside that subtree, including
     the seed folder row itself and its ancestors, can never match a
     fullpath-scoped filter.  Basename-scoped patterns (F1) anchor to
-    the NAME, not the path: never pass them here."""
+    the NAME, not the path: never pass them here.
+
+    Two soundness guards beyond the literal scan: a TOP-LEVEL
+    unparenthesized '|' disables pruning entirely (alternation has
+    lowest precedence, so '^a/.*|^b/.*' matches under b/ even though
+    the literal scan would return 'a'; a '|' inside a group is fine —
+    the literal prefix before the group still anchors every
+    alternative), and a quantifier at the break position ('?', '*',
+    '+', '{') drops the last literal character before the cut (in
+    '^logs/?x' the '/' is optional, so root-level 'logsx' matches
+    outside the logs/ subtree — the prefix must come from 'logs',
+    which holds no '/', i.e. no pruning)."""
     if not pattern.startswith("^"):
+        return ""
+    if _has_toplevel_alternation(pattern):
         return ""
     lit: list[str] = []
     i = 1
@@ -72,11 +85,37 @@ def pattern_prefix(pattern: str) -> str:
                 continue
             break  # \d, \w, \S, ... — a character class
         if c in _REGEX_META:
+            if c in "?*+{" and lit:
+                lit.pop()  # quantifier makes the last literal optional/repeated
             break
         lit.append(c)
         i += 1
     s = "".join(lit)
     return s[: s.rfind("/")] if "/" in s else ""
+
+
+def _has_toplevel_alternation(pattern: str) -> bool:
+    """True when an unescaped '|' sits at paren depth 0 outside a
+    character class — the one regex structure under which a literal
+    prefix of the FIRST alternative says nothing about the others."""
+    depth, in_class, i = 0, False, 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
 
 
 def seed_for(root: str, prefix: str) -> str | None:
@@ -174,12 +213,16 @@ def list_tree(
         # pruned entry: one driver-side listing doubles as the seed
         # probe — a prefix folder that doesn't exist is simply a tree
         # with no matches, not an error (the full walk would never
-        # visit it and report zero matches)
+        # visit it and report zero matches). ONLY missing-folder
+        # errors soften; transient failures (timeouts, 421s) must
+        # surface exactly as they would mid-walk.
+        import ftplib
+
         client = spec.connect()
         try:
             try:
                 level0 = client.listdir(seed)
-            except Exception:
+            except (ftplib.error_perm, FileNotFoundError, NotADirectoryError):
                 return spark.createDataFrame([], MANIFEST_SCHEMA)
         finally:
             client.close()

@@ -565,6 +565,29 @@ def test_pattern_prefix_derivation():
     assert pattern_prefix(r"logs/.*\.gz") == ""  # unanchored
     assert pattern_prefix(r"^nofolder.*") == ""
     assert pattern_prefix(r"^exact/path\.txt$") == "exact"
+    # top-level alternation: '^a/.*|^b/.*' matches under b/ too, so a
+    # prefix from the first alternative would silently drop them
+    assert pattern_prefix(r"^a/.*|^b/.*") == ""
+    assert pattern_prefix(r"^data/\d+|other") == ""
+    assert pattern_prefix(r"^(a|b)/c/.*") == ""  # group breaks the scan
+    assert pattern_prefix(r"^logs/(a|b)/.*") == "logs"  # grouped '|' is fine
+    assert pattern_prefix(r"^a/\|/b/c") == "a/|/b"  # escaped '|' is a literal
+    # quantifier at the break makes the last literal char optional:
+    # '^logs/?x' matches root-level 'logsx' outside the logs/ subtree
+    assert pattern_prefix(r"^logs/?x") == ""
+    assert pattern_prefix(r"^logs/*x") == ""
+    assert pattern_prefix(r"^a/b{2,3}/c") == "a"
+    assert pattern_prefix(r"^ab/cd*e") == "ab"
+    import re
+
+    for pat, victim in [
+        (r"^a/.*|^b/.*", "b/file"),
+        (r"^logs/?x", "logsx"),
+        (r"^logs/*x", "logsx"),
+    ]:
+        # the soundness property itself: these paths MATCH yet live
+        # outside the subtree a naive prefix would prune to
+        assert re.search(pat, victim)
 
 
 def test_seed_for_root_interaction():
