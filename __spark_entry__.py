@@ -79,12 +79,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries rotate to the front of the NEXT round's window via the same math —
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
-# Round 8 (r7 VERDICT task 5): the round-7 set (the four rewrites) all
-# hold fresh r7 hash evidence and was cleared; slots then go to the 9
-# r4-stale streaming/sketch queries + the r5-stale tail by natural
-# rotation.  Named here: queries whose PLAN changed in round 9 (the 9
-# r8 names all carry green r8 evidence — CORRECTNESS_r08.json — and are
-# cleared so the r5/r6-stale rows front-rank naturally).
+# Round 9 (r8 VERDICT task 2): the round-8 set (nine plan-change names)
+# all hold green r8 hash evidence (CORRECTNESS_r08.json) and was
+# cleared.  Named here: the one query whose PLAN changed in round 9;
+# with mf_pruned_listing as the round's single new registration the
+# 50-slot window simulates as 1 first-hash + 1 new + all 16 r5-stale +
+# 32 r6-stale.
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
     # df window -> checkpointed-tf groupBy + equi-join (r9, skew fix)
     "tx_keywords",

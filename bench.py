@@ -231,9 +231,9 @@ BUDGETS = {
     # runs the full jaccard pair pipeline (same family as dd_minhash_lsh)
     # plus four min-agg/join layers
     "dd_incremental": 7.1,  # fresh-JVM warm 3.55 (was 4.5, set in-suite)
-    "tx_rep_ngram": 4.4,  # fresh-JVM warm 2.22 (was 2.9, set in-suite)
+    "tx_rep_ngram": 4.5,  # fresh-JVM warm 2.22 (was 2.9, set in-suite)
     # r9 checkpointed-tf plan
-    "tx_keywords": 2.5,  # fresh-JVM warm 1.26
+    "tx_keywords": 2.6,  # fresh-JVM warm 1.26
     "ev_dwell_time": 1.5,  # fresh-JVM warm 0.75
 }
 

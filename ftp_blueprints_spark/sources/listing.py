@@ -59,7 +59,9 @@ def pattern_prefix(pattern: str) -> str:
     fullpath-scoped filter.  Basename-scoped patterns (F1) anchor to
     the NAME, not the path: never pass them here.
 
-    Two soundness guards beyond the literal scan: a TOP-LEVEL
+    Three soundness guards beyond the literal scan (the third is the
+    path-shape check at the end — absolute, '..'/all-dots, or
+    empty-segment prefixes have no full-walk spelling): a TOP-LEVEL
     unparenthesized '|' disables pruning entirely (alternation has
     lowest precedence, so '^a/.*|^b/.*' matches under b/ even though
     the literal scan would return 'a'; a '|' inside a group is fine —
@@ -91,7 +93,21 @@ def pattern_prefix(pattern: str) -> str:
         lit.append(c)
         i += 1
     s = "".join(lit)
-    return s[: s.rfind("/")] if "/" in s else ""
+    prefix = s[: s.rfind("/")] if "/" in s else ""
+    # Path-shape guard: the seed must be a path the FULL walk could
+    # reach, or pruning breaks the pruned == full+filter equivalence.
+    # Manifest paths are root-relative with no leading '/', so an
+    # absolute prefix ('^/data/...') never matches a full-walk row;
+    # '..' (any all-dots segment) would let LocalFSClient._abs escape
+    # the client root, and all-dots segments are also exactly what
+    # skip_dot_dirs prunes DURING traversal (F4) — a seed inside one
+    # would resurrect a subtree the full walk never visits. Empty
+    # segments ('//') have no full-walk spelling either.
+    if prefix and any(
+        not seg or set(seg) == {"."} for seg in prefix.split("/")
+    ):
+        return ""
+    return prefix
 
 
 def _has_toplevel_alternation(pattern: str) -> bool:

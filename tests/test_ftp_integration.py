@@ -578,6 +578,15 @@ def test_pattern_prefix_derivation():
     assert pattern_prefix(r"^logs/*x") == ""
     assert pattern_prefix(r"^a/b{2,3}/c") == "a"
     assert pattern_prefix(r"^ab/cd*e") == "ab"
+    # path-shape guard: a seed the full walk could never reach must not
+    # prune — absolute prefixes (manifest paths are root-relative),
+    # root-escaping '..', all-dots segments (what F4 skips during
+    # traversal), and empty '//' segments
+    assert pattern_prefix(r"^/data/sub/.*") == ""
+    assert pattern_prefix(r"^\.\./x/.*") == ""
+    assert pattern_prefix(r"^\.\.\./x/.*") == ""
+    assert pattern_prefix(r"^a//b/.*") == ""
+    assert pattern_prefix(r"^a/\.hidden/b/.*") == "a/.hidden/b"  # dot-named dirs ok
     import re
 
     for pat, victim in [

@@ -161,14 +161,16 @@ def test_ttl_dedup_stream_matches_batch_with_tiny_arrow_chunks(spark, sf_oracle)
     assert streamed == batch
 
 
-def _chrono_source(spark, sf_oracle, tmp_path, n_parts: int = 4):
-    """Chronologically split events + a maxFilesPerTrigger=1 stream:
-    the fixture lands in ``n_parts`` time-quartile files with ascending
-    mtimes (FileStreamSource orders new files by modification time), so
-    an availableNow drain runs one micro-batch per file — real
-    incremental execution, not a single-batch drain."""
-    import os
+_EV_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
 
+
+def _quartile_parts(spark, sf_oracle, n_parts: int = 4):
+    """The events table + its chronological ``n_parts``-way split
+    (quartile cut on ts, so (ts, event_id) ties never straddle a
+    part boundary)."""
     from ftp_blueprints_spark.session import load_table
 
     ev = load_table(spark, sf_oracle, "events").select(
@@ -176,29 +178,49 @@ def _chrono_source(spark, sf_oracle, tmp_path, n_parts: int = 4):
     )
     qt = [i / n_parts for i in range(1, n_parts)]
     bounds = ev.selectExpr("unix_micros(ts) AS us").approxQuantile("us", qt, 0.0)
-    src_dir = tmp_path / "ev_parts"
     lo = [None, *bounds]
     hi = [*bounds, None]
-    for i, (a, b) in enumerate(zip(lo, hi)):
+    parts = []
+    for a, b in zip(lo, hi):
         part = ev
         if a is not None:
             part = part.filter(F.unix_micros("ts") > a)
         if b is not None:
             part = part.filter(F.unix_micros("ts") <= b)
-        out = str(src_dir / f"part{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(out)
-        for f in os.listdir(out):
-            os.utime(os.path.join(out, f), (1_700_000_000 + i, 1_700_000_000 + i))
-    source = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double"
-        )
+        parts.append(part)
+    return ev, parts
+
+
+def _land_part(src_dir, i, part) -> None:
+    """Write one split file with an ascending mtime (FileStreamSource
+    orders new files by modification time, so file i = micro-batch i)."""
+    import os
+
+    out = str(src_dir / f"part{i}")
+    part.coalesce(1).write.mode("overwrite").parquet(out)
+    for f in os.listdir(out):
+        os.utime(os.path.join(out, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def _ev_file_stream(spark, src_dir):
+    return (
+        spark.readStream.schema(_EV_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(str(src_dir))
     )
-    return ev, source
+
+
+def _chrono_source(spark, sf_oracle, tmp_path, n_parts: int = 4):
+    """Chronologically split events + a maxFilesPerTrigger=1 stream:
+    the fixture lands in ``n_parts`` time-quartile files with ascending
+    mtimes, so an availableNow drain runs one micro-batch per file —
+    real incremental execution, not a single-batch drain."""
+    ev, parts = _quartile_parts(spark, sf_oracle, n_parts)
+    src_dir = tmp_path / "ev_parts"
+    for i, part in enumerate(parts):
+        _land_part(src_dir, i, part)
+    return ev, _ev_file_stream(spark, src_dir)
 
 
 def _assert_multi_batch(q, n: int = 4) -> None:
@@ -894,49 +916,16 @@ def test_dwell_time_restart_safe(spark, sf_oracle, tmp_path):
     aggregate, and the conservation identity fails if any cross-restart
     spell was dropped or double-counted (the parquet sink's transaction
     log makes redelivered batches a no-op)."""
-    import os
-
-    from ftp_blueprints_spark.session import load_table
-
-    ev = load_table(spark, sf_oracle, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    qt = [0.25, 0.5, 0.75]
-    bounds = ev.selectExpr("unix_micros(ts) AS us").approxQuantile("us", qt, 0.0)
+    ev, parts = _quartile_parts(spark, sf_oracle)
     src_dir = tmp_path / "dwell_parts"
-    lo = [None, *bounds]
-    hi = [*bounds, None]
-    parts = []
-    for i, (a, b) in enumerate(zip(lo, hi)):
-        part = ev
-        if a is not None:
-            part = part.filter(F.unix_micros("ts") > a)
-        if b is not None:
-            part = part.filter(F.unix_micros("ts") <= b)
-        parts.append((i, part))
-
-    def land(i, part):
-        out = str(src_dir / f"part{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(out)
-        for f in os.listdir(out):
-            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
-
-    schema = (
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double"
-    )
     sink = str(tmp_path / "dwell_sink")
     ckpt = str(tmp_path / "dwell_ckpt")
 
     def drain() -> None:
-        source = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("recursiveFileLookup", "true")
-            .parquet(str(src_dir))
-        )
         q = (
-            E.stream_dwell_time(spark, sf_oracle, source=source)
+            E.stream_dwell_time(
+                spark, sf_oracle, source=_ev_file_stream(spark, src_dir)
+            )
             .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
@@ -948,11 +937,11 @@ def test_dwell_time_restart_safe(spark, sf_oracle, tmp_path):
             q.stop()
             raise TimeoutError("dwell restart drain timed out")
 
-    for i, part in parts[:3]:
-        land(i, part)
+    for i, part in enumerate(parts[:3]):
+        _land_part(src_dir, i, part)
     drain()  # run 1: three micro-batches, then the query STOPS
     mid = spark.read.parquet(sink).count()
-    land(*parts[3])
+    _land_part(src_dir, 3, parts[3])
     drain()  # run 2: fresh query object, same checkpoint — recovery
     assert spark.read.parquet(sink).count() > mid  # batch 4 really ran
     agg: dict = {}
