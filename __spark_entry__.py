@@ -88,6 +88,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
     # df window -> checkpointed-tf groupBy + equi-join (r9, skew fix)
     "tx_keywords",
+    # 6x8-bit -> 5-band minimum-count LSH layout (r9; values unchanged
+    # by pigeonhole-losslessness, but the banded plan is new)
+    "mm_phash_neardup",
 }
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

