@@ -2154,6 +2154,39 @@ _DWELL_STATE_SCHEMA = "last_ts_us long, last_eid long, last_type string"
 _DWELL_OUT_SCHEMA = "event_type string, n_spells long, total_dwell_us long"
 
 
+def _dwell_group_scan(pdf_iter, carried):
+    """Pure core of the dwell-time state scan, factored (like
+    _ttl_group_scan) so chunk-order invariance is directly testable:
+    concat + sort ALL Arrow chunks before pairing — chunks arrive in
+    arbitrary order and sizes, so any per-chunk pairing would attribute
+    spells to the wrong events. Returns (per-type {type: (n, total)},
+    new carried (ts_us, event_id, event_type)) — or (None, carried)
+    for an empty group delivery."""
+    import pandas as pd
+
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    if not len(pdf):
+        return None, carried
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    rows = list(
+        zip(
+            (int(v) for v in pdf["ts_us"]),
+            (int(v) for v in pdf["event_id"]),
+            (str(v) for v in pdf["event_type"]),
+        )
+    )
+    if carried is not None:
+        rows = [
+            (int(carried[0]), int(carried[1]), str(carried[2])),
+            *rows,
+        ]
+    agg: dict = {}
+    for (us_a, _, ty_a), (us_b, _, _) in zip(rows, rows[1:]):
+        n, tot = agg.get(ty_a, (0, 0))
+        agg[ty_a] = (n + 1, tot + (us_b - us_a))
+    return agg, rows[-1]
+
+
 def stream_dwell_time(
     spark: SparkSession, sf_dir: str, source: DataFrame | None = None
 ) -> DataFrame:
@@ -2182,26 +2215,11 @@ def stream_dwell_time(
         if state.hasTimedOut:
             state.remove()
             return iter(())
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if not len(pdf):
+        carried = tuple(state.get) if state.exists else None
+        agg, tail = _dwell_group_scan(pdf_iter, carried)
+        if agg is None:
             return iter(())
-        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
-        rows = list(
-            zip(
-                (int(v) for v in pdf["ts_us"]),
-                (int(v) for v in pdf["event_id"]),
-                (str(v) for v in pdf["event_type"]),
-            )
-        )
-        if state.exists:
-            last_us, last_eid, last_type = state.get
-            rows = [(int(last_us), int(last_eid), str(last_type)), *rows]
-        tail_us, tail_eid, tail_type = rows[-1]
-        state.update((tail_us, tail_eid, tail_type))
-        agg: dict = {}
-        for (us_a, _, ty_a), (us_b, _, _) in zip(rows, rows[1:]):
-            n, tot = agg.get(ty_a, (0, 0))
-            agg[ty_a] = (n + 1, tot + (us_b - us_a))
+        state.update((int(tail[0]), int(tail[1]), str(tail[2])))
         if not agg:
             return iter(())
         return iter(

@@ -705,3 +705,50 @@ def test_datasource_prunes_partitions_by_pattern(spark, ftp_root):
             .load()
         )
         assert missing.count() == 0
+
+
+def test_pattern_prefix_soundness_property():
+    """Property proof of the pruning contract: whenever pattern_prefix
+    returns a non-empty prefix, EVERY string the pattern matches
+    (re.search — rlike semantics) lies strictly inside the prefix
+    subtree (starts with '<prefix>/'). Patterns are composed from the
+    fragment grammar below over a tiny alphabet so matches are common;
+    the two r9 hand-found holes (top-level alternation, boundary
+    quantifiers) fail this property immediately if reintroduced."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ftp_blueprints_spark.sources.listing import pattern_prefix
+
+    fragment = st.sampled_from(
+        ["a", "b", "ab", "/", ".", "*", "?", "+", "|", "(", ")",
+         "[ab]", "\\.", "\\d", "{1,2}", "$", "a/", "b/", ".*", "/?"]
+    )
+    paths = st.lists(
+        st.sampled_from(["a", "b", "ab", "aa", "ba"]), min_size=1, max_size=4
+    ).map("/".join)
+
+    @given(
+        body=st.lists(fragment, min_size=1, max_size=8).map("".join),
+        candidates=st.lists(paths, min_size=1, max_size=20),
+    )
+    @settings(max_examples=500, deadline=None)
+    def check(body: str, candidates: list[str]) -> None:
+        pattern = "^" + body
+        try:
+            rx = re.compile(pattern)
+        except re.error:
+            return  # not a valid regex: pattern_prefix output is moot
+        prefix = pattern_prefix(pattern)
+        if not prefix:
+            return  # no pruning claimed, nothing to prove
+        for path in candidates:
+            if rx.search(path):
+                assert path.startswith(prefix + "/"), (
+                    f"pattern {pattern!r} matched {path!r} outside the "
+                    f"claimed prune subtree {prefix!r}"
+                )
+
+    check()

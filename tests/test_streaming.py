@@ -954,3 +954,40 @@ def test_dwell_time_restart_safe(spark, sf_oracle, tmp_path):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(n for n, _ in agg.values()) == n_events - n_users
+
+
+def test_dwell_group_scan_is_chunk_order_invariant():
+    """Like _ttl_group_scan: the dwell scan must concat + sort ALL
+    Arrow chunks before pairing, because applyInPandasWithState hands a
+    group over as arbitrarily split, arbitrarily ordered chunks — a
+    per-chunk pairing would close spells against the wrong neighbor.
+    Ties on ts_us break by event_id, matching the batch lead() order."""
+    import pandas as pd
+
+    def chunk(rows):
+        return pd.DataFrame(rows, columns=["ts_us", "event_id", "event_type"])
+
+    # global order: (0,v) -> (10,c) -> (10,p) -> (40,v): spells
+    # view 10us (0->10), click 0us (10->10), purchase 30us (10->40)
+    rows = [(0, 1, "view"), (10, 2, "click"), (10, 3, "purchase"),
+            (40, 4, "view")]
+    want_agg = {"view": (1, 10), "click": (1, 0), "purchase": (1, 30)}
+    want_tail = (40, 4, "view")
+    agg, tail = E._dwell_group_scan(iter([chunk(rows)]), None)
+    assert (agg, tail) == (want_agg, want_tail)
+    # adversarial split: the t=40 row arrives FIRST, the t=10 tie pair
+    # arrives id-descending in a later chunk
+    split = [chunk([(40, 4, "view"), (0, 1, "view")]),
+             chunk([(10, 3, "purchase"), (10, 2, "click")])]
+    assert E._dwell_group_scan(iter(split), None) == (want_agg, want_tail)
+    # carried state closes the open spell from a previous batch: a
+    # carried (45, 5, 'click')... must pair with this batch's first row
+    agg2, tail2 = E._dwell_group_scan(
+        iter([chunk([(100, 9, "view")])]), (45, 5, "click")
+    )
+    assert agg2 == {"click": (1, 55)}
+    assert tail2 == (100, 9, "view")
+    # empty delivery: no output, carried state unchanged
+    assert E._dwell_group_scan(iter([chunk([])]), (45, 5, "click")) == (
+        None, (45, 5, "click"),
+    )
