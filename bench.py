@@ -111,6 +111,8 @@ HEADLINE = [
     "tx_rep_ngram",
     "tx_keywords",
     "ev_dwell_time",
+    # r9 addition: bucketed sweep-line peak concurrency
+    "ev_concurrency",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -235,6 +237,7 @@ BUDGETS = {
     # r9 checkpointed-tf plan
     "tx_keywords": 2.6,  # fresh-JVM warm 1.26
     "ev_dwell_time": 1.5,  # fresh-JVM warm 0.75
+    "ev_concurrency": 2.1,  # fresh-JVM warm 1.02 (r9)
 }
 
 

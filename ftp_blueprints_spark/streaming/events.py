@@ -2242,3 +2242,93 @@ def stream_dwell_time(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# --- peak concurrency (sweep line over fixed-duration sessions) --------------
+
+CONCURRENCY_SESSION_US = 30 * 60 * 1_000_000  # each event opens a 30-min span
+CONCURRENCY_BUCKET_US = 6 * 60 * 60 * 1_000_000  # 6 h prefix-sum blocks
+
+
+@query(
+    "ev_concurrency",
+    f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS us, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {CONCURRENCY_SESSION_US}, -1 FROM events
+),
+run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY us, delta
+                          ROWS UNBOUNDED PRECEDING) AS open
+  FROM pts
+)
+SELECT event_type,
+       CAST(MAX(open) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_events
+FROM run GROUP BY event_type
+""",
+)
+def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: the maximum number of
+    simultaneously open fixed-duration sessions (each event opens a
+    [ts, ts+30min) span) — the capacity-planning number a serving or
+    ingestion fleet is sized by. Sweep line: +1/-1 boundary points,
+    running sum in (us, delta) order (delta -1 sorts first, so a span
+    ending exactly when another starts never overlaps it — half-open
+    semantics, identical in the oracle), max of the running sum.
+
+    Scale shape: the textbook plan is one cumulative-sum window
+    partitioned by event_type — a single task per type funneling
+    O(n_events) rows (the tx_keywords-class skew trap). Here the
+    running sum is the two-pass bucketed prefix sum the repo already
+    uses for A2 numbering and top-p selection: (1) local cumsum +
+    per-bucket max within (type, 6h-bucket) partitions — parallel,
+    each partition bounded by a time slice; (2) bucket offsets = a
+    cumsum over the per-bucket TOTALS (one row per (type, bucket) —
+    bounded by calendar span / 6 h, thousands of rows at any corpus
+    size, fine for a single-task window); local max + preceding-bucket
+    offset then aggregates per type map-side. No task ever sees more
+    than one bucket's boundary points."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    starts = ev.select(
+        "event_type", us.alias("us"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (us + F.lit(CONCURRENCY_SESSION_US)).alias("us"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends).withColumn(
+        "bucket", F.expr(f"us DIV {CONCURRENCY_BUCKET_US}")
+    )
+    local_w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy(F.asc("us"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn("run", F.sum("delta").over(local_w))
+    per_bucket = local.groupBy("event_type", "bucket").agg(
+        F.max("run").alias("local_max"),
+        F.sum("delta").alias("total"),
+        F.count("*").alias("n_pts"),
+    )
+    # offsets: cumulative total of all PRECEDING buckets of the type —
+    # a window over the tiny per-bucket table, not the point stream
+    off_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_bucket.withColumn(
+        "offset", F.coalesce(F.sum("total").over(off_w), F.lit(0))
+    )
+    return offs.groupBy("event_type").agg(
+        F.max(F.col("offset") + F.col("local_max"))
+        .cast("bigint")
+        .alias("max_concurrent"),
+        F.expr("CAST(SUM(n_pts) DIV 2 AS BIGINT)").alias("n_events"),
+    )

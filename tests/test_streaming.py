@@ -991,3 +991,57 @@ def test_dwell_group_scan_is_chunk_order_invariant():
     assert E._dwell_group_scan(iter([chunk([])]), (45, 5, "click")) == (
         None, (45, 5, "click"),
     )
+
+
+def test_concurrency_hand_computed_and_bucketed(spark):
+    """Pin the sweep-line arithmetic on a crafted timeline (the parity
+    test could pass on a shared misconception): overlapping spans
+    stack, a span ending exactly when another starts does NOT overlap
+    it (half-open), and the peak may straddle a prefix-sum bucket
+    boundary — the offset join must carry it. Plan: the point-stream
+    window partitions by (event_type, bucket), never event_type alone
+    (the one-task-per-type funnel)."""
+    import re
+
+    from ftp_blueprints_spark.streaming.events import (
+        CONCURRENCY_BUCKET_US,
+        CONCURRENCY_SESSION_US,
+        ev_concurrency,
+    )
+    import ftp_blueprints_spark.streaming.events as E2
+
+    D = CONCURRENCY_SESSION_US
+    B = CONCURRENCY_BUCKET_US
+    rows = [
+        # type 'a': three nested opens -> peak 3; a fourth at exactly
+        # the first's end must NOT count it (half-open boundary)
+        (1, "a", 0), (2, "a", 1), (3, "a", 2), (4, "a", D),
+        # type 'b': peak straddles a bucket boundary — two spans open
+        # late in bucket 0, still open when a third starts in bucket 1
+        (5, "b", B - D // 2), (6, "b", B - D // 3), (7, "b", B + 1000),
+    ]
+    docs = spark.createDataFrame(
+        [(eid, t, us) for eid, t, us in rows],
+        "event_id long, event_type string, us long",
+    ).selectExpr(
+        "event_id", "event_type", "timestamp_micros(us) AS ts",
+        "CAST(1.0 AS DOUBLE) AS value", "CAST(event_id AS LONG) AS user_id",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r.event_type: (r.max_concurrent, r.n_events)
+               for r in ev_concurrency(spark, d).collect()}
+        plan = (
+            ev_concurrency(spark, d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert out == {"a": (3, 4), "b": (3, 3)}
+    # every point-stream window spec carries BOTH keys; the tiny
+    # per-bucket offset window is the only event_type-alone partition
+    # and it reads the aggregated bucket table, not raw points
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert any("bucket" in s for s in specs), plan
