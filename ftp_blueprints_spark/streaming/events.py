@@ -2291,7 +2291,18 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by calendar span / 6 h, thousands of rows at any corpus
     size, fine for a single-task window); local max + preceding-bucket
     offset then aggregates per type map-side. No task ever sees more
-    than one bucket's boundary points."""
+    than one bucket's boundary points.
+
+    No streaming twin, by design (unlike the per-key stateful ev_*
+    ops): a running max over a GLOBAL time order is not per-key
+    incremental state — an event's -1 point lands SESSION_US after its
+    +1, so within-bucket arrival order is never time order across
+    micro-batches, and any carried (sum, max) pair is wrong the moment
+    a later batch back-fills an earlier us. The streaming-native form
+    is buffer-until-watermark bucket finalization (state = one
+    in-flight bucket's points, emitted once the watermark passes
+    bucket_end + SESSION_US) — a different operator with its own state
+    bound, not an equivalence twin of this batch sweep."""
     ev = _events(spark, sf_dir)
     us = F.unix_micros("ts")
     starts = ev.select(
