@@ -79,19 +79,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries rotate to the front of the NEXT round's window via the same math —
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
-# Round 9 (r8 VERDICT task 2): the round-8 set (nine plan-change names)
-# all hold green r8 hash evidence (CORRECTNESS_r08.json) and was
-# cleared.  Named here: the one query whose PLAN changed in round 9;
-# with mf_pruned_listing as the round's single new registration the
-# 50-slot window simulates as 1 first-hash + 1 new + all 16 r5-stale +
-# 32 r6-stale.
-_FIRST_HASH_CHECK_THIS_ROUND: set[str] = {
-    # df window -> checkpointed-tf groupBy + equi-join (r9, skew fix)
-    "tx_keywords",
-    # 6x8-bit -> 5-band minimum-count LSH layout (r9; values unchanged
-    # by pigeonhole-losslessness, but the banded plan is new)
-    "mm_phash_neardup",
-}
+# Round 10 (r9 VERDICT task 1): the round-9 set ({tx_keywords,
+# mm_phash_neardup}) both carry green r9 first-hash evidence
+# (CORRECTNESS_r09.json) and is cleared.  New registrations this round
+# are capped at ~3 so the 50-slot window retires the 20 r6-stale rows
+# and ~30 of the 44 r7-stale rows (nothing older than r7 evidence
+# should remain after round 10).
+_FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era
 # `4: 10` demotion — r4 was then the freshest evidence — is retired: from

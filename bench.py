@@ -419,6 +419,19 @@ def main() -> None:
     # apples-to-apples regression signal: the 16 queries benched in
     # round 2 (BENCH_r02.json), so a grown HEADLINE list never hides a
     # slowdown of (or masquerades as) the original set
+    #
+    # Measured idle-noise band (r9 VERDICT finding 2): across three
+    # IDLE-machine runs in round 9 (load < 0.2, zero sibling JVMs) the
+    # r2 subset spanned 13.45-17.62 s and the headliner warm total
+    # 95.9-113.4 s with NO plan changes between runs — the sandbox's
+    # phase noise concentrates on sub-second fixed-overhead queries
+    # (median per-query drift 1.16x) while multi-second queries stay
+    # within ~10%.  Interpret readings against that spread: the 2x gate
+    # on the r2 subset (20.0 s = 2 x 10.003 s, BENCH_r02.json) leaves
+    # only ~2.4 s of headroom over the WORST idle reading, so a 1.9x
+    # measurement is as likely environment as regression — check the
+    # per-query warm times of the heavy queries (stable under noise)
+    # and the env_* markers below before concluding either way.
     r2_set = {
         "q01_pricing_summary", "q03_shipping_priority", "q05_region_volume",
         "q_cust_order_stats", "q_window_running", "q_monthly_revenue",

@@ -88,7 +88,14 @@ def word_grams(n: int, t: str = "t") -> Column:
     """All overlapping word n-grams of token-array column ``t``; the
     empty array when the input has fewer than ``n`` tokens (see
     :func:`word_grams_prefiltered` for why short arrays need the
-    guard — this is the safe general-purpose spelling)."""
+    guard — this is the safe general-purpose spelling).
+
+    Totality: a NULL token array ALSO yields the empty array, not NULL
+    (``size(NULL)`` fails the ``>= n`` test in both legacy and ANSI
+    modes, falling to the otherwise branch). Every current caller
+    tokenizes non-null text first, so missing-vs-short is never
+    distinguished here; a future caller that needs NULL propagation
+    must add an explicit ``isNull`` branch."""
     return F.when(
         F.size(t) >= n, word_grams_prefiltered(n, t)
     ).otherwise(F.array().cast("array<string>"))

@@ -1960,7 +1960,11 @@ def keywords_report(docs: DataFrame) -> DataFrame:
     materialize-before-reuse lifetime operators/manifest.py:109
     accepts). Callers that only want to inspect the plan pay the scan;
     callers that execute it pay nothing extra — construction and
-    execution are adjacent everywhere this query runs."""
+    execution are adjacent everywhere this query runs.  Corollary: a
+    test that builds the frame TWICE (collect, then rebuild for a plan
+    check) pays two scans — sf0.01 keeps that cheap; if plan-inspection
+    paths ever become hot, switch to ``eager=False`` and materialize
+    with an explicit count() at the single execution site instead."""
     toks = docs.select(
         "doc_id", F.explode(T.lower_tokens("text")).alias("tok")
     )

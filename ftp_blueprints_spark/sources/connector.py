@@ -188,6 +188,43 @@ class FTPClient(RemoteClient):
             pass
 
 
+_PERM_MARKERS = ("permission", "denied", "access", "privilege", "forbidden")
+
+
+def is_missing_folder_error(exc: BaseException) -> bool:
+    """True iff ``exc`` from a ``listdir`` call means the folder does not
+    exist — the only error class the pruned-seed probes may soften into
+    an empty manifest (a full walk would never visit a missing prefix
+    and would report zero matches, download_file.py:262-266).
+
+    Local clients are unambiguous (FileNotFoundError/NotADirectoryError).
+    FTP conflates missing and permission-denied under one reply code:
+    RFC 959 gives both "file unavailable (e.g., file not found, no
+    access)" as 550.  Discriminate on the reply, conservatively:
+
+    * non-550 5xx replies (530 not-logged-in, 501 syntax, 532, ...) are
+      never missing-folder — they propagate;
+    * a 550 whose text names a permission problem ("Permission denied",
+      "Access is denied", ...) propagates — softening it would turn an
+      auth/ACL misconfiguration into a silent "zero matches, exit 200";
+    * any other 550 is treated as missing.  A server that replies with a
+      bare "550 Failed" for permission-denied is indistinguishable from
+      missing over the wire; such prunes soften where the equivalent
+      full walk would raise mid-walk.  That residual ambiguity is
+      inherent to FTP, not to the pruning."""
+    if isinstance(exc, (FileNotFoundError, NotADirectoryError)):
+        return True
+    import ftplib
+
+    if not isinstance(exc, ftplib.error_perm):
+        return False
+    text = str(exc)
+    if not text.startswith("550"):
+        return False
+    low = text.lower()
+    return not any(m in low for m in _PERM_MARKERS)
+
+
 @dataclass
 class ClientSpec:
     """Picklable connection description; one ``connect()`` per partition.

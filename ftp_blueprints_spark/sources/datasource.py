@@ -126,17 +126,18 @@ class ManifestReader(DataSourceReader):
         for an unmatched traversal), so it yields the empty partition."""
         if self._no_match:
             return [_TreePartition(None, False)]
-        import ftplib
+        from .connector import is_missing_folder_error
 
         client = self.spec.connect()
         try:
             try:
                 entries = client.listdir(self.root)
-            except (ftplib.error_perm, FileNotFoundError, NotADirectoryError):
-                if not self._pruned:
-                    raise  # a bad real root is the caller's error
+            except Exception as e:
+                if not self._pruned or not is_missing_folder_error(e):
+                    raise  # bad real root / permission-denied / transient
                 # a pruned prefix folder that doesn't exist is a tree
-                # with no matches; transient failures still propagate
+                # with no matches (550 reply text inspected so
+                # permission-denied propagates, connector.py)
                 return [_TreePartition(None, False)]
             parts = []
             for path, is_dir, size in entries:

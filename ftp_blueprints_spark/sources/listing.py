@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import paths as P
-from .connector import ClientSpec
+from .connector import ClientSpec, is_missing_folder_error
 
 MANIFEST_SCHEMA = "path string, folder string, name string, is_dir boolean, size bigint"
 
@@ -230,15 +230,17 @@ def list_tree(
         # probe — a prefix folder that doesn't exist is simply a tree
         # with no matches, not an error (the full walk would never
         # visit it and report zero matches). ONLY missing-folder
-        # errors soften; transient failures (timeouts, 421s) must
-        # surface exactly as they would mid-walk.
-        import ftplib
-
+        # errors soften (is_missing_folder_error inspects the 550
+        # reply text so permission-denied propagates); transient
+        # failures (timeouts, 421s) surface exactly as they would
+        # mid-walk.
         client = spec.connect()
         try:
             try:
                 level0 = client.listdir(seed)
-            except (ftplib.error_perm, FileNotFoundError, NotADirectoryError):
+            except Exception as e:
+                if not is_missing_folder_error(e):
+                    raise
                 return spark.createDataFrame([], MANIFEST_SCHEMA)
         finally:
             client.close()

@@ -2176,10 +2176,22 @@ def _dwell_group_scan(pdf_iter, carried):
         )
     )
     if carried is not None:
-        rows = [
-            (int(carried[0]), int(carried[1]), str(carried[2])),
-            *rows,
-        ]
+        head = (int(carried[0]), int(carried[1]), str(carried[2]))
+        if rows[0][:2] < head[:2]:
+            # The carried state is the max (ts_us, event_id) already
+            # PAIRED in an earlier batch; an arrival below it would
+            # close a spell backwards (negative dwell attributed to
+            # the carried type) with no way to retract the already-
+            # emitted partials in append mode.  The chronological-
+            # harness precondition is violated — fail loudly instead
+            # of corrupting the aggregate.
+            raise ValueError(
+                "stream_dwell_time: out-of-order arrival "
+                f"{rows[0][:2]} predates carried state {head[:2]}; "
+                "per-key cross-batch event-time order is a "
+                "precondition of the dwell twin"
+            )
+        rows = [head, *rows]
     agg: dict = {}
     for (us_a, _, ty_a), (us_b, _, _) in zip(rows, rows[1:]):
         n, tot = agg.get(ty_a, (0, 0))

@@ -665,6 +665,67 @@ def test_pruned_listing_missing_prefix_is_empty(spark, ftp_root):
         assert mf.count() == 0
 
 
+def test_missing_folder_error_discrimination():
+    """Only genuinely-missing-folder errors may soften into an empty
+    pruned manifest (r9 advice): FTP's 550 covers both missing and
+    permission-denied, so the reply text is inspected — a 550 naming a
+    permission problem, any non-550 reply (530 auth, 501 syntax), and
+    transient errors all propagate."""
+    import ftplib
+
+    from ftp_blueprints_spark.sources.connector import is_missing_folder_error
+
+    soften = [
+        ftplib.error_perm("550 no such directory"),
+        ftplib.error_perm("550 No such file or directory"),
+        ftplib.error_perm("550 not a directory"),
+        ftplib.error_perm("550 Failed"),  # bare 550: ambiguous, documented
+        FileNotFoundError("x"),
+        NotADirectoryError("x"),
+    ]
+    surface = [
+        ftplib.error_perm("550 Permission denied"),
+        ftplib.error_perm("550 Access is denied."),
+        ftplib.error_perm("550 insufficient privileges"),
+        ftplib.error_perm("530 Not logged in"),
+        ftplib.error_perm("501 Syntax error"),
+        ftplib.error_temp("421 Service not available"),
+        TimeoutError("timed out"),
+        PermissionError("local ACL"),
+    ]
+    assert all(is_missing_folder_error(e) for e in soften)
+    assert not any(is_missing_folder_error(e) for e in surface)
+
+
+def test_pruned_listing_permission_denied_raises(spark, ftp_root):
+    """A pruned seed probe that hits permission-denied must surface the
+    error, not return an empty manifest — softening it would turn an
+    ACL misconfiguration into a silent zero-match exit 200."""
+    import ftplib
+
+    import pytest as _pytest
+
+    with FtpStubServer(ftp_root, USERS) as (host, port):
+        spec = spec_for(host, port)
+
+        class DenyingSpec(type(spec)):
+            def connect(self):
+                client = super().connect()
+                real = client.listdir
+
+                def deny(folder):
+                    raise ftplib.error_perm("550 Permission denied")
+
+                client.listdir = deny
+                return client
+
+        dspec = DenyingSpec(**{f: getattr(spec, f) for f in spec.__dataclass_fields__})
+        with _pytest.raises(ftplib.error_perm):
+            list_tree(
+                spark, dspec, "", path_pattern=r"^data/sub/.*[.]txt$"
+            ).count()
+
+
 def test_datasource_prunes_partitions_by_pattern(spark, ftp_root):
     """The executor-partitioned DataSource honors the same option: with
     path_pattern, partitions() lists the seed folder instead of the

@@ -991,6 +991,20 @@ def test_dwell_group_scan_is_chunk_order_invariant():
     assert E._dwell_group_scan(iter([chunk([])]), (45, 5, "click")) == (
         None, (45, 5, "click"),
     )
+    # precondition guard (r9 advice): an arrival BELOW the carried
+    # state would close a spell backwards — must fail loudly, not emit
+    # a negative dwell attributed to the carried type
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out-of-order"):
+        E._dwell_group_scan(iter([chunk([(44, 9, "view")])]), (45, 5, "click"))
+    with _pytest.raises(ValueError, match="out-of-order"):  # ts tie, lower id
+        E._dwell_group_scan(iter([chunk([(45, 4, "view")])]), (45, 5, "click"))
+    # strictly-below only: (ts tie, higher id) is the legal shape —
+    # the batch lead() orders ties by event_id, so this 0-us spell is
+    # exactly what the batch plan computes
+    agg3, _ = E._dwell_group_scan(iter([chunk([(45, 6, "view")])]), (45, 5, "click"))
+    assert agg3 == {"click": (1, 0)}
 
 
 def test_concurrency_hand_computed_and_bucketed(spark):
