@@ -2305,40 +2305,18 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset then aggregates per type map-side. No task ever sees more
     than one bucket's boundary points.
 
-    No streaming twin, by design (unlike the per-key stateful ev_*
-    ops): a running max over a GLOBAL time order is not per-key
-    incremental state — an event's -1 point lands SESSION_US after its
-    +1, so within-bucket arrival order is never time order across
-    micro-batches, and any carried (sum, max) pair is wrong the moment
-    a later batch back-fills an earlier us. The streaming-native form
-    is buffer-until-watermark bucket finalization (state = one
-    in-flight bucket's points, emitted once the watermark passes
-    bucket_end + SESSION_US) — a different operator with its own state
-    bound, not an equivalence twin of this batch sweep."""
+    No batch-equivalence streaming twin, by design (unlike the per-key
+    stateful ev_* ops): a running max over a GLOBAL time order is not
+    per-key incremental state — an event's -1 point lands SESSION_US
+    after its +1, so within-bucket arrival order is never time order
+    across micro-batches, and any carried (sum, max) pair is wrong the
+    moment a later batch back-fills an earlier us. The streaming-NATIVE
+    form is :func:`stream_concurrency` below — buffer-until-watermark
+    bucket finalization whose finalized rows equal this sweep's
+    per-bucket intermediates (:func:`concurrency_per_bucket`), with the
+    tiny offsets reduction left as a downstream batch step."""
     ev = _events(spark, sf_dir)
-    us = F.unix_micros("ts")
-    starts = ev.select(
-        "event_type", us.alias("us"), F.lit(1).alias("delta")
-    )
-    ends = ev.select(
-        "event_type",
-        (us + F.lit(CONCURRENCY_SESSION_US)).alias("us"),
-        F.lit(-1).alias("delta"),
-    )
-    pts = starts.unionAll(ends).withColumn(
-        "bucket", F.expr(f"us DIV {CONCURRENCY_BUCKET_US}")
-    )
-    local_w = (
-        Window.partitionBy("event_type", "bucket")
-        .orderBy(F.asc("us"), F.asc("delta"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = pts.withColumn("run", F.sum("delta").over(local_w))
-    per_bucket = local.groupBy("event_type", "bucket").agg(
-        F.max("run").alias("local_max"),
-        F.sum("delta").alias("total"),
-        F.count("*").alias("n_pts"),
-    )
+    per_bucket = concurrency_per_bucket(concurrency_points(ev))
     # offsets: cumulative total of all PRECEDING buckets of the type —
     # a window over the tiny per-bucket table, not the point stream
     off_w = (
@@ -2354,4 +2332,161 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_concurrent"),
         F.expr("CAST(SUM(n_pts) DIV 2 AS BIGINT)").alias("n_events"),
+    )
+
+
+def concurrency_points(ev: DataFrame) -> DataFrame:
+    """The +1/-1 sweep-line boundary points of an events frame, with
+    their 6 h prefix-sum bucket — factored from ev_concurrency so the
+    streaming twin test can rebuild the identical point stream."""
+    us = F.unix_micros("ts")
+    starts = ev.select(
+        "event_type", us.alias("us"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (us + F.lit(CONCURRENCY_SESSION_US)).alias("us"),
+        F.lit(-1).alias("delta"),
+    )
+    return starts.unionAll(ends).withColumn(
+        "bucket", F.expr(f"us DIV {CONCURRENCY_BUCKET_US}")
+    )
+
+
+def concurrency_per_bucket(pts: DataFrame) -> DataFrame:
+    """Per-(event_type, bucket) sweep intermediates: max of the LOCAL
+    running sum, the bucket's net total, and its point count — pass 1
+    of ev_concurrency's two-pass bucketed prefix sum, and the exact
+    surface stream_concurrency's finalized buckets must reproduce."""
+    local_w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy(F.asc("us"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn("run", F.sum("delta").over(local_w))
+    return local.groupBy("event_type", "bucket").agg(
+        F.max("run").alias("local_max"),
+        F.sum("delta").alias("total"),
+        F.count("*").alias("n_pts"),
+    )
+
+
+_CONC_STATE_SCHEMA = "pus array<bigint>, delta array<bigint>"
+_CONC_OUT_SCHEMA = (
+    "event_type string, bucket bigint, local_max bigint, "
+    "total bigint, n_pts bigint"
+)
+
+
+def _concurrency_finalize(pus, deltas):
+    """Sweep a finalized bucket's buffered boundary points: sort by
+    (us, delta) — delta -1 before +1 on ties, the half-open rule — and
+    return (local_max, total, n_pts), the concurrency_per_bucket row."""
+    pts = sorted(zip((int(u) for u in pus), (int(d) for d in deltas)))
+    run = 0
+    mx = None
+    for _, d in pts:
+        run += d
+        mx = run if mx is None or run > mx else mx
+    return mx, run, len(pts)
+
+
+def stream_concurrency(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming-NATIVE peak concurrency: the bucket-finalization
+    operator ev_concurrency's docstring specifies.  Each event explodes
+    into its two sweep-line points (+1 at ts, -1 at ts+SESSION_US);
+    state is keyed by (event_type, 6h-bucket) and buffers that ONE
+    bucket's points until the event-time watermark passes the bucket's
+    end, then emits the bucket's (local_max, total, n_pts) row once and
+    drops the state.  Finalized rows equal concurrency_per_bucket's
+    batch intermediates exactly (the equivalence the twin tests prove,
+    restart included); the global answer is the tiny downstream
+    offsets+max reduction ev_concurrency runs over the same rows —
+    calendar-bounded, one row per (type, bucket), a batch afterthought.
+
+    Finalization at bucket_end needs no SESSION_US grace: every point
+    landing in bucket K derives from an event with ts <= bucket_end(K)
+    (a start point's ts IS its us; an end point's ts is its us minus
+    SESSION_US), so once the watermark passes bucket_end(K) the
+    watermark contract says no K-point can still arrive.  State is
+    bounded per key by one bucket's points, and the number of live
+    keys by |types| x (1 + (SESSION_US + watermark delay) /
+    BUCKET_US) — a constant per type, never history-growing.  Unlike
+    the per-key twins this tolerates ARBITRARY arrival order within
+    the watermark horizon (points are buffered and re-sorted at
+    finalization, no carried running state to corrupt) — the property
+    the batch sweep's global time order otherwise forecloses."""
+    import pandas as pd
+
+    def scan(key, pdf_iter, state):
+        etype, bucket = key[0], int(key[1])
+        if state.hasTimedOut:
+            if not state.exists:  # pragma: no cover - defensive
+                state.remove()
+                return iter(())
+            pus, deltas = state.get
+            mx, tot, n = _concurrency_finalize(pus, deltas)
+            state.remove()
+            return iter(
+                [
+                    pd.DataFrame(
+                        [(etype, bucket, mx, tot, n)],
+                        columns=[
+                            "event_type", "bucket", "local_max",
+                            "total", "n_pts",
+                        ],
+                    )
+                ]
+            )
+        if state.exists:
+            pus, deltas = list(state.get[0]), list(state.get[1])
+        else:
+            pus, deltas = [], []
+        for pdf in pdf_iter:
+            pus.extend(int(v) for v in pdf["pus"])
+            deltas.extend(int(v) for v in pdf["delta"])
+        state.update((pus, deltas))
+        end_ms = ((bucket + 1) * CONCURRENCY_BUCKET_US) // 1000
+        # setTimeoutTimestamp must exceed the current watermark; a
+        # bucket first seen at/under it finalizes on the next advance
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+        return iter(())
+
+    ev = (
+        source if source is not None else read_events_stream(spark, sf_dir)
+    ).withWatermark("ts", "1 hour")
+    us = F.unix_micros("ts")
+    pts = (
+        ev.select(
+            "event_type",
+            "ts",
+            F.explode(
+                F.array(
+                    F.struct(
+                        us.alias("pus"),
+                        F.lit(1).cast("bigint").alias("delta"),
+                    ),
+                    F.struct(
+                        (us + F.lit(CONCURRENCY_SESSION_US)).alias("pus"),
+                        F.lit(-1).cast("bigint").alias("delta"),
+                    ),
+                )
+            ).alias("pt"),
+        )
+        .select(
+            "event_type",
+            "ts",
+            F.col("pt.pus").alias("pus"),
+            F.col("pt.delta").alias("delta"),
+        )
+        .withColumn("bucket", F.expr(f"pus DIV {CONCURRENCY_BUCKET_US}"))
+    )
+    return pts.groupBy("event_type", "bucket").applyInPandasWithState(
+        scan,
+        outputStructType=_CONC_OUT_SCHEMA,
+        stateStructType=_CONC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
     )

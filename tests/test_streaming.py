@@ -1059,3 +1059,162 @@ def test_concurrency_hand_computed_and_bucketed(spark):
     # and it reads the aggregated bucket table, not raw points
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert any("bucket" in s for s in specs), plan
+
+
+def _conc_sentinels(spark, ev):
+    """Two far-future flush events: sentinel A advances the watermark
+    past every real bucket's end; sentinel B's micro-batch then runs
+    with that watermark so the event-time timeouts demonstrably fire in
+    a DATA batch (no reliance on trailing no-data batches). Both use a
+    reserved type the assertions exclude."""
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    margin = (
+        E.CONCURRENCY_SESSION_US + E.CONCURRENCY_BUCKET_US
+        + 2 * 3600 * 1_000_000  # > the 1 h watermark delay
+    )
+    mk = lambda i, us: (10_000_000 + i, us)
+    return [
+        spark.createDataFrame(
+            [mk(i, max_us + margin * (i + 1))], "event_id long, us long"
+        ).selectExpr(
+            "event_id", "timestamp_micros(us) AS ts",
+            "CAST(event_id AS LONG) AS user_id",
+            "'__flush__' AS event_type", "CAST(0.0 AS DOUBLE) AS value",
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+        for i in range(2)
+    ]
+
+
+def _conc_expected(ev) -> set:
+    return {
+        tuple(r)
+        for r in E.concurrency_per_bucket(E.concurrency_points(ev)).collect()
+    }
+
+
+def _conc_drained(df) -> set:
+    return {
+        tuple(r) for r in df.filter(F.col("event_type") != "__flush__").collect()
+    }
+
+
+def test_concurrency_stream_finalizes_buckets(spark, sf_oracle, tmp_path):
+    """The streaming-native concurrency operator under real incremental
+    execution: four chronological quartile files plus two flush
+    sentinels run as separate micro-batches; every real (event_type,
+    bucket) must finalize exactly once with (local_max, total, n_pts)
+    equal to the batch sweep's per-bucket intermediates — i.e. the
+    buffered-points state provably carries partial buckets across
+    micro-batch boundaries and the watermark-timeout emission computes
+    the same local sweep the batch window does."""
+    ev, parts = _quartile_parts(spark, sf_oracle)
+    src_dir = tmp_path / "conc_parts"
+    for i, part in enumerate(parts):
+        _land_part(src_dir, i, part)
+    for j, s in enumerate(_conc_sentinels(spark, ev)):
+        _land_part(src_dir, 4 + j, s)
+    q = E.run_to_memory(
+        E.stream_concurrency(
+            spark, sf_oracle, source=_ev_file_stream(spark, src_dir)
+        ),
+        "t_conc_mb",
+        "append",
+    )
+    _assert_multi_batch(q, 5)
+    assert _conc_drained(spark.table("t_conc_mb")) == _conc_expected(ev)
+
+
+def test_concurrency_stream_restart_safe(spark, sf_oracle, tmp_path):
+    """Recovery: drain the first three quartile files with a durable
+    checkpoint, STOP, then land the fourth file plus the flush
+    sentinels and start a fresh query on the same checkpoint. Buckets
+    buffered (not yet finalized) at the stop point must survive the
+    restart and finalize with the correct sweep — the combined output
+    equals the batch per-bucket rows, and a bucket lost or replayed by
+    recovery would break set equality (the parquet sink's transaction
+    log makes redelivered batches a no-op)."""
+    ev, parts = _quartile_parts(spark, sf_oracle)
+    src_dir = tmp_path / "conc_restart_parts"
+    sink = str(tmp_path / "conc_sink")
+    ckpt = str(tmp_path / "conc_ckpt")
+
+    def drain() -> None:
+        q = (
+            E.stream_concurrency(
+                spark, sf_oracle, source=_ev_file_stream(spark, src_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("concurrency restart drain timed out")
+
+    for i, part in enumerate(parts[:3]):
+        _land_part(src_dir, i, part)
+    drain()  # run 1: three micro-batches, then the query STOPS
+    mid = spark.read.parquet(sink).count()
+    _land_part(src_dir, 3, parts[3])
+    for j, s in enumerate(_conc_sentinels(spark, ev)):
+        _land_part(src_dir, 4 + j, s)
+    drain()  # run 2: fresh query object, same checkpoint — recovery
+    assert spark.read.parquet(sink).count() > mid  # post-restart emits
+    assert _conc_drained(spark.read.parquet(sink)) == _conc_expected(ev)
+
+
+def test_concurrency_bucketed_equals_naive_property():
+    """Randomized-vs-naive: the bucketed two-pass prefix sum (local
+    sweep per bucket via _concurrency_finalize + offset = cumulative
+    preceding totals — exactly ev_concurrency's plan algebra and
+    stream_concurrency's finalization) must equal a single global
+    naive sweep for ANY event multiset: duplicate timestamps, spans
+    crossing many buckets, peaks on bucket boundaries."""
+    from hypothesis import given, settings, strategies as st
+
+    S = E.CONCURRENCY_SESSION_US
+    B = E.CONCURRENCY_BUCKET_US
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            # cluster starts around bucket edges so straddles/ties occur
+            st.one_of(
+                st.integers(min_value=0, max_value=3 * B),
+                st.sampled_from(
+                    [0, B - 1, B, B + 1, B - S, B - S + 1, 2 * B, 2 * B - S]
+                ),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(starts):
+        pts = [(us, 1) for us in starts] + [(us + S, -1) for us in starts]
+        # naive: one global sweep in (us, delta) order, delta -1 first
+        run, naive_max = 0, None
+        for _, d in sorted(pts):
+            run += d
+            naive_max = run if naive_max is None else max(naive_max, run)
+        # bucketed: per-bucket local sweep + preceding-totals offset
+        buckets: dict = {}
+        for us, d in pts:
+            buckets.setdefault(us // B, []).append((us, d))
+        offset, bucketed_max = 0, None
+        for b in sorted(buckets):
+            us_l = [u for u, _ in buckets[b]]
+            d_l = [d for _, d in buckets[b]]
+            mx, tot, n = E._concurrency_finalize(us_l, d_l)
+            assert n == len(buckets[b])
+            cand = offset + mx
+            bucketed_max = (
+                cand if bucketed_max is None else max(bucketed_max, cand)
+            )
+            offset += tot
+        assert offset == 0  # every span closes
+        assert bucketed_max == naive_max
+
+    check()
