@@ -113,6 +113,9 @@ HEADLINE = [
     "ev_dwell_time",
     # r9 addition: bucketed sweep-line peak concurrency
     "ev_concurrency",
+    # r10 addition: incremental ANN index maintenance (snapshot assign
+    # into frozen centroids + drift report)
+    "sim_ivf_incremental",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -238,6 +241,8 @@ BUDGETS = {
     "tx_keywords": 2.6,  # fresh-JVM warm 1.26
     "ev_dwell_time": 1.5,  # fresh-JVM warm 0.75
     "ev_concurrency": 2.1,  # fresh-JVM warm 1.02 (r9)
+    # half-corpus Lloyd train + two frozen-centroid assignments
+    "sim_ivf_incremental": 5.0,  # fresh-JVM warm 2.45 (r10)
 }
 
 

@@ -619,3 +619,62 @@ def test_neardup_scan_carry_across_tiny_arrow_batches(spark, tmp_path):
     finally:
         spark.conf.set(key, old)
     assert got == want
+
+
+def test_ivf_append_serves_new_vectors_idempotently(spark, sf_oracle, tmp_path):
+    """The maintained-index path end-to-end: build an IVF index on the
+    corpus half (vec_id % 2 = 0) only, ivf_append the snapshot half as
+    batch 1, and require (1) every appended vector lands in the list
+    its direct frozen-centroid assignment names, (2) serving from
+    lists ∪ appends finds snapshot vectors that base-only serving
+    cannot, (3) replaying the same batch_id is a no-op (dynamic
+    partition overwrite — the at-least-once recovery contract), and
+    (4) the returned drift report equals the oracle-checked
+    sim_ivf_incremental rows exactly, so the driver's hash evidence
+    covers the persisted-index arithmetic too."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivf_build(
+        spark, str(tmp_path), index_dir=str(tmp_path / "idx")
+    )
+    drift = {tuple(r) for r in S.ivf_append(spark, idx, snap, batch_id=1).collect()}
+
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    direct = {
+        (r["vec_id"], r["cid"])
+        for r in S.ivf_assign(snap, cents, round_digits=6).collect()
+    }
+    served_lists = S.ivf_lists_with_appends(spark, idx)
+    appended = {
+        (r["vec_id"], r["cid"])
+        for r in served_lists.filter(F.col("vec_id") % 2 == 1).collect()
+    }
+    assert appended == direct and appended  # (1)
+
+    base_lists = spark.read.parquet(os.path.join(idx, "lists"))
+    base_cands = {
+        r["cand_id"] for r in S._ivf_serve(emb, cents, base_lists).collect()
+    }
+    updated_cands = {
+        r["cand_id"] for r in S._ivf_serve(emb, cents, served_lists).collect()
+    }
+    assert not any(c % 2 == 1 for c in base_cands)  # (2) pre-append
+    assert any(c % 2 == 1 for c in updated_cands)  # (2) found new vectors
+
+    n_before = served_lists.count()
+    drift_replay = {
+        tuple(r) for r in S.ivf_append(spark, idx, snap, batch_id=1).collect()
+    }
+    assert S.ivf_lists_with_appends(spark, idx).count() == n_before  # (3)
+    assert drift_replay == drift  # (3)
+
+    want = {
+        tuple(r) for r in S.sim_ivf_incremental(spark, sf_oracle).collect()
+    }
+    assert drift == want  # (4)
