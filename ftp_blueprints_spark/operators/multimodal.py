@@ -524,20 +524,28 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one XOR per candidate pair. Same architecture as dd_simhash,
     applied to the binary column.
 
-    Probe adjudication (r9): the 10x probe reads e=1.153, but the
-    measured OUTPUT is 297 -> 213,402 qualifying pairs (718x) — the
-    synthetic corpus replicates each document with near-identical byte
-    histograms, so the replicas genuinely ARE fingerprint near-dups
-    and the result set itself grows ~quadratically in replica count.
-    Wall grew 4-14x for 718x more output: per-pair the plan is deeply
-    sublinear — workload-quadratic input, not a plan defect (the
-    dd_containment adjudication pattern). The real scale lever is
-    band saturation on DISTINCT fingerprints: the r9 minimum-band
-    layout (5 bands, 10/10/10/10/8 bits) gives each band 4x the
-    bucket values of the old 6x8-bit layout with one fewer exploded
-    row per doc; past ~10^8 media a wider fingerprint (PHASH_BITS 96+,
-    still h+1 bands) is the next step — band width, not band count,
-    is the knob losslessness leaves free."""
+    Probe adjudication (r10, superseding r9's): the r9 10x reading of
+    e~1.15 was 718x OUTPUT growth from byte-correlated synthetic
+    replicas; the v6 probe corpus decorrelates replica fingerprints
+    with a (token, replica)-keyed suffix (tools/scale_probe.py,
+    _replica_suffix — the transform was selected by measuring three
+    candidates), and on the honest corpus this query probes e=0.384
+    at 10x (6.4 s, 12.6k pairs ~ linear in shards, 45 cross-replica).
+    At 100x (500k media) the fixed 48-bit layout hits REAL band
+    saturation: 327 s at e=1.167, pure n^2 / 2^(band width) candidate
+    physics — with width pinned by the 48-bit oracle contract, every
+    bucket holds ~n/1024 fingerprints and the bucket join goes
+    quadratic (and past ~10^7 docs the 48-bit semantic itself starts
+    admitting ~n^2 * 5.6e5/2^48 accidental pairs). The at-scale
+    remedy is the dd_minhash playbook — size the fingerprint to the
+    corpus: :func:`phash_neardup_pairs_wide` with width =
+    phash_width_for(n) (~log2 n bits PER BAND, array-of-band-words
+    fingerprint) measures 8.2 s at 100x (40x faster, 10x->100x
+    e=0.29, 22.8k pairs) with the same pigeonhole losslessness,
+    proven against a numpy all-pairs reference in
+    tests/test_plans.py. This query keeps the 48-bit contract the
+    driver's oracle evidence is pinned to; a 100-TB deployment calls
+    the wide variant."""
     media = phash_media(to_media_table(load_table(spark, sf_dir, "documents")))
     offsets = [sum(PHASH_BAND_BITS[:j]) for j in range(PHASH_BANDS)]
     bands = F.array(
@@ -564,6 +572,116 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["media_a", "media_b"])
         .select("media_a", "media_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+# --- adaptive-width phash (the at-scale variant) ----------------------------
+
+
+def phash_width_for(n: int) -> int:
+    """Per-band width (bits) sized to the corpus: 2^w >= n keeps the
+    expected per-band bucket load O(1), so banded candidate pairs stay
+    ~linear in n instead of n^2 / 2^w. Floor of 10 reproduces the
+    48-bit query's band capacity at small corpora; no ceiling — each
+    band is its own BIGINT word, so width is not capped by one long."""
+    import math
+
+    return max(10, math.ceil(math.log2(max(n, 2))))
+
+
+def phash_media_wide(media: DataFrame, width: int) -> DataFrame:
+    """(media_id, bands array<bigint>): a 5-band perceptual fingerprint
+    with ``width`` bits PER BAND (5*width total bins) — the adaptive-
+    width sibling of :func:`phash_media` for corpora past the 48-bit
+    contract's reach.
+
+    Why it exists (measured, r10): with the fingerprint width FIXED at
+    48 bits, banded candidate pairs are n^2 / 2^(48/5)-class — the
+    10x probe corpus (60k media) stays cheap (6.4 s) but the 100x one
+    (600k) hits 327 s at e=1.167, pure bucket saturation (and past
+    ~10^7 docs the 48-bit SEMANTIC itself degrades: accidental
+    Hamming<=4 collisions grow ~n^2 * 5.6e5/2^48). A 100-TB corpus
+    sizes the fingerprint like dd_minhash sizes its bands
+    (neardup_params): width ~ log2(n) (phash_width_for) restores O(1)
+    bucket loads. One BIGINT cannot hold 5*log2(10^8) bits, so the
+    fingerprint here is the array of the 5 band VALUES themselves —
+    banding needs no bit slicing, and Hamming is the sum of per-band
+    XOR popcounts (bands partition the bits). Same two narrow passes
+    as phash_media: one Arrow bincount, one constant-size (5*width
+    rows) totals aggregate baked into the bit compare."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    bits = 5 * width
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def hist(payload: pd.Series) -> pd.Series:
+        grids = []
+        for buf in payload.to_numpy():
+            a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+            bg = (a[:-1] * 256 + a[1:]) % bits if len(a) > 1 else a[:0]
+            grids.append(np.bincount(bg, minlength=bits))
+        return pd.Series(grids)
+
+    with_hist = media.withColumn("hist", hist("payload")).cache()
+    totals = (
+        with_hist.select(F.posexplode("hist").alias("pos", "c"))
+        .groupBy("pos")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy("pos")
+        .collect()
+    )  # bounded: exactly 5*width rows
+    corpus_cnt = [int(r["tc"]) for r in totals]
+    corpus_bytes = sum(corpus_cnt)
+    band_exprs = []
+    for k in range(PHASH_BANDS):
+        terms = " + ".join(
+            f"CASE WHEN element_at(hist, {k * width + j + 1}) * {corpus_bytes}L"
+            f" > {corpus_cnt[k * width + j]}L * greatest(byte_len - 1, 0L)"
+            f" THEN {1 << j}L ELSE 0L END"
+            for j in range(width)
+        )
+        band_exprs.append(f"({terms}) AS b{k}")
+    out = with_hist.selectExpr("media_id", *band_exprs).select(
+        "media_id", F.array(*[f"b{k}" for k in range(PHASH_BANDS)]).alias("bands")
+    ).localCheckpoint(eager=True)
+    with_hist.unpersist()
+    return out
+
+
+def phash_neardup_pairs_wide(
+    media: DataFrame, width: int, hamming_max: int = PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Banded near-dup pairs over the adaptive-width fingerprint — the
+    mm_phash_neardup plan shape (explode 5 band keys, bucket equi-join,
+    XOR-popcount verify, threshold) with Hamming summed across band
+    words. Pigeonhole losslessness is the same argument: hamming_max
+    < 5 bands means a qualifying pair agrees exactly on >= 1 band."""
+    assert hamming_max < PHASH_BANDS  # losslessness precondition
+    fps = phash_media_wide(media, width)
+    sig = fps.select(
+        "media_id", "bands", F.posexplode("bands").alias("band", "bval")
+    )
+    a = sig.select(
+        F.col("media_id").alias("media_a"), F.col("bands").alias("bands_a"),
+        "band", "bval",
+    )
+    b = sig.select(
+        F.col("media_id").alias("media_b"), F.col("bands").alias("bands_b"),
+        "band", "bval",
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "bands_a", "bands_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, h: acc + h,
+    ).cast("int")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .dropDuplicates(["media_a", "media_b"])
+        .select("media_a", "media_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
     )
 
 

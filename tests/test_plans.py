@@ -296,3 +296,55 @@ def test_rep_ngram_no_join_blowup(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_phash_wide_lossless_vs_numpy_reference(spark, sf_oracle):
+    """Adaptive-width phash (the at-scale variant, r10): the banded
+    pair set at width=12 must equal a driver-side numpy ALL-PAIRS
+    Hamming filter over independently recomputed fingerprints — the
+    pigeonhole-losslessness proof plus the multi-word bit arithmetic
+    in one check — and the plan must stay bucket-joined (no cartesian).
+    phash_width_for sizes bands to the corpus with a floor of 10."""
+    import numpy as np
+
+    from ftp_blueprints_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        phash_neardup_pairs_wide,
+        phash_width_for,
+        to_media_table,
+    )
+    from ftp_blueprints_spark.session import load_table
+
+    assert phash_width_for(1000) == 10  # floor
+    assert phash_width_for(10**8) == 27  # ~log2(n): O(1) bucket load
+
+    width = 12
+    bits = 5 * width
+    media = to_media_table(load_table(spark, sf_oracle, "documents"))
+    df = phash_neardup_pairs_wide(media, width)
+    got = {(r["media_a"], r["media_b"], r["hamming"]) for r in df.collect()}
+
+    rows = media.select("media_id", "payload").collect()
+    ids = np.array([r["media_id"] for r in rows])
+    hists = np.zeros((len(rows), bits), dtype=np.int64)
+    for i, r in enumerate(rows):
+        a = np.frombuffer(bytes(r["payload"]), dtype=np.uint8).astype(np.int64)
+        bg = (a[:-1] * 256 + a[1:]) % bits if len(a) > 1 else a[:0]
+        hists[i] = np.bincount(bg, minlength=bits)
+    tot = hists.sum(axis=1, keepdims=True)
+    corpus = hists.sum(axis=0)
+    cb = int(corpus.sum())
+    fp_bits = (hists * cb) > (corpus[None, :] * tot)  # (n, bits) bool
+    want = set()
+    for i in range(len(rows)):
+        ham = (fp_bits[i + 1:] != fp_bits[i]).sum(axis=1)
+        for j in np.nonzero(ham <= PHASH_HAMMING_MAX)[0]:
+            a_id, b_id = int(ids[i]), int(ids[i + 1 + j])
+            lo, hi = min(a_id, b_id), max(a_id, b_id)
+            want.add((lo, hi, int(ham[j])))
+    assert got == want
+    assert want  # non-vacuous: the corpus has qualifying pairs at w=12
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

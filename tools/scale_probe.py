@@ -13,11 +13,13 @@ cost curve would sink a real scale-up and earns a fix next round.
 
 Synthesis model (10 shards, replica r = 0..9):
 - documents: replica 0 is the fixture; replica r>0 suffixes EVERY
-  token with "~r", so shingle sets are DISJOINT across replicas —
-  the 10x corpus behaves like 10 unrelated shards, each carrying the
-  original intra-shard duplicate structure (the natural shape of a
-  10x crawl, and the honest one for dedup probes: near-dup density
-  per shard is unchanged). doc_id offsets by r * stride.
+  token with "~" + two letters keyed by (token, replica) — shingle
+  sets disjoint across replicas up to negligible crc collisions, and
+  byte-level media fingerprints decorrelate on both axes (v6, see
+  _replica_suffix) — the 10x corpus behaves like 10 unrelated shards,
+  each carrying the original intra-shard duplicate structure (the
+  natural shape of a 10x crawl, and the honest one for dedup AND
+  media probes). doc_id offsets by r * stride.
 - embeddings: replica r rotates each vector's components by r
   positions. Rotation preserves norms and all within-replica pairwise
   dots exactly (each shard has identical neighbor structure) while
@@ -40,11 +42,68 @@ import shutil
 import sys
 import time
 
+import pandas as pd
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 BASE_SF_DIR = "/root/testdata/sf0.1"
+
+def _replica_suffix(col, r: int):
+    """v6 replica transform: suffix every whitespace token with "~" +
+    TWO LETTERS keyed by crc32 of (base token, replica) — replacing
+    v3's "~r".  Chosen by MEASURED fingerprint prototyping over three
+    candidate transforms (offline numpy, 3-replica corpus, qualifying
+    pairs at Hamming <= 4 split within/cross replica):
+
+      v3  "~r" suffix            within  2,895  cross 5,283
+      v5  token-keyed scramble   within 557,298 cross     0
+      v6  (token, r)-keyed "~xy" within  2,349  cross     1
+
+    Why each failed/works: phash bits reference the CORPUS-wide bigram
+    share, so (a) v3's replica-constant 2-3 byte suffix leaves same-
+    base-doc fingerprints near-identical across replicas (~mult^2
+    cross pairs, the r9 718x artifact), while (b) any transform that
+    renders a replica's HIGH-TF token mass into replica-specific bins
+    (v5's scramble; equally a replica-keyed letter map, measured
+    297 -> 12M within pairs at 10x) hands every doc in the replica one
+    shared signature relative to the flattened corpus mean, freezing
+    the per-doc bits.  Keying the suffix by (token, replica) spreads
+    each replica's suffix mass over many letter-letter bins with no
+    concentrated replica signature (aggregate suffix distribution ~
+    uniform in every replica), yet same-base docs differ across
+    replicas in EVERY token's suffix bins — the independent-shards
+    shape on both axes.
+
+    Text-workload preservation: equal tokens within a replica suffix
+    identically (tf/df/shingle/near-dup structure exact); token and
+    doc lengths shift by one constant char vs v3.  Cross-replica
+    token disjointness becomes probabilistic instead of guaranteed:
+    a base token type collides between two replicas w.p. 1/676, so
+    ~0.15% of types per replica pair share a surface form — a shared
+    SHINGLE needs n adjacent colliding types ((1/676)^3 per type
+    triple, ~0.1 expected shared shingles corpus-wide), so dedup pair
+    structure is untouched (dd_minhash_lsh re-measured e = -0.07 at
+    10x under the new corpus, confirming prior text entries hold)."""
+    import zlib
+
+    import pyspark.sql.functions as F
+
+    lower = "abcdefghijklmnopqrstuvwxyz"
+
+    @F.pandas_udf("string")
+    def suffix(texts: pd.Series) -> pd.Series:
+        def tx(t: str) -> str:
+            out = []
+            for tok in t.split(" "):
+                h = zlib.crc32(f"{tok}|{r}".encode())
+                out.append(f"{tok}~{lower[h % 26]}{lower[(h // 26) % 26]}")
+            return " ".join(out)
+
+        return texts.map(tx)
+
+    return suffix(col)
 
 
 def scaled_dir(mult: int) -> str:
@@ -69,7 +128,7 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
     import pyspark.sql.functions as F
 
     marker = os.path.join(dest, "_SYNTH_OK")
-    if os.path.isfile(marker) and open(marker).read().strip() == f"v3:{mult}":
+    if os.path.isfile(marker) and open(marker).read().strip() == f"v6:{mult}":
         return
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
@@ -107,13 +166,11 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
             doc_parts.append(docs)
             emb_parts.append(emb)
             continue
-        text_r = F.array_join(
-            F.transform(
-                F.split(F.col("text"), " "),
-                lambda t: F.concat(t, F.lit(f"~{r}")),
-            ),
-            " ",
-        )
+        # v6: (token, replica)-keyed letter suffix — keeps every text
+        # workload shape while decorrelating the byte-bigram media
+        # fingerprints on BOTH axes (see _replica_suffix for the
+        # measured three-way comparison that selected this transform)
+        text_r = _replica_suffix(F.col("text"), r)
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(r * stride)).alias("doc_id"),
@@ -203,7 +260,7 @@ def synthesize(spark, src: str, dest: str, mult: int) -> None:
         os.path.join(dest, "events.parquet")
     )
     with open(marker, "w") as fh:
-        fh.write(f"v3:{mult}")
+        fh.write(f"v6:{mult}")
 
 
 def main() -> None:
