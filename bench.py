@@ -151,6 +151,13 @@ BUDGETS = {
     # per-query GC purge landed: r4 clean in-bench times are 2.3s
     # (download) / 1.3s (ingest); budgets are ~2x those
     "pipe_download": 5.0,
+    # cold/warm gap profiled r10 (the largest ratio among headliners,
+    # 5.2-6.5 s cold vs ~1.3 s warm): a fresh-JVM sub-phase split
+    # measured plan-only first load() = 2.8 s — one-time Python
+    # DataSource session init (driver-side plan-runner spawn + cold
+    # pyspark imports), NOT per-job work — with runs settling
+    # 3.6 -> 1.6 -> 1.3 s.  The warm budget below is correct as is;
+    # first_runs in the artifact carry the init visibly.
     "pipe_ingest_csv": 3.0,
     "ev_view_click_join": 2.0,
     "sk_cms_heavy_hitters": 2.0,
