@@ -402,44 +402,12 @@ def phash_media(media: DataFrame) -> DataFrame:
     columns join ``fp`` back on media_id — a broadcast-sized join at
     any corpus scale where the fingerprints fit one machine, a plain
     equi-join beyond."""
-    from pyspark.sql.types import ArrayType, LongType
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def hist(payload: pd.Series) -> pd.Series:
-        # histogram of byte BIGRAMS (b1*256+b2 mod BITS): single bytes
-        # of text payloads occupy ~30 of 256 values, leaving whole bins
-        # permanently empty (constant fingerprint bits degenerate the
-        # LSH bands — one empty band bucketed the entire corpus
-        # together); bigram support covers every bin and encodes local
-        # ordering, the role the DCT plays in a real pHash. One flat
-        # bincount per Arrow batch — no per-row Python loop.
-        bufs = payload.to_numpy()
-        grids = []
-        for buf in bufs:
-            a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
-            bg = (a[:-1] * 256 + a[1:]) % PHASH_BITS if len(a) > 1 else a[:0]
-            grids.append(np.bincount(bg, minlength=PHASH_BITS))
-        return pd.Series(grids)
-
     # cache: the totals pass below and the caller's main job both
     # consume the histograms; without this the Arrow pass runs twice
-    with_hist = media.withColumn("hist", hist("payload")).cache()
-    totals = (
-        with_hist.select(F.posexplode("hist").alias("pos", "c"))
-        .groupBy("pos")
-        .agg(F.sum("c").alias("tc"))
-        .orderBy("pos")
-        .collect()
-    )  # bounded: exactly PHASH_BITS rows
-    corpus_cnt = [int(r["tc"]) for r in totals]
-    corpus_bytes = sum(corpus_cnt)  # total bigrams across the corpus
-    # greatest(byte_len-1, 0): an empty payload has ZERO bigrams, not
-    # -1 — without the clamp its compare is 0 > -tc (every bit set) and
-    # the corpus total drifts from the histogram sum by one per empty
-    # doc, skewing every OTHER document's threshold too.
+    with_hist = media.withColumn("hist", _phash_hist_udf(PHASH_BITS)("payload")).cache()
+    corpus_cnt, corpus_bytes = _phash_totals(with_hist)
     bit_terms = " + ".join(
-        f"CASE WHEN element_at(hist, {i + 1}) * {corpus_bytes}L > "
-        f"{corpus_cnt[i]}L * greatest(byte_len - 1, 0L) THEN {1 << i}L ELSE 0L END"
+        _phash_bit_term(i, 1 << i, corpus_bytes, corpus_cnt)
         for i in range(PHASH_BITS)
     )
     fp = with_hist.select("media_id", F.expr(bit_terms).alias("fp")).localCheckpoint(
@@ -447,6 +415,60 @@ def phash_media(media: DataFrame) -> DataFrame:
     )
     with_hist.unpersist()
     return fp
+
+
+def _phash_hist_udf(bits: int):
+    """Arrow-batched byte-BIGRAM histogram UDF shared by the 48-bit and
+    adaptive-width fingerprints: single bytes of text payloads occupy
+    ~30 of 256 values, leaving whole bins permanently empty (constant
+    fingerprint bits degenerate the LSH bands — one empty band bucketed
+    the entire corpus together); bigram support (b1*256+b2 mod bits)
+    covers every bin and encodes local ordering, the role the DCT plays
+    in a real pHash. One flat bincount per Arrow batch — no per-row
+    Python loop."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def hist(payload: pd.Series) -> pd.Series:
+        grids = []
+        for buf in payload.to_numpy():
+            a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+            bg = (a[:-1] * 256 + a[1:]) % bits if len(a) > 1 else a[:0]
+            grids.append(np.bincount(bg, minlength=bits))
+        return pd.Series(grids)
+
+    return hist
+
+
+def _phash_totals(with_hist: DataFrame) -> tuple[list[int], int]:
+    """Corpus-wide per-bin totals + total bigram count — one bounded
+    collect (exactly as many rows as fingerprint bins), the same
+    bounded-collect class as the IVF centroid literals."""
+    totals = (
+        with_hist.select(F.posexplode("hist").alias("pos", "c"))
+        .groupBy("pos")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy("pos")
+        .collect()
+    )
+    corpus_cnt = [int(r["tc"]) for r in totals]
+    return corpus_cnt, sum(corpus_cnt)
+
+
+def _phash_bit_term(bin_idx: int, weight: int, corpus_bytes: int, corpus_cnt: list) -> str:
+    """One fingerprint bit as a SQL CASE term: bit set iff the doc's
+    share of this bin exceeds the corpus share, compared by integer
+    cross-multiply. greatest(byte_len-1, 0): an empty payload has ZERO
+    bigrams, not -1 — without the clamp its compare is 0 > -tc (every
+    bit set) and the corpus total drifts from the histogram sum by one
+    per empty doc, skewing every OTHER document's threshold too.
+    Shared by phash_media (weight = 1 << global bit) and
+    phash_media_wide (weight = 1 << within-band bit) so the threshold
+    rule can never drift between the two production fingerprints."""
+    return (
+        f"CASE WHEN element_at(hist, {bin_idx + 1}) * {corpus_bytes}L > "
+        f"{corpus_cnt[bin_idx]}L * greatest(byte_len - 1, 0L) THEN {weight}L ELSE 0L END"
+    )
 
 
 def _mm_phash_oracle() -> str:
@@ -609,35 +631,13 @@ def phash_media_wide(media: DataFrame, width: int) -> DataFrame:
     XOR popcounts (bands partition the bits). Same two narrow passes
     as phash_media: one Arrow bincount, one constant-size (5*width
     rows) totals aggregate baked into the bit compare."""
-    from pyspark.sql.types import ArrayType, LongType
-
     bits = 5 * width
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def hist(payload: pd.Series) -> pd.Series:
-        grids = []
-        for buf in payload.to_numpy():
-            a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
-            bg = (a[:-1] * 256 + a[1:]) % bits if len(a) > 1 else a[:0]
-            grids.append(np.bincount(bg, minlength=bits))
-        return pd.Series(grids)
-
-    with_hist = media.withColumn("hist", hist("payload")).cache()
-    totals = (
-        with_hist.select(F.posexplode("hist").alias("pos", "c"))
-        .groupBy("pos")
-        .agg(F.sum("c").alias("tc"))
-        .orderBy("pos")
-        .collect()
-    )  # bounded: exactly 5*width rows
-    corpus_cnt = [int(r["tc"]) for r in totals]
-    corpus_bytes = sum(corpus_cnt)
+    with_hist = media.withColumn("hist", _phash_hist_udf(bits)("payload")).cache()
+    corpus_cnt, corpus_bytes = _phash_totals(with_hist)
     band_exprs = []
     for k in range(PHASH_BANDS):
         terms = " + ".join(
-            f"CASE WHEN element_at(hist, {k * width + j + 1}) * {corpus_bytes}L"
-            f" > {corpus_cnt[k * width + j]}L * greatest(byte_len - 1, 0L)"
-            f" THEN {1 << j}L ELSE 0L END"
+            _phash_bit_term(k * width + j, 1 << j, corpus_bytes, corpus_cnt)
             for j in range(width)
         )
         band_exprs.append(f"({terms}) AS b{k}")

@@ -1104,10 +1104,17 @@ def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
         assigned.write.mode("overwrite").partitionBy("cid").parquet(
             os.path.join(tmp, "lists")
         )
-        # per-cid training stats (member count + integer cos sum):
-        # the fixed yardstick ivf_append's drift metric diffs against
-        # without rescanning the standing lists
-        _assign_cos_stats(assigned, cents).write.mode("overwrite").parquet(
+        # per-cid training stats (member count + integer cos sum): the
+        # fixed yardstick ivf_append's drift metric diffs against.
+        # Computed from the lists JUST WRITTEN, not from `assigned` —
+        # re-executing that frame would re-run the full corpus
+        # scan+argmax a second time (the portable_centroids double-pass
+        # class), and read-back is ivf_append's durable-truth
+        # discipline anyway.
+        landed = spark.read.parquet(os.path.join(tmp, "lists")).select(
+            "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
+        )
+        _assign_cos_stats(landed, cents).write.mode("overwrite").parquet(
             os.path.join(tmp, "stats")
         )
 

@@ -188,7 +188,12 @@ class FTPClient(RemoteClient):
             pass
 
 
-_PERM_MARKERS = ("permission", "denied", "access", "privilege", "forbidden")
+_PERM_MARKERS = (
+    "permission", "denied", "access", "privilege", "forbidden",
+    # strerror-derived texts: proftpd maps EPERM to "Operation not
+    # permitted"; other servers say "not authorized"
+    "permitted", "authorized",
+)
 
 
 def is_missing_folder_error(exc: BaseException) -> bool:

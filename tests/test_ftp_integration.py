@@ -687,6 +687,8 @@ def test_missing_folder_error_discrimination():
         ftplib.error_perm("550 Permission denied"),
         ftplib.error_perm("550 Access is denied."),
         ftplib.error_perm("550 insufficient privileges"),
+        ftplib.error_perm("550 /var/data: Operation not permitted"),
+        ftplib.error_perm("550 user not authorized"),
         ftplib.error_perm("530 Not logged in"),
         ftplib.error_perm("501 Syntax error"),
         ftplib.error_temp("421 Service not available"),
