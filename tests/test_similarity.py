@@ -678,3 +678,47 @@ def test_ivf_append_serves_new_vectors_idempotently(spark, sf_oracle, tmp_path):
         tuple(r) for r in S.sim_ivf_incremental(spark, sf_oracle).collect()
     }
     assert drift == want  # (4)
+
+
+def test_ivf_append_drift_sign_detects_shift(spark, tmp_path):
+    """The drift metric must actually signal distribution shift: on an
+    index trained over 16 tight basis-aligned clusters, appending a
+    snapshot of ON-DISTRIBUTION vectors (the cluster bases themselves)
+    yields non-negative per-cid drift, while appending OFF-DISTRIBUTION
+    vectors (uniform direction, cosine ~1/8 to every basis) yields
+    strictly negative drift for every appended cid — the retrain
+    trigger the docstring promises."""
+    import numpy as np
+
+    DIM = S.DIM
+    K = S.IVF_K
+    rng_free = []
+    # corpus: 16 basis clusters; seeds (lowest vec_ids) are the bases
+    for k in range(K):
+        e = np.zeros(DIM, dtype=np.float64)
+        e[k] = 1.0
+        rng_free.append(e)
+    for k in range(K):
+        for j in range(3):  # 3 more members, tightly around the base
+            v = np.zeros(DIM, dtype=np.float64)
+            v[k] = 1.0
+            v[(k + j + 1) % DIM] = 0.05
+            rng_free.append(v / np.linalg.norm(v))
+    _write_crafted_embeddings(tmp_path / "embeddings.parquet", rng_free)
+    idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+
+    def snap(vectors, base_id):
+        return spark.createDataFrame(
+            [(base_id + i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    on_dist = [np.eye(DIM)[k] for k in range(K)]  # exactly the bases
+    drift_on = S.ivf_append(spark, idx, snap(on_dist, 1000), batch_id=1).collect()
+    appended_on = [r for r in drift_on if r["n_new"] > 0]
+    assert appended_on and all(r["drift_num_mu"] >= 0 for r in appended_on)
+
+    uniform = np.ones(DIM) / np.sqrt(DIM)  # cos ~ 1/8 to every basis
+    drift_off = S.ivf_append(spark, idx, snap([uniform] * 8, 2000), batch_id=2).collect()
+    appended_off = [r for r in drift_off if r["n_new"] > 0]
+    assert appended_off and all(r["drift_num_mu"] < 0 for r in appended_off)
