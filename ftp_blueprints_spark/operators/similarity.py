@@ -1299,13 +1299,19 @@ def ivf_append(
         "bid", F.lit(int(batch_id)).cast("bigint")
     )
     out = os.path.join(index_dir, "appends")
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        assigned.write.mode("overwrite").partitionBy("bid", "cid").parquet(out)
-    finally:
-        spark.conf.set(mode_key, old)
+    # per-writer option, NOT the session conf: the conf spelling
+    # silently fell back to static overwrite here (each batch wiped
+    # every earlier batch's partitions — caught by the multi-bid
+    # streaming twin test; the single-batch replay test couldn't see
+    # it because rewriting the whole dir with the same bid's content
+    # is indistinguishable from rewriting one partition). The option
+    # form is the one run_incremental_exact_stream has proven.
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid", "cid")
+        .parquet(out)
+    )
     landed = (
         spark.read.parquet(out)
         .filter(F.col("bid") == int(batch_id))
@@ -1313,6 +1319,50 @@ def ivf_append(
     )
     base_stats = spark.read.parquet(os.path.join(index_dir, "stats"))
     return _drift_report(base_stats, _assign_cos_stats(landed, cents))
+
+
+def run_incremental_ivf_stream(
+    spark: SparkSession,
+    index_dir: str,
+    source: DataFrame,
+    timeout_s: int = 300,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin of the incremental IVF maintenance — the
+    run_incremental_exact_stream shape applied to vectors: arriving
+    embedding snapshots stream through a foreachBatch ivf_append, so
+    each micro-batch assigns against the FROZEN persisted centroids
+    (zero shuffle) and lands its inverted-list rows under
+    (bid=batch_id, cid) dynamic partition overwrites. At-least-once
+    redelivery rewrites exactly its own bid partitions (idempotent),
+    and a checkpoint restart resumes from the committed batch — both
+    proven in tests/test_streaming.py. Serving reads
+    ivf_lists_with_appends at any point and sees every vector appended
+    so far; the standing lists are never rescanned or rewritten.
+
+    The per-batch drift report ivf_append builds is lazy and unused
+    here — no extra job runs; callers wanting per-batch drift telemetry
+    call ivf_append directly from their own foreachBatch."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append(spark, index_dir, batch_df, batch_id)
+
+    q = (
+        source.writeStream.foreachBatch(append)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(index_dir, "_append_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"incremental IVF stream did not drain within {timeout_s}s"
+        )
+    return q
 
 
 def ivf_lists_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:

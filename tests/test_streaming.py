@@ -1218,3 +1218,116 @@ def test_concurrency_bucketed_equals_naive_property():
         assert bucketed_max == naive_max
 
     check()
+
+
+def test_incremental_ivf_stream_multi_microbatch_and_restart(spark, sf_oracle, tmp_path):
+    """The incremental ANN index under REAL streaming maintenance:
+    build an IVF index on the corpus half, stream the snapshot half as
+    three vec_id-ordered micro-batches through the foreachBatch
+    ivf_append twin, and require the served lists to hold exactly
+    corpus ∪ snapshot with every appended vector in the list its direct
+    frozen-centroid assignment names. Then prove the recovery story:
+    a direct replay of the last committed batch leaves the lists
+    bit-identical (dynamic (bid, cid) overwrite), and a RESTART on the
+    same checkpoint after a fourth file lands processes only the new
+    file while earlier appends survive."""
+    import os
+
+    from ftp_blueprints_spark.operators import similarity as S
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap_rows = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+
+    third = len(snap_rows) // 3
+    chunks = [snap_rows[:third], snap_rows[third:2 * third], snap_rows[2 * third:]]
+    src_dir = tmp_path / "emb_parts"
+
+    def land(i, rows):
+        out = str(src_dir / f"part{i}")
+        spark.createDataFrame(
+            [(r["vec_id"], r["embedding"], r["label"]) for r in rows],
+            emb.select("vec_id", "embedding", "label").schema,
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
+
+    for i, rows in enumerate(chunks):
+        land(i, rows)
+
+    def src():
+        return (
+            spark.readStream.schema(emb.select("vec_id", "embedding", "label").schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+
+    ckpt = str(tmp_path / "ivf_ckpt")
+    q = S.run_incremental_ivf_stream(spark, idx, src(), checkpoint_dir=ckpt)
+    _assert_multi_batch(q, 3)
+
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    snap_df = emb.filter(F.col("vec_id") % 2 == 1)
+    direct = {
+        (r["vec_id"], r["cid"])
+        for r in S.ivf_assign(snap_df, cents, round_digits=6).collect()
+    }
+    served = S.ivf_lists_with_appends(spark, idx)
+    appended = {
+        (r["vec_id"], r["cid"])
+        for r in served.filter(F.col("vec_id") % 2 == 1).collect()
+    }
+    assert appended == direct
+    assert served.count() == emb.count()  # corpus ∪ snapshot, nothing else
+
+    # replay idempotency: re-append the LAST committed batch directly
+    def lists_key(df):
+        return {
+            (r["vec_id"], r["cid"], tuple(r["embedding"]))
+            for r in df.collect()
+        }
+
+    lists_before = lists_key(served)
+    last_bid = max(
+        r["bid"]
+        for r in spark.read.parquet(os.path.join(idx, "appends"))
+        .select("bid").distinct().collect()
+    )
+    replay_df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in chunks[-1]],
+        emb.select("vec_id", "embedding", "label").schema,
+    )
+    S.ivf_append(spark, idx, replay_df, batch_id=last_bid)
+    assert lists_key(S.ivf_lists_with_appends(spark, idx)) == lists_before
+
+    # restart: land NEW vectors (ids beyond the fixture), same checkpoint
+    new_rows = [
+        (1_000_000 + i, r["embedding"], r["label"])
+        for i, r in enumerate(snap_rows[:5])
+    ]
+    out4 = str(src_dir / "part3")
+    spark.createDataFrame(
+        new_rows, emb.select("vec_id", "embedding", "label").schema
+    ).coalesce(1).write.mode("overwrite").parquet(out4)
+    for f in os.listdir(out4):
+        os.utime(os.path.join(out4, f), (1_700_000_003,) * 2)
+    S.run_incremental_ivf_stream(spark, idx, src(), checkpoint_dir=ckpt)
+    final = S.ivf_lists_with_appends(spark, idx)
+    assert final.count() == emb.count() + len(new_rows)
+    assert final.filter(F.col("vec_id") >= 1_000_000).count() == len(new_rows)
+    # earlier appends untouched by the restarted run
+    assert {
+        (r["vec_id"], r["cid"])
+        for r in final.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1_000_000)
+        ).collect()
+    } == direct
