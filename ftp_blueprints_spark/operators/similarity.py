@@ -1321,6 +1321,53 @@ def ivf_append(
     return _drift_report(base_stats, _assign_cos_stats(landed, cents))
 
 
+def ivf_compact(spark: SparkSession, index_dir: str) -> bool:
+    """Fold every appended snapshot into the base inverted lists and
+    clear ``appends`` — the periodic maintenance that bounds the
+    small-files growth of a long-appended index (each streamed batch
+    adds one file per touched (bid, cid) partition; a year of hourly
+    appends is ~10^4 files per hot cell without this). Serving through
+    ivf_lists_with_appends is IDENTICAL before and after: compaction
+    moves rows between layouts, never changes them. The training
+    ``stats`` are deliberately untouched — they are the frozen
+    training-time drift yardstick, not a rolling mean (folding appended
+    members in would let gradual drift recalibrate its own alarm).
+
+    Returns False (no-op) when there is nothing to fold.  Crash
+    discipline: merged lists land in a unique temp dir first, then a
+    two-rename swap (lists -> lists.old, tmp -> lists) followed by
+    removing appends and the backup.  A crash between the renames
+    leaves ``lists`` missing with ``lists.old.*`` present — the next
+    call (or reader via this function) restores the backup before
+    retrying, and appends are only removed AFTER the new lists are in
+    place, so no committed row is ever lost mid-crash."""
+    import shutil
+    import uuid
+
+    lists_dir = os.path.join(index_dir, "lists")
+    # crash recovery: a previous compaction died between its renames
+    if not os.path.isdir(lists_dir):
+        backups = sorted(
+            d for d in os.listdir(index_dir) if d.startswith("lists.old.")
+        )
+        if not backups:
+            raise FileNotFoundError(f"no lists under {index_dir}")
+        os.rename(os.path.join(index_dir, backups[-1]), lists_dir)
+    ap = os.path.join(index_dir, "appends")
+    if not os.path.isdir(ap):
+        return False
+    merged = ivf_lists_with_appends(spark, index_dir)
+    tag = uuid.uuid4().hex[:8]
+    tmp = os.path.join(index_dir, f"lists.compacting.{tag}")
+    merged.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    old = os.path.join(index_dir, f"lists.old.{tag}")
+    os.rename(lists_dir, old)
+    os.rename(tmp, lists_dir)
+    shutil.rmtree(ap)
+    shutil.rmtree(old)
+    return True
+
+
 def run_incremental_ivf_stream(
     spark: SparkSession,
     index_dir: str,

@@ -722,3 +722,50 @@ def test_ivf_append_drift_sign_detects_shift(spark, tmp_path):
     drift_off = S.ivf_append(spark, idx, snap([uniform] * 8, 2000), batch_id=2).collect()
     appended_off = [r for r in drift_off if r["n_new"] > 0]
     assert appended_off and all(r["drift_num_mu"] < 0 for r in appended_off)
+
+
+def test_ivf_compact_preserves_serving(spark, sf_oracle, tmp_path):
+    """Compaction is pure layout: fold appends into the base lists and
+    the served row set (ids, cids, embeddings) is identical; appends
+    are gone, a second compact is a no-op, further appends still work,
+    and the interrupted-swap recovery path restores a backup."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    S.ivf_append(spark, idx, snap.filter(F.col("vec_id") % 4 == 1), batch_id=0)
+    S.ivf_append(spark, idx, snap.filter(F.col("vec_id") % 4 == 3), batch_id=1)
+
+    def served_key():
+        return {
+            (r["vec_id"], r["cid"], tuple(r["embedding"]))
+            for r in S.ivf_lists_with_appends(spark, idx).collect()
+        }
+
+    before = served_key()
+    assert S.ivf_compact(spark, idx) is True
+    assert served_key() == before
+    assert not os.path.isdir(os.path.join(idx, "appends"))
+    assert S.ivf_compact(spark, idx) is False  # nothing left to fold
+    # the compacted index keeps accepting appends
+    extra = snap.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    S.ivf_append(spark, idx, extra, batch_id=2)
+    assert len(served_key()) == len(before) + 3
+    # interrupted swap: lists renamed away, backup left behind — the
+    # next call must restore it and fold the pending appends
+    os.rename(
+        os.path.join(idx, "lists"), os.path.join(idx, "lists.old.deadbeef")
+    )
+    assert S.ivf_compact(spark, idx) is True
+    assert served_key() == before | {
+        (r["vec_id"], r["cid"], tuple(r["embedding"]))
+        for r in S.ivf_lists_with_appends(spark, idx)
+        .filter(F.col("vec_id") >= 1_000_000).collect()
+    }

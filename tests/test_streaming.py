@@ -1331,3 +1331,62 @@ def test_incremental_ivf_stream_multi_microbatch_and_restart(spark, sf_oracle, t
             (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1_000_000)
         ).collect()
     } == direct
+
+
+def test_dwell_group_scan_property_vs_naive():
+    """Property: for ANY event multiset (duplicate timestamps included),
+    ANY chunking, ANY within-chunk order, and ANY legal carried state,
+    _dwell_group_scan equals the naive reference — sort globally by
+    (ts, event_id), prepend carried, pair adjacent rows, attribute each
+    spell to the type being left. Generalizes the hand-crafted
+    chunk-order fixtures."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),  # ts_us (ties likely)
+                st.sampled_from(["view", "click", "buy"]),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        st.randoms(use_true_random=False),
+        st.booleans(),
+    )
+    def check(raw, rnd, with_carried):
+        rows = [(ts, 1000 + i, ty) for i, (ts, ty) in enumerate(raw)]
+        carried = None
+        if with_carried:
+            lo = min(r[:2] for r in rows)
+            # legal carried: strictly below the batch minimum (ts, id)
+            carried = (max(lo[0] - 1, 0), 1, "buy") if lo[0] > 0 else None
+        # naive reference
+        ordered = sorted(rows)
+        if carried is not None:
+            ordered = [carried, *ordered]
+        want: dict = {}
+        for (us_a, _, ty_a), (us_b, _, _) in zip(ordered, ordered[1:]):
+            n, tot = want.get(ty_a, (0, 0))
+            want[ty_a] = (n + 1, tot + (us_b - us_a))
+        want_tail = ordered[-1]
+        # adversarial delivery: shuffled rows, random chunk boundaries
+        shuffled = rows[:]
+        rnd.shuffle(shuffled)
+        chunks, i = [], 0
+        while i < len(shuffled):
+            step = rnd.randint(1, len(shuffled) - i)
+            chunks.append(shuffled[i:i + step])
+            i += step
+        if rnd.random() < 0.3:
+            chunks.insert(rnd.randint(0, len(chunks)), [])  # empty chunk
+        pdfs = [
+            pd.DataFrame(c, columns=["ts_us", "event_id", "event_type"])
+            for c in chunks
+        ]
+        agg, tail = E._dwell_group_scan(iter(pdfs), carried)
+        assert (agg, tail) == (want, want_tail)
+
+    check()
