@@ -2440,15 +2440,27 @@ def stream_concurrency(
                     )
                 ]
             )
+        end_ms = ((bucket + 1) * CONCURRENCY_BUCKET_US) // 1000
         if state.exists:
             pus, deltas = list(state.get[0]), list(state.get[1])
         else:
+            # applyInPandasWithState does NOT pre-filter input rows
+            # below the watermark (verified by the out-of-order test:
+            # sub-watermark arrivals reach the function) — which is
+            # what lets in-flight buckets absorb disorder, but also
+            # means a row arriving AFTER its bucket finalized would
+            # silently RESURRECT the key and emit the bucket a second
+            # time in append mode (double-counted downstream).  A
+            # missing state with the watermark already past bucket_end
+            # is exactly that case — drop, per the watermark contract
+            # for data late beyond the horizon.
+            if state.getCurrentWatermarkMs() >= end_ms:
+                return iter(())
             pus, deltas = [], []
         for pdf in pdf_iter:
             pus.extend(int(v) for v in pdf["pus"])
             deltas.extend(int(v) for v in pdf["delta"])
         state.update((pus, deltas))
-        end_ms = ((bucket + 1) * CONCURRENCY_BUCKET_US) // 1000
         # setTimeoutTimestamp must exceed the current watermark; a
         # bucket first seen at/under it finalizes on the next advance
         state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))

@@ -1390,3 +1390,132 @@ def test_dwell_group_scan_property_vs_naive():
         assert (agg, tail) == (want, want_tail)
 
     check()
+
+
+def test_concurrency_stream_tolerates_out_of_order_within_horizon(
+    spark, tmp_path
+):
+    """Pin the docstring claim the chronological harness never
+    exercises: stream_concurrency buffers and re-sorts points at
+    finalization, so arrival order across micro-batches may be
+    ARBITRARY as long as rows stay inside the watermark horizon.
+    Crafted delivery: batch 0 carries LATER events than batch 1 (the
+    displaced rows sit ~30 min before batch 0's max — well inside the
+    1 h delay, so the watermark never drops them), events straddle a
+    6 h bucket boundary, and two types interleave. Finalized buckets
+    must equal the batch sweep's per-bucket rows exactly."""
+    import os
+
+    B = E.CONCURRENCY_BUCKET_US
+    MIN = 60 * 1_000_000
+    # events (type, us): cluster around the first bucket boundary B
+    evs = [
+        ("a", 5 * MIN), ("a", 20 * MIN), ("b", 10 * MIN),
+        ("a", B - 10 * MIN), ("b", B - 5 * MIN),  # spans cross into bucket 1
+        ("a", B + 5 * MIN), ("b", B + 15 * MIN),
+        ("a", B + 40 * MIN), ("b", B + 41 * MIN),
+    ]
+    rows = [
+        (i + 1, ty, us, i + 1, 1.0) for i, (ty, us) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, us long, user_id long, value double"
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id", "event_type", "value"
+    )
+    expected = {
+        tuple(r)
+        for r in E.concurrency_per_bucket(E.concurrency_points(ev)).collect()
+    }
+    # delivery: batch 0 = the LATEST rows, batch 1 = rows ~30-45 min
+    # OLDER than batch 0's max (inside the 1 h horizon), batch 2+3 =
+    # far-future flush sentinels
+    late_first = ev.filter(F.unix_micros("ts") > B)      # newest rows first
+    older_second = ev.filter(F.unix_micros("ts") <= B)   # out-of-order batch
+    src_dir = tmp_path / "ooo_parts"
+    max_us = B + 41 * MIN
+    margin = E.CONCURRENCY_SESSION_US + B + 2 * 3600 * 1_000_000
+    sentinels = [
+        spark.createDataFrame(
+            [(10_000 + j, max_us + margin * (j + 1))], "event_id long, us long"
+        ).selectExpr(
+            "event_id", "timestamp_micros(us) AS ts",
+            "CAST(event_id AS LONG) AS user_id",
+            "'__flush__' AS event_type", "CAST(0.0 AS DOUBLE) AS value",
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+        for j in range(2)
+    ]
+    parts = [
+        late_first.select("event_id", "ts", "user_id", "event_type", "value"),
+        older_second.select("event_id", "ts", "user_id", "event_type", "value"),
+        *sentinels,
+    ]
+    for i, p in enumerate(parts):
+        _land_part(src_dir, i, p)
+    q = E.run_to_memory(
+        E.stream_concurrency(
+            spark, "", source=_ev_file_stream(spark, src_dir)
+        ),
+        "t_conc_ooo",
+        "append",
+    )
+    _assert_multi_batch(q, 4)
+    got = {
+        tuple(r)
+        for r in spark.table("t_conc_ooo")
+        .filter(F.col("event_type") != "__flush__")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_concurrency_stream_never_resurrects_finalized_bucket(spark, tmp_path):
+    """applyInPandasWithState does not pre-filter sub-watermark rows, so
+    without a guard a row arriving AFTER its bucket finalized would
+    re-create the key's state and emit the bucket a SECOND time in
+    append mode — double-counting downstream. Deliver bucket-0 events,
+    advance the watermark past bucket 0's end (it finalizes), then
+    deliver a very late bucket-0 row: the finalized row set must not
+    change, and (type 'a', bucket 0) must appear exactly once."""
+    B = E.CONCURRENCY_BUCKET_US
+    MIN = 60 * 1_000_000
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, us long"
+        ).selectExpr(
+            "event_id", "timestamp_micros(us) AS ts",
+            "CAST(event_id AS LONG) AS user_id", "event_type",
+            "CAST(1.0 AS DOUBLE) AS value",
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+
+    margin = E.CONCURRENCY_SESSION_US + B + 2 * 3600 * 1_000_000
+    src_dir = tmp_path / "resur_parts"
+    parts = [
+        frame([(1, "a", 5 * MIN), (2, "a", 20 * MIN)]),      # bucket 0
+        frame([(3, "__flush__", 10 * margin)]),              # wm >> bucket 0
+        frame([(4, "__flush__", 11 * margin)]),              # finalize fires
+        frame([(5, "a", 8 * MIN)]),                          # LATE bucket-0 row
+        frame([(6, "__flush__", 12 * margin)]),
+        frame([(7, "__flush__", 13 * margin)]),              # would re-fire
+    ]
+    for i, p in enumerate(parts):
+        _land_part(src_dir, i, p)
+    E.run_to_memory(
+        E.stream_concurrency(spark, "", source=_ev_file_stream(spark, src_dir)),
+        "t_conc_resur",
+        "append",
+    )
+    out = [
+        tuple(r)
+        for r in spark.table("t_conc_resur")
+        .filter(F.col("event_type") != "__flush__")
+        .collect()
+    ]
+    # exactly the two original events' buckets, each emitted once:
+    # bucket 0 holds both +1s and (2,1): local_max 2; the -1s land in
+    # their 30-min-later positions (same bucket 0 here)
+    a0 = [r for r in out if r[0] == "a" and r[1] == 0]
+    assert len(a0) == 1
+    assert a0[0] == ("a", 0, 2, 0, 4)  # peak 2, net 0, 4 points
+    assert len(out) == len(set(out))  # no bucket emitted twice
