@@ -1519,3 +1519,50 @@ def test_concurrency_stream_never_resurrects_finalized_bucket(spark, tmp_path):
     assert len(a0) == 1
     assert a0[0] == ("a", 0, 2, 0, 4)  # peak 2, net 0, 4 points
     assert len(out) == len(set(out))  # no bucket emitted twice
+
+
+def test_ttl_group_scan_property_vs_naive():
+    """Property sibling of the dwell-scan property: for ANY event
+    multiset, chunking, within-chunk order, and carried last-kept
+    state, _ttl_group_scan equals the naive reference — sort by
+    (ts_us, event_id), keep a row iff no prior KEPT row lies within
+    ttl, seeded from the carried timestamp."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    TTL = 7
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=40),  # ts_us, ties likely
+            min_size=1,
+            max_size=25,
+        ),
+        st.one_of(st.none(), st.integers(min_value=-10, max_value=40)),
+        st.randoms(use_true_random=False),
+    )
+    def check(ts_list, carried, rnd):
+        rows = [(ts, 500 + i) for i, ts in enumerate(ts_list)]
+        # naive reference
+        last = carried
+        want_kept = []
+        for ts, eid in sorted(rows):
+            if last is None or ts - last > TTL:
+                want_kept.append((eid, ts))
+                last = ts
+        want = (want_kept, last)
+        # adversarial delivery
+        shuffled = rows[:]
+        rnd.shuffle(shuffled)
+        chunks, i = [], 0
+        while i < len(shuffled):
+            step = rnd.randint(1, len(shuffled) - i)
+            chunks.append(shuffled[i:i + step])
+            i += step
+        pdfs = [
+            pd.DataFrame(c, columns=["ts_us", "event_id"]) for c in chunks
+        ]
+        assert E._ttl_group_scan(iter(pdfs), carried, TTL) == want
+
+    check()
