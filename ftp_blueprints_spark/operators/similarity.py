@@ -1270,7 +1270,11 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_append(
-    spark: SparkSession, index_dir: str, new_emb: DataFrame, batch_id: int
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    batch_id: int,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Append a NEW embedding snapshot to a persisted IVF index WITHOUT
     retraining: assign against the frozen centroids (zero-shuffle
@@ -1282,9 +1286,19 @@ def ivf_append(
     (dedup.py): the write is a batch_id-keyed DYNAMIC partition
     overwrite, so an at-least-once replay of the same batch rewrites
     exactly its own bid=batch_id partitions instead of duplicating
-    rows — append-only progress with idempotent recovery.  The drift
-    stats are computed from the READ-BACK bid partitions (the durable
-    truth a replay would serve), not the in-flight frame.
+    rows — append-only progress with idempotent recovery.  That
+    guarantee assumes ivf_compact does not run BETWEEN a batch's
+    append and its checkpoint commit (quiesce contract, see
+    ivf_compact): a replay of an already-folded bid re-creates its
+    appends rows next to the folded copies, double-serving them until
+    the next compaction's vec_id dedup heals it.  The drift stats are
+    computed from the READ-BACK bid partition (the durable truth a
+    replay would serve), not the in-flight frame.
+
+    ``cents`` accepts the already-loaded centroid table so a streaming
+    caller pays the parquet read + eager localCheckpoint ONCE per
+    stream instead of once per micro-batch (run_incremental_ivf_stream
+    does this); when omitted they are read from the index.
 
     Serving reads lists ∪ appends (ivf_lists_with_appends); cid stays
     a partition column in both, so nprobe/K file-level pruning holds
@@ -1292,9 +1306,10 @@ def ivf_append(
     maintained dedup index: new data costs assign + append, the
     standing corpus is never rescanned, and drift_num_mu going
     negative is the quantitative retrain trigger."""
-    cents = spark.read.parquet(
-        os.path.join(index_dir, "centroids")
-    ).localCheckpoint(eager=True)
+    if cents is None:
+        cents = spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).localCheckpoint(eager=True)
     assigned = ivf_assign(new_emb, cents, round_digits=6).withColumn(
         "bid", F.lit(int(batch_id)).cast("bigint")
     )
@@ -1312,9 +1327,13 @@ def ivf_append(
         .partitionBy("bid", "cid")
         .parquet(out)
     )
+    # read back ONLY this bid's subtree: listing the whole appends
+    # tree would pay O(all (bid, cid) partitions ever written) file
+    # discovery per micro-batch on a long-lived stream, just to prune
+    # back down to one bid (cid is still discovered as a partition
+    # column under the bid directory)
     landed = (
-        spark.read.parquet(out)
-        .filter(F.col("bid") == int(batch_id))
+        spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}"))
         .select("vec_id", "embedding", F.col("cid").cast("bigint").alias("cid"))
     )
     base_stats = spark.read.parquet(os.path.join(index_dir, "stats"))
@@ -1333,38 +1352,84 @@ def ivf_compact(spark: SparkSession, index_dir: str) -> bool:
     training-time drift yardstick, not a rolling mean (folding appended
     members in would let gradual drift recalibrate its own alarm).
 
+    CONTRACT: run quiesced — no in-flight append stream sitting at an
+    uncommitted checkpoint (stop run_incremental_ivf_stream first; its
+    availableNow drains terminate). An append landing mid-compaction
+    would otherwise be folded-or-not depending on timing, and a
+    replayed batch whose rows were already folded would briefly serve
+    twice. The vec_id-level dedup below heals any such residue at the
+    NEXT compaction, but the window in between is the caller's to
+    avoid — the same single-writer rule table formats impose on
+    OPTIMIZE.
+
     Returns False (no-op) when there is nothing to fold.  Crash
-    discipline: merged lists land in a unique temp dir first, then a
-    two-rename swap (lists -> lists.old, tmp -> lists) followed by
-    removing appends and the backup.  A crash between the renames
-    leaves ``lists`` missing with ``lists.old.*`` present — the next
-    call (or reader via this function) restores the backup before
-    retrying, and appends are only removed AFTER the new lists are in
-    place, so no committed row is ever lost mid-crash."""
+    discipline, in order:
+    * ``appends`` is first renamed ASIDE to ``appends.folding.<tag>``
+      (atomic), so folded rows can never be served from both layouts —
+      a crash at any later point under-serves the in-flight fold
+      (bounded, heals on the next call) instead of double-serving;
+    * the merge reads lists ∪ every ``appends.folding.*`` leftover and
+      DEDUPES on vec_id — assignment is deterministic from the frozen
+      centroids, so duplicate rows are bit-identical and dedup is pure
+      healing (a crash after publish but before cleanup, or a
+      contract-violating replay, leaves duplicates nowhere after the
+      next compact);
+    * publish is the two-rename swap (lists -> lists.old.<monotonic
+      time tag>, tmp -> lists); a crash between the renames leaves
+      ``lists`` missing and the next call restores the NEWEST backup
+      by time tag before retrying;
+    * fold sources and backups are removed only after the new lists
+      are in place, and all stale tmp/backup dirs are swept on the
+      success path, so no committed row is ever lost and no stale
+      backup can shadow a newer one."""
     import shutil
-    import uuid
+    import time
 
     lists_dir = os.path.join(index_dir, "lists")
-    # crash recovery: a previous compaction died between its renames
-    if not os.path.isdir(lists_dir):
-        backups = sorted(
-            d for d in os.listdir(index_dir) if d.startswith("lists.old.")
+
+    def _entries(prefix: str) -> list[str]:
+        return sorted(
+            d for d in os.listdir(index_dir) if d.startswith(prefix)
         )
+
+    # crash recovery: a previous compaction died between its renames —
+    # restore the newest backup (tags are zero-padded nanotime, so
+    # lexicographic max IS the newest)
+    if not os.path.isdir(lists_dir):
+        backups = _entries("lists.old.")
         if not backups:
             raise FileNotFoundError(f"no lists under {index_dir}")
         os.rename(os.path.join(index_dir, backups[-1]), lists_dir)
+    # stale tmp dirs from dead compactions are garbage: never published
+    for d in _entries("lists.compacting."):
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
+    tag = f"{time.time_ns():020d}"
     ap = os.path.join(index_dir, "appends")
-    if not os.path.isdir(ap):
+    if os.path.isdir(ap):
+        os.rename(ap, os.path.join(index_dir, f"appends.folding.{tag}"))
+    folding = _entries("appends.folding.")
+    if not folding:
         return False
-    merged = ivf_lists_with_appends(spark, index_dir)
-    tag = uuid.uuid4().hex[:8]
+    merged = spark.read.parquet(lists_dir).select(
+        "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
+    )
+    for d in folding:
+        merged = merged.unionByName(
+            spark.read.parquet(os.path.join(index_dir, d)).select(
+                "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
+            )
+        )
+    merged = merged.dropDuplicates(["vec_id"])
     tmp = os.path.join(index_dir, f"lists.compacting.{tag}")
     merged.write.mode("overwrite").partitionBy("cid").parquet(tmp)
     old = os.path.join(index_dir, f"lists.old.{tag}")
     os.rename(lists_dir, old)
     os.rename(tmp, lists_dir)
-    shutil.rmtree(ap)
-    shutil.rmtree(old)
+    for d in folding:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    for d in _entries("lists.old."):
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return True
 
 
@@ -1389,10 +1454,18 @@ def run_incremental_ivf_stream(
 
     The per-batch drift report ivf_append builds is lazy and unused
     here — no extra job runs; callers wanting per-batch drift telemetry
-    call ivf_append directly from their own foreachBatch."""
+    call ivf_append directly from their own foreachBatch.  The frozen
+    centroids are loaded and localCheckpointed ONCE here and shared by
+    every micro-batch (per-batch reloading was a redundant read + an
+    eager checkpoint job on the hot path).  Quiesce contract: stop this
+    stream (availableNow drains terminate) before running ivf_compact —
+    see ivf_compact's docstring for why."""
+    cents = spark.read.parquet(
+        os.path.join(index_dir, "centroids")
+    ).localCheckpoint(eager=True)
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_append(spark, index_dir, batch_df, batch_id)
+        ivf_append(spark, index_dir, batch_df, batch_id, cents=cents)
 
     q = (
         source.writeStream.foreachBatch(append)

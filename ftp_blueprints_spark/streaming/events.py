@@ -2414,10 +2414,16 @@ def stream_concurrency(
     bounded per key by one bucket's points, and the number of live
     keys by |types| x (1 + (SESSION_US + watermark delay) /
     BUCKET_US) — a constant per type, never history-growing.  Unlike
-    the per-key twins this tolerates ARBITRARY arrival order within
-    the watermark horizon (points are buffered and re-sorted at
-    finalization, no carried running state to corrupt) — the property
-    the batch sweep's global time order otherwise forecloses."""
+    the per-key twins this tolerates ARBITRARY arrival order for any
+    event whose start bucket has not yet finalized (points are
+    buffered and re-sorted at finalization, no carried running state
+    to corrupt) — the property the batch sweep's global time order
+    otherwise forecloses.  The operative lateness boundary is bucket
+    FINALIZATION, not the raw watermark delay: applyInPandasWithState
+    does not pre-filter sub-watermark input rows, so even rows hours
+    below the watermark are absorbed while their bucket is in flight;
+    an event whose start bucket already finalized is dropped whole
+    (both sweep points, atomically — see the rule in scan())."""
     import pandas as pd
 
     def scan(key, pdf_iter, state):
@@ -2441,29 +2447,51 @@ def stream_concurrency(
                 ]
             )
         end_ms = ((bucket + 1) * CONCURRENCY_BUCKET_US) // 1000
+        wm = state.getCurrentWatermarkMs()
         if state.exists:
             pus, deltas = list(state.get[0]), list(state.get[1])
         else:
-            # applyInPandasWithState does NOT pre-filter input rows
-            # below the watermark (verified by the out-of-order test:
-            # sub-watermark arrivals reach the function) — which is
-            # what lets in-flight buckets absorb disorder, but also
-            # means a row arriving AFTER its bucket finalized would
-            # silently RESURRECT the key and emit the bucket a second
-            # time in append mode (double-counted downstream).  A
-            # missing state with the watermark already past bucket_end
-            # is exactly that case — drop, per the watermark contract
-            # for data late beyond the horizon.
-            if state.getCurrentWatermarkMs() >= end_ms:
-                return iter(())
             pus, deltas = [], []
+        # Late-event drop rule — PER EVENT, decided from the point
+        # itself so both of an event's points (delivered in the same
+        # micro-batch, seeing the same watermark) get the SAME verdict
+        # even though they land in different bucket groups: drop iff
+        # the watermark has passed the end of the event's START bucket
+        # (start_us = pus for a +1, pus - SESSION for a -1).  Why this
+        # exact rule:
+        # * applyInPandasWithState does NOT pre-filter sub-watermark
+        #   input rows (verified by the out-of-order test), so an
+        #   in-flight bucket absorbs arbitrary disorder — rows are
+        #   kept as long as their start bucket has not finalized;
+        # * without the guard, a row arriving AFTER its bucket
+        #   finalized would resurrect the key and emit the bucket a
+        #   second time in append mode (double-counted downstream);
+        # * a per-POINT guard (the first spelling of this fix) would
+        #   half-drop an event whose +1 sits in a finalized bucket but
+        #   whose -1 lands in a live one, leaving an unmatched -1 that
+        #   corrupts the live bucket's total/n_pts — the atomic
+        #   per-event rule cannot (wm >= end(start) is evaluated
+        #   identically in both groups).
+        # Only sub-watermark events can be dropped: an on-time event
+        # has ts > wm and ts < end(start bucket), so wm < end.
         for pdf in pdf_iter:
-            pus.extend(int(v) for v in pdf["pus"])
-            deltas.extend(int(v) for v in pdf["delta"])
+            for u, d in zip(pdf["pus"], pdf["delta"]):
+                u, d = int(u), int(d)
+                start_us = u - (CONCURRENCY_SESSION_US if d < 0 else 0)
+                start_end_ms = (
+                    (start_us // CONCURRENCY_BUCKET_US + 1)
+                    * CONCURRENCY_BUCKET_US
+                ) // 1000
+                if wm >= start_end_ms:
+                    continue
+                pus.append(u)
+                deltas.append(d)
+        if not pus:  # every delivered event was late — nothing to hold
+            return iter(())
         state.update((pus, deltas))
         # setTimeoutTimestamp must exceed the current watermark; a
         # bucket first seen at/under it finalizes on the next advance
-        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+        state.setTimeoutTimestamp(max(end_ms, wm + 1))
         return iter(())
 
     ev = (

@@ -769,3 +769,35 @@ def test_ivf_compact_preserves_serving(spark, sf_oracle, tmp_path):
         for r in S.ivf_lists_with_appends(spark, idx)
         .filter(F.col("vec_id") >= 1_000_000).collect()
     }
+
+
+def test_ivf_compact_heals_replay_residue(spark, sf_oracle, tmp_path):
+    """Contract-violation healing: a batch replayed AFTER its rows were
+    already folded (compaction ran inside the replay window) re-creates
+    them in appends, double-serving until the next compaction's vec_id
+    dedup removes the residue. Prove the temporary duplication is real
+    and that one compact heals it exactly."""
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    S.ivf_append(spark, idx, snap, batch_id=0)
+    assert S.ivf_compact(spark, idx) is True
+
+    def served():
+        return [
+            (r["vec_id"], r["cid"])
+            for r in S.ivf_lists_with_appends(spark, idx).collect()
+        ]
+
+    clean = sorted(served())
+    assert len(clean) == len(set(clean))
+    S.ivf_append(spark, idx, snap, batch_id=0)  # replay of the folded bid
+    dup = served()
+    assert len(dup) == len(clean) + snap.count()  # duplication is real
+    assert S.ivf_compact(spark, idx) is True  # heal
+    healed = sorted(served())
+    assert healed == clean

@@ -1395,15 +1395,19 @@ def test_dwell_group_scan_property_vs_naive():
 def test_concurrency_stream_tolerates_out_of_order_within_horizon(
     spark, tmp_path
 ):
-    """Pin the docstring claim the chronological harness never
+    """Pin the disorder-tolerance claim the chronological harness never
     exercises: stream_concurrency buffers and re-sorts points at
     finalization, so arrival order across micro-batches may be
-    ARBITRARY as long as rows stay inside the watermark horizon.
-    Crafted delivery: batch 0 carries LATER events than batch 1 (the
-    displaced rows sit ~30 min before batch 0's max — well inside the
-    1 h delay, so the watermark never drops them), events straddle a
-    6 h bucket boundary, and two types interleave. Finalized buckets
-    must equal the batch sweep's per-bucket rows exactly."""
+    ARBITRARY for any event whose start bucket has not yet finalized.
+    Crafted delivery: batch 0 carries the LATEST events, so the
+    watermark entering batch 1 (B+41min - 1h = B-19min) is HOURS above
+    most of batch 1's rows — this passes only because
+    applyInPandasWithState does not pre-filter sub-watermark input and
+    the in-flight bucket-0 state absorbs them; the operative lateness
+    boundary is bucket finalization, not the raw 1 h delay (the
+    no-resurrection and atomic-straddle tests pin the other side of
+    that boundary). Finalized buckets must equal the batch sweep's
+    per-bucket rows exactly."""
     import os
 
     B = E.CONCURRENCY_BUCKET_US
@@ -1566,3 +1570,63 @@ def test_ttl_group_scan_property_vs_naive():
         assert E._ttl_group_scan(iter(pdfs), carried, TTL) == want
 
     check()
+
+
+def test_concurrency_stream_drops_straddling_late_event_atomically(
+    spark, tmp_path
+):
+    """The late-drop rule must be per-EVENT, not per-point: a late
+    event whose +1 sits in a FINALIZED bucket but whose -1 lands in a
+    LIVE one must vanish entirely — a point-level guard would absorb
+    the orphan -1 and corrupt the live bucket's (total, n_pts).
+    Timeline: bucket-0 events finalize (watermark at B+30min), then a
+    late event at B-10min arrives (its -1 would land at B+20min in
+    live bucket 1) alongside an on-time bucket-1 event. Finalized rows
+    must equal the batch sweep over the NON-late events only, and the
+    live bucket's points must balance."""
+    B = E.CONCURRENCY_BUCKET_US
+    MIN = 60 * 1_000_000
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, us long"
+        ).selectExpr(
+            "event_id", "timestamp_micros(us) AS ts",
+            "CAST(event_id AS LONG) AS user_id", "event_type",
+            "CAST(1.0 AS DOUBLE) AS value",
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+
+    far = 100 * B
+    parts = [
+        frame([(1, "a", 5 * MIN), (2, "a", 20 * MIN)]),      # bucket 0
+        frame([(3, "__flush__", B + 90 * MIN)]),             # wm -> B+30min
+        # late straddler (start bucket 0 — finalized; -1 in bucket 1)
+        # plus an on-time bucket-1 event (ts > wm)
+        frame([(4, "a", B - 10 * MIN), (5, "a", B + 40 * MIN)]),
+        frame([(6, "__flush__", far)]),
+        frame([(7, "__flush__", far + B)]),
+        frame([(8, "__flush__", far + 2 * B)]),
+    ]
+    src_dir = tmp_path / "straddle_parts"
+    for i, p in enumerate(parts):
+        _land_part(src_dir, i, p)
+    E.run_to_memory(
+        E.stream_concurrency(spark, "", source=_ev_file_stream(spark, src_dir)),
+        "t_conc_straddle",
+        "append",
+    )
+    got = {
+        tuple(r)
+        for r in spark.table("t_conc_straddle")
+        .filter(F.col("event_type") != "__flush__")
+        .collect()
+    }
+    # batch sweep over the events the stream legally kept (no late one)
+    kept = frame([(1, "a", 5 * MIN), (2, "a", 20 * MIN), (5, "a", B + 40 * MIN)])
+    expected = {
+        tuple(r)
+        for r in E.concurrency_per_bucket(E.concurrency_points(kept)).collect()
+    }
+    assert got == expected
+    assert ("a", 0, 2, 0, 4) in got      # original bucket intact
+    assert ("a", 1, 1, 0, 2) in got      # live bucket balanced: no orphan -1
