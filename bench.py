@@ -113,9 +113,12 @@ HEADLINE = [
     "ev_dwell_time",
     # r9 addition: bucketed sweep-line peak concurrency
     "ev_concurrency",
-    # r10 addition: incremental ANN index maintenance (snapshot assign
-    # into frozen centroids + drift report)
+    # r10 additions: incremental ANN index maintenance (snapshot assign
+    # into frozen centroids + drift report); the sweep's per-bucket
+    # intermediates as their own oracle surface (the rows the
+    # streaming twin finalizes)
     "sim_ivf_incremental",
+    "ev_concurrency_buckets",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -250,6 +253,7 @@ BUDGETS = {
     "ev_concurrency": 2.1,  # fresh-JVM warm 1.02 (r9)
     # half-corpus Lloyd train + two frozen-centroid assignments
     "sim_ivf_incremental": 5.0,  # fresh-JVM warm 2.45 (r10)
+    "ev_concurrency_buckets": 1.9,  # fresh-JVM warm 0.80-0.95 (r10)
 }
 
 
@@ -444,6 +448,12 @@ def main() -> None:
     # measurement is as likely environment as regression — check the
     # per-query warm times of the heavy queries (stable under noise)
     # and the env_* markers below before concluding either way.
+    # r10 widened the band further: five idle runs on IDENTICAL plans
+    # measured totals 95.6-139.1 s / r2 12.5-18.1 s (load < 0.2, zero
+    # siblings), drifting slower through the day — morning runs are
+    # the fast phase. Marginal (<0.5 s) budget breaches in a slow-phase
+    # run are environment until proven otherwise by a fresh-JVM
+    # standalone timing.
     r2_set = {
         "q01_pricing_summary", "q03_shipping_priority", "q05_region_volume",
         "q_cust_order_stats", "q_window_running", "q_monthly_revenue",

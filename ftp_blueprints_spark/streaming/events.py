@@ -2371,6 +2371,49 @@ def concurrency_per_bucket(pts: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "ev_concurrency_buckets",
+    f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS us, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {CONCURRENCY_SESSION_US}, -1 FROM events
+),
+run AS (
+  SELECT event_type, us // {CONCURRENCY_BUCKET_US} AS bucket, delta,
+         SUM(delta) OVER (PARTITION BY event_type, us // {CONCURRENCY_BUCKET_US}
+                          ORDER BY us, delta
+                          ROWS UNBOUNDED PRECEDING) AS lrun
+  FROM pts
+)
+SELECT event_type,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(lrun) AS BIGINT) AS local_max,
+       CAST(SUM(delta) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_pts
+FROM run GROUP BY event_type, bucket
+""",
+)
+def ev_concurrency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 1 of ev_concurrency's bucketed sweep as its own
+    oracle-checked surface: per (event_type, 6h-bucket) the local
+    running-sum max, net total, and point count.  Registered (r10) so
+    the DRIVER's hash evidence covers the exact rows
+    stream_concurrency's watermark-finalized buckets must reproduce —
+    the twin equality tests then chain to an oracle-checked surface
+    instead of an internal intermediate.  Same plan as the parent
+    query's first pass: (type, bucket)-partitioned local window (no
+    per-type funnel), map-side-combinable per-bucket aggregation."""
+    per = concurrency_per_bucket(concurrency_points(_events(spark, sf_dir)))
+    return per.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("local_max").cast("bigint").alias("local_max"),
+        F.col("total").cast("bigint").alias("total"),
+        F.col("n_pts").cast("bigint").alias("n_pts"),
+    )
+
+
 _CONC_STATE_SCHEMA = "pus array<bigint>, delta array<bigint>"
 _CONC_OUT_SCHEMA = (
     "event_type string, bucket bigint, local_max bigint, "
