@@ -79,12 +79,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries rotate to the front of the NEXT round's window via the same math —
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
-# Round 10 (r9 VERDICT task 1): the round-9 set ({tx_keywords,
-# mm_phash_neardup}) both carry green r9 first-hash evidence
-# (CORRECTNESS_r09.json) and is cleared.  New registrations this round
-# are capped at ~3 so the 50-slot window retires the 20 r6-stale rows
-# and ~30 of the 44 r7-stale rows (nothing older than r7 evidence
-# should remain after round 10).
+# Round 11 (r10 VERDICT task 2): the first-hash set stays empty (the
+# r10 window carried no oracle upgrades; new registrations rank -1 on
+# their own).  New registrations this round are capped at 2
+# (mm_phash_neardup_wide, sim_ivfpq_incremental) so the 50-slot window
+# takes all 16 r7-stale rows plus ~32 of the 49 r8-stale rows (nothing
+# older than r8 evidence should remain after round 11).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

@@ -567,7 +567,9 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven against a numpy all-pairs reference in
     tests/test_plans.py. This query keeps the 48-bit contract the
     driver's oracle evidence is pinned to; a 100-TB deployment calls
-    the wide variant."""
+    the wide variant — registered and oracle-checked in its own right
+    as mm_phash_neardup_wide (r11; probes e=0.094 at 10x / 0.338 at
+    100x, 11.7 s where this plan takes 327 s)."""
     media = phash_media(to_media_table(load_table(spark, sf_dir, "documents")))
     offsets = [sum(PHASH_BAND_BITS[:j]) for j in range(PHASH_BANDS)]
     bands = F.array(
@@ -683,6 +685,109 @@ def phash_neardup_pairs_wide(
         .select("media_a", "media_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= hamming_max)
     )
+
+
+def _mm_phash_wide_oracle() -> str:
+    """All-pairs Hamming filter over the ADAPTIVE-width fingerprint:
+    the same DuckDB pipeline as _mm_phash_oracle, with the bin count a
+    computed parameter (bits = 5 * GREATEST(10, bit_length(n - 1)))
+    instead of the 48-bit literal, and the fingerprint materialized as
+    the 5 band WORDS (one BIGINT per band — the engine's array layout)
+    whose XOR popcounts sum to the total Hamming distance. LENGTH(BIN
+    (n-1)) is exact integer bit-length, provably equal to python's
+    max(10, ceil(log2 n)) in phash_width_for for every integer n >= 2
+    (log2 of a non-power-of-2 integer is irrational, so the correctly
+    rounded double can never cross an integer boundary; powers of 2
+    are exact)."""
+    hexpos = "strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1"
+    hexpos2 = "strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1"
+    return f"""
+WITH params AS (
+  SELECT GREATEST(10, LENGTH(BIN(COUNT(*) - 1))) AS w,
+         5 * GREATEST(10, LENGTH(BIN(COUNT(*) - 1))) AS bits
+  FROM documents
+),
+b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT media_id, n,
+         list_transform(range(1, n + 1),
+                        i -> ({hexpos}) * 16 + ({hexpos2})) AS bs
+  FROM b
+),
+grams AS (
+  SELECT media_id, GREATEST(n - 1, 0) AS n,
+         list_transform(range(1, n),
+                        i -> (bs[i] * 256 + bs[i + 1]) % p.bits) AS gs
+  FROM bytes, params p
+),
+bins AS (
+  SELECT media_id, n,
+         list_transform(range(0, p.bits),
+                        d -> CAST(len(list_filter(gs, x -> x = d))
+                                  AS BIGINT)) AS cs
+  FROM grams, params p
+),
+tcell AS (
+  SELECT u.d, CAST(SUM(cs[u.d + 1]) AS BIGINT) AS tc
+  FROM bins, params p, UNNEST(range(0, p.bits)) AS u(d)
+  GROUP BY u.d
+),
+tbytes AS (SELECT CAST(SUM(n) AS BIGINT) AS tb FROM bins),
+words AS (
+  SELECT media_id, t.d // p.w AS band,
+         CAST(SUM(CASE WHEN cs[t.d + 1] * tb > t.tc * n
+                       THEN 1::BIGINT << (t.d % p.w) ELSE 0 END)
+              AS BIGINT) AS word
+  FROM bins, tcell t, tbytes, params p
+  GROUP BY media_id, t.d // p.w
+),
+fps AS (
+  SELECT media_id, list(word ORDER BY band) AS bw
+  FROM words GROUP BY media_id
+)
+SELECT * FROM (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         CAST(list_sum(list_transform(range(1, {PHASH_BANDS + 1}),
+              i -> bit_count(xor(a.bw[i], b.bw[i])))) AS INT) AS hamming
+  FROM fps a JOIN fps b ON a.media_id < b.media_id
+) WHERE hamming <= {PHASH_HAMMING_MAX}
+"""
+
+
+@query("mm_phash_neardup_wide", _mm_phash_wide_oracle())
+def mm_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup pairs by ADAPTIVE-width banded perceptual-hash
+    LSH — the at-scale contract of the mm_phash_neardup family, sized
+    like dd_minhash sizes its bands: width = phash_width_for(n)
+    (~log2 n bits PER BAND, floor 10) keeps the expected per-band
+    bucket load O(1), so banded candidate pairs stay ~linear in n
+    where the fixed 48-bit layout saturates (measured r10: 327 s /
+    e=1.167 at the 100x probe corpus vs 8.2 s for this plan — the
+    repo's one quadratic-at-scale registered plan, which this query
+    retires as the weak contract's driver-evidenced twin).
+
+    The plan is phash_neardup_pairs_wide: one Arrow bincount pass, one
+    constant-size (5*width rows) totals aggregate baked into the bit
+    compare, explode 5 band words, bucket equi-join, XOR-popcount
+    Hamming summed across band words. Pigeonhole losslessness holds at
+    every width (hamming_max < band count), so the oracle's all-pairs
+    Hamming filter over the same adaptive fingerprint is EXACTLY this
+    result — the driver check proves the wide LSH loses nothing, at
+    the width the corpus itself selects (sf0.01: n=500 -> floor 10;
+    the 100x probe corpus selects ~20).
+
+    Width determinism across engines: the corpus count feeds
+    phash_width_for here and GREATEST(10, LENGTH(BIN(n-1))) in the
+    oracle — exactly equal for all n (see _mm_phash_wide_oracle).
+    The count() is one bounded job (a count-star over parquet
+    metadata), the same class as the fingerprint totals collect."""
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    n = media.count()
+    return phash_neardup_pairs_wide(media, phash_width_for(n))
 
 
 # --- cross-modal retrieval (text query -> media corpus) ---------------------
