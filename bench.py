@@ -119,10 +119,13 @@ HEADLINE = [
     # streaming twin finalizes)
     "sim_ivf_incremental",
     "ev_concurrency_buckets",
-    # r11 addition: the adaptive-width phash contract (the 48-bit
+    # r11 additions: the adaptive-width phash contract (the 48-bit
     # query's at-scale twin — width = phash_width_for(n), ~log2 n bits
-    # per band, O(1) bucket loads where the fixed layout saturates)
+    # per band, O(1) bucket loads where the fixed layout saturates);
+    # incremental IVFPQ maintenance (residual PQ codes against frozen
+    # codebooks + per-cid quantization-error drift)
     "mm_phash_neardup_wide",
+    "sim_ivfpq_incremental",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -259,6 +262,8 @@ BUDGETS = {
     "sim_ivf_incremental": 5.0,  # fresh-JVM warm 2.45 (r10)
     "ev_concurrency_buckets": 1.9,  # fresh-JVM warm 0.80-0.95 (r10)
     "mm_phash_neardup_wide": 5.7,  # fresh-JVM warm 2.84 (r11)
+    # half-corpus Lloyd train + codebook slice + two frozen-book encodes
+    "sim_ivfpq_incremental": 8.7,  # fresh-JVM warm 3.7-4.4 (r11)
 }
 
 

@@ -1157,36 +1157,41 @@ def _assign_cos_stats(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _drift_report(base_stats: DataFrame, new_stats: DataFrame) -> DataFrame:
+def _drift_report(
+    base_stats: DataFrame, new_stats: DataFrame, val: str = "cos_sum_mu"
+) -> DataFrame:
     """Full-outer per-cid diff of two assignment-stats frames, plus the
     exact-integer drift numerator: mean_new - mean_base has the sign of
-    new_cos_sum_mu * n_base - base_cos_sum_mu * n_new (cross-multiplied
-    to stay in BIGINT — no integer division of possibly-negative sums,
-    whose floor-vs-truncate semantics differ across engines). A
-    negative drift_num_mu means the new snapshot sits FARTHER from the
-    frozen centroids than the training corpus did — the retrain
-    signal; zero when either side is empty."""
+    new_<val> * n_base - base_<val> * n_new (cross-multiplied to stay
+    in BIGINT — no integer division of possibly-negative sums, whose
+    floor-vs-truncate semantics differ across engines). Sign reading
+    depends on the metric: for the IVF cos stats (val="cos_sum_mu",
+    higher = closer) a NEGATIVE drift_num_mu means the new snapshot
+    sits farther from the frozen centroids than the training corpus
+    did; for the IVFPQ quantization-error stats (val="qerr_sum_mu",
+    higher = worse) the retrain signal is POSITIVE. Zero when either
+    side is empty."""
     b = base_stats.select(
         "cid",
         F.col("n").alias("n_base"),
-        F.col("cos_sum_mu").alias("base_cos_sum_mu"),
+        F.col(val).alias(f"base_{val}"),
     )
     s = new_stats.select(
         "cid",
         F.col("n").alias("n_new"),
-        F.col("cos_sum_mu").alias("new_cos_sum_mu"),
+        F.col(val).alias(f"new_{val}"),
     )
     j = b.alias("b").join(s.alias("s"), "cid", "full_outer")
     n_base = F.coalesce("n_base", F.lit(0)).cast("bigint")
     n_new = F.coalesce("n_new", F.lit(0)).cast("bigint")
-    base_sum = F.coalesce("base_cos_sum_mu", F.lit(0)).cast("bigint")
-    new_sum = F.coalesce("new_cos_sum_mu", F.lit(0)).cast("bigint")
+    base_sum = F.coalesce(f"base_{val}", F.lit(0)).cast("bigint")
+    new_sum = F.coalesce(f"new_{val}", F.lit(0)).cast("bigint")
     return j.select(
         F.col("cid").cast("bigint").alias("cid"),
         n_base.alias("n_base"),
         n_new.alias("n_new"),
-        base_sum.alias("base_cos_sum_mu"),
-        new_sum.alias("new_cos_sum_mu"),
+        base_sum.alias(f"base_{val}"),
+        new_sum.alias(f"new_{val}"),
         (new_sum * n_base - base_sum * n_new).cast("bigint").alias("drift_num_mu"),
     )
 
@@ -1269,12 +1274,66 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_report(base_stats, new_stats)
 
 
+_EPOCH_FILE = "compact.epoch"
+
+
+def compaction_epoch(index_dir: str) -> int:
+    """Current compaction epoch of a maintained index: the number of
+    compactions that have STARTED folding appends (0 for a fresh
+    index; the marker file is written atomically by _bump_epoch).
+    Streams snapshot this at open and pass it to every append — the
+    fence that turns the compact-vs-inflight-append race from a
+    documented caller rule into a loud failure (see ivf_compact)."""
+    path = os.path.join(index_dir, _EPOCH_FILE)
+    try:
+        with open(path) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _bump_epoch(index_dir: str) -> int:
+    """Advance the compaction epoch (write-tmp + atomic rename). Called
+    the moment a compaction commits to folding — AFTER the appends
+    tree is renamed aside, BEFORE any merge work — so a fenced append
+    can never land rows a running fold might also serve. A compaction
+    that crashes later leaves the epoch advanced: open streams refuse
+    loudly instead of silently double-serving, which is the point."""
+    nxt = compaction_epoch(index_dir) + 1
+    tmp = os.path.join(index_dir, f".{_EPOCH_FILE}.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    os.rename(tmp, os.path.join(index_dir, _EPOCH_FILE))
+    return nxt
+
+
+class CompactionFenceError(RuntimeError):
+    """An append observed a compaction epoch newer than the one its
+    stream opened under: a compact folded (or is folding) appends the
+    stream's checkpoint has not committed past. Re-appending now could
+    double-serve replayed rows until the next compaction heals them —
+    the caller must reopen (re-snapshot centroids + epoch) instead."""
+
+
+def _check_epoch(index_dir: str, expect_epoch: int | None) -> None:
+    if expect_epoch is None:
+        return
+    now = compaction_epoch(index_dir)
+    if now != expect_epoch:
+        raise CompactionFenceError(
+            f"compaction epoch advanced {expect_epoch} -> {now} under "
+            f"{index_dir}: a compact ran while this append stream was "
+            "open; stop and reopen the stream (quiesce contract)"
+        )
+
+
 def ivf_append(
     spark: SparkSession,
     index_dir: str,
     new_emb: DataFrame,
     batch_id: int,
     cents: DataFrame | None = None,
+    expect_epoch: int | None = None,
 ) -> DataFrame:
     """Append a NEW embedding snapshot to a persisted IVF index WITHOUT
     retraining: assign against the frozen centroids (zero-shuffle
@@ -1305,7 +1364,21 @@ def ivf_append(
     for appended data too.  At scale this is the ANN analogue of the
     maintained dedup index: new data costs assign + append, the
     standing corpus is never rescanned, and drift_num_mu going
-    negative is the quantitative retrain trigger."""
+    negative is the quantitative retrain trigger.
+
+    ``expect_epoch`` (streams pass the compaction_epoch snapshotted at
+    open) makes the quiesce contract machine-enforced: if a compact
+    started folding since, the append raises CompactionFenceError
+    instead of landing rows that may double-serve on replay. An EMPTY
+    batch short-circuits to a lazy n_new=0 drift report — a dynamic
+    overwrite of an empty frame creates no bid partition, so the
+    read-back below would raise PATH_NOT_FOUND (file sources never
+    deliver empty batches, but kafka/rate/no-data triggers can)."""
+    _check_epoch(index_dir, expect_epoch)
+    base_stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    if new_emb.isEmpty():
+        empty = spark.createDataFrame([], "cid bigint, n bigint, cos_sum_mu bigint")
+        return _drift_report(base_stats, empty)
     if cents is None:
         cents = spark.read.parquet(
             os.path.join(index_dir, "centroids")
@@ -1336,7 +1409,6 @@ def ivf_append(
         spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}"))
         .select("vec_id", "embedding", F.col("cid").cast("bigint").alias("cid"))
     )
-    base_stats = spark.read.parquet(os.path.join(index_dir, "stats"))
     return _drift_report(base_stats, _assign_cos_stats(landed, cents))
 
 
@@ -1363,72 +1435,136 @@ def ivf_compact(spark: SparkSession, index_dir: str) -> bool:
     OPTIMIZE.
 
     Returns False (no-op) when there is nothing to fold.  Crash
-    discipline, in order:
+    discipline and the fold itself live in _compact_index (shared with
+    ivfpq_compact), in order:
     * ``appends`` is first renamed ASIDE to ``appends.folding.<tag>``
       (atomic), so folded rows can never be served from both layouts —
       a crash at any later point under-serves the in-flight fold
       (bounded, heals on the next call) instead of double-serving;
-    * the merge reads lists ∪ every ``appends.folding.*`` leftover and
-      DEDUPES on vec_id — assignment is deterministic from the frozen
-      centroids, so duplicate rows are bit-identical and dedup is pure
-      healing (a crash after publish but before cleanup, or a
-      contract-violating replay, leaves duplicates nowhere after the
-      next compact);
-    * publish is the two-rename swap (lists -> lists.old.<monotonic
-      time tag>, tmp -> lists); a crash between the renames leaves
-      ``lists`` missing and the next call restores the NEWEST backup
-      by time tag before retrying;
+    * the compaction EPOCH is bumped the moment a fold is committed to
+      (folding sources exist), so any append stream opened under the
+      old epoch fails loudly (CompactionFenceError) instead of
+      replaying rows the fold may double-serve;
+    * the merge reads lists ∪ every ``appends.folding.*`` leftover,
+      ASSERTS the append-only contract (every duplicate key carries a
+      bit-identical row — assignment is deterministic from the frozen
+      centroids; a conflicting re-append would otherwise silently keep
+      an arbitrary copy), then DEDUPES on vec_id — pure healing for
+      replay residue and post-publish crash leftovers;
+    * publish is the two-rename swap (lists -> lists.old.<tag>, tmp ->
+      lists) with tags MONOTONIC per index dir (max of wall-clock and
+      successor-of-existing — a clock step backwards across crashed
+      compactions can never rank a stale backup newest); a crash
+      between the renames leaves ``lists`` missing and the next call
+      restores the newest backup before retrying;
     * fold sources and backups are removed only after the new lists
       are in place, and all stale tmp/backup dirs are swept on the
       success path, so no committed row is ever lost and no stale
       backup can shadow a newer one."""
-    import shutil
+    return _compact_index(
+        spark,
+        index_dir,
+        data="lists",
+        appends="appends",
+        key="vec_id",
+        project=lambda df: df.select(
+            "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
+        ),
+    )
+
+
+def _next_tag(index_dir: str) -> str:
+    """Monotonic backup/tmp tag: max(wall-clock ns, successor of every
+    numeric tag already under the index dir), zero-padded so
+    lexicographic order == numeric order. Wall-clock alone could rank
+    a stale backup newest after a backwards clock step between crashed
+    compactions (r10 advice)."""
     import time
 
-    lists_dir = os.path.join(index_dir, "lists")
+    floor = time.time_ns()
+    for d in os.listdir(index_dir):
+        suffix = d.rsplit(".", 1)[-1]
+        if suffix.isdigit():
+            floor = max(floor, int(suffix) + 1)
+    return f"{floor:020d}"
+
+
+def _compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    data: str,
+    appends: str,
+    key: str,
+    project,
+) -> bool:
+    """Shared fold-appends-into-base core of ivf_compact /
+    ivfpq_compact: rename-aside-first crash discipline, epoch fence
+    bump, append-only contract assertion, key-dedup healing, monotonic
+    two-rename publish. ``project`` normalizes a read-back frame to
+    the canonical column set (partition-column cid comes back int32);
+    ``key`` is the dedup identity. See ivf_compact's docstring for the
+    full crash ladder."""
+    import shutil
+
+    data_dir = os.path.join(index_dir, data)
 
     def _entries(prefix: str) -> list[str]:
-        return sorted(
-            d for d in os.listdir(index_dir) if d.startswith(prefix)
-        )
+        return sorted(d for d in os.listdir(index_dir) if d.startswith(prefix))
 
     # crash recovery: a previous compaction died between its renames —
-    # restore the newest backup (tags are zero-padded nanotime, so
+    # restore the newest backup (zero-padded monotonic tags, so
     # lexicographic max IS the newest)
-    if not os.path.isdir(lists_dir):
-        backups = _entries("lists.old.")
+    if not os.path.isdir(data_dir):
+        backups = _entries(f"{data}.old.")
         if not backups:
-            raise FileNotFoundError(f"no lists under {index_dir}")
-        os.rename(os.path.join(index_dir, backups[-1]), lists_dir)
+            raise FileNotFoundError(f"no {data} under {index_dir}")
+        os.rename(os.path.join(index_dir, backups[-1]), data_dir)
     # stale tmp dirs from dead compactions are garbage: never published
-    for d in _entries("lists.compacting."):
+    for d in _entries(f"{data}.compacting."):
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
 
-    tag = f"{time.time_ns():020d}"
-    ap = os.path.join(index_dir, "appends")
+    tag = _next_tag(index_dir)
+    ap = os.path.join(index_dir, appends)
     if os.path.isdir(ap):
-        os.rename(ap, os.path.join(index_dir, f"appends.folding.{tag}"))
-    folding = _entries("appends.folding.")
+        os.rename(ap, os.path.join(index_dir, f"{appends}.folding.{tag}"))
+    folding = _entries(f"{appends}.folding.")
     if not folding:
         return False
-    merged = spark.read.parquet(lists_dir).select(
-        "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
-    )
+    # the fence: from here on, appends from streams opened earlier
+    # must refuse (their checkpoint may not have committed past rows
+    # this fold is about to serve from the base layout)
+    _bump_epoch(index_dir)
+    merged = project(spark.read.parquet(data_dir))
     for d in folding:
         merged = merged.unionByName(
-            spark.read.parquet(os.path.join(index_dir, d)).select(
-                "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
-            )
+            project(spark.read.parquet(os.path.join(index_dir, d)))
         )
-    merged = merged.dropDuplicates(["vec_id"])
-    tmp = os.path.join(index_dir, f"lists.compacting.{tag}")
+    # append-only contract: duplicate keys may only be bit-identical
+    # replay residue. A re-append of a CHANGED row for an existing key
+    # would otherwise have dropDuplicates keep an arbitrary copy (and
+    # pre-compaction serving double-serve conflicting rows). One extra
+    # pass over lists ∪ appends at maintenance time — the price of a
+    # loud contract (r10 advice).
+    chk = merged.agg(
+        F.countDistinct(key).alias("ids"),
+        F.countDistinct(F.struct(*merged.columns)).alias("rows"),
+    ).collect()[0]
+    if chk["ids"] != chk["rows"]:
+        raise RuntimeError(
+            f"append-only contract violated under {index_dir}: "
+            f"{chk['rows'] - chk['ids']} {key}(s) carry conflicting rows "
+            "across base/appends — a caller re-appended a changed row "
+            "for an existing key; resolve upstream before compacting"
+        )
+    merged = merged.dropDuplicates([key])
+    tmp = os.path.join(index_dir, f"{data}.compacting.{tag}")
     merged.write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    old = os.path.join(index_dir, f"lists.old.{tag}")
-    os.rename(lists_dir, old)
-    os.rename(tmp, lists_dir)
+    old = os.path.join(index_dir, f"{data}.old.{tag}")
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
     for d in folding:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
-    for d in _entries("lists.old."):
+    for d in _entries(f"{data}.old."):
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     return True
 
@@ -1459,13 +1595,20 @@ def run_incremental_ivf_stream(
     every micro-batch (per-batch reloading was a redundant read + an
     eager checkpoint job on the hot path).  Quiesce contract: stop this
     stream (availableNow drains terminate) before running ivf_compact —
-    see ivf_compact's docstring for why."""
+    MACHINE-ENFORCED since r11: the stream snapshots the compaction
+    epoch at open and every micro-batch passes it to ivf_append, which
+    raises CompactionFenceError (failing the stream loudly) if a
+    compact started folding meanwhile."""
     cents = spark.read.parquet(
         os.path.join(index_dir, "centroids")
     ).localCheckpoint(eager=True)
+    epoch0 = compaction_epoch(index_dir)
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_append(spark, index_dir, batch_df, batch_id, cents=cents)
+        ivf_append(
+            spark, index_dir, batch_df, batch_id, cents=cents,
+            expect_epoch=epoch0,
+        )
 
     q = (
         source.writeStream.foreachBatch(append)
@@ -1717,6 +1860,79 @@ def pq_encode(emb: DataFrame, books: np.ndarray, emb_col: str = "embedding") -> 
         return pd.Series(list(codes))
 
     return emb.withColumn("codes", encode(emb_col))
+
+
+def pq_encode_qerr(
+    emb: DataFrame, books_q: np.ndarray, emb_col: str = "embedding"
+) -> DataFrame:
+    """pq_encode's arithmetic plus the exact-integer quantization error:
+    appends ``codes`` (array<int>, length M — identical to pq_encode's,
+    same integer argmin, same lowest-code tie-break) and ``qerr``
+    (BIGINT, sum over subspaces of the WINNING code's integer L2² —
+    exactly the distance the argmin minimized, so no second pass and no
+    decode step). ``books_q`` is the QUANTIZED int64 codebook
+    (quantize_books' output / the persisted ``codebooks`` table) taken
+    directly — an append-time caller re-deriving float books from the
+    stored integers and re-flooring could round-trip off by one ulp;
+    integers in, integers compared.
+
+    qerr units: (1e-6)² of true squared L2 — callers aggregate
+    ``qerr DIV 1_000_000`` (micro-units of squared L2, see
+    _qerr_stats) to keep downstream cross-multiplies in BIGINT.
+    One Arrow-batched numpy pass, narrow projection, no shuffle."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    M, KS, d_sub = books_q.shape
+    out_t = StructType(
+        [
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("qerr", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def encode(s: pd.Series) -> pd.DataFrame:
+        if len(s) == 0:  # empty Arrow batch: keep dtypes, skip np.stack
+            return pd.DataFrame({"codes": [], "qerr": pd.Series([], dtype="int64")})
+        X = np.stack(s.to_numpy()).astype(np.float64)  # (n, dim)
+        Xq = np.floor(X * 1_000_000).astype(np.int64)
+        n = X.shape[0]
+        codes = np.empty((n, M), dtype=np.int32)
+        qerr = np.zeros(n, dtype=np.int64)
+        for m in range(M):
+            sub = Xq[:, m * d_sub : (m + 1) * d_sub]  # (n, d_sub) int64
+            diff = sub[:, None, :] - books_q[m][None, :, :]  # (n, KS, d_sub)
+            d2 = (diff * diff).sum(axis=2)  # exact int64
+            codes[:, m] = d2.argmin(axis=1)  # first min -> lowest code
+            qerr += d2.min(axis=1)
+        return pd.DataFrame({"codes": list(codes), "qerr": qerr})
+
+    cq = encode(emb_col)
+    return emb.withColumn("_cq", cq).select(
+        "*", F.col("_cq.codes").alias("codes"), F.col("_cq.qerr").alias("qerr")
+    ).drop("_cq")
+
+
+def _qerr_stats(coded: DataFrame) -> DataFrame:
+    """Per-cid (n, qerr_sum_mu) of an encoded frame: member count plus
+    the BIGINT sum of per-vector quantization errors scaled to
+    micro-units of squared L2 (qerr DIV 1e6 — integer division of
+    non-negative ints, floor == trunc in every engine). The IVFPQ
+    analogue of _assign_cos_stats: the code-space drift yardstick.
+    Int64 headroom: per-vector qerr_mu tops out ~1e9 (worst-case
+    residuals), so sums stay < 2^63 to ~10^9 vectors and the drift
+    cross-multiply to ~10^5-row snapshots per cid — shard the stats
+    beyond that."""
+    return coded.groupBy(F.col("cid").cast("bigint").alias("cid")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("qerr DIV 1000000")).cast("bigint").alias("qerr_sum_mu"),
+    )
 
 
 def pq_decode_expr(books: np.ndarray) -> F.Column:
@@ -1979,29 +2195,40 @@ def ivfpq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame, np.ndarray]:
     # pinned session-long (a bare .cache() here was never unpersisted).
     cents = portable_centroids(emb).localCheckpoint(eager=True)
 
-    def residuals(base: DataFrame) -> DataFrame:
-        return ivf_assign(base, cents, round_digits=6).join(
-            F.broadcast(cents), "cid"
-        ).withColumn(
-            "residual",
-            F.zip_with(
-                "embedding", "c_emb",
-                lambda x, c: x.cast("double") - c.cast("double"),
-            ),
-        )
-
     # Codebooks need only the PQ_KS lowest vec_ids' residuals, so the
     # assignment/residual expressions run over a 16-row TakeOrdered
     # slice instead of the whole corpus (r8 profile: the corpus-wide
     # formulation cost 1.3 s at sf0.1 to keep 16 rows).  Same Catalyst
     # expressions on the same rows — values bit-identical.
     books = pq_codebooks(
-        residuals(emb.orderBy("vec_id").limit(PQ_KS)), emb_col="residual"
+        _residuals(emb.orderBy("vec_id").limit(PQ_KS), cents),
+        emb_col="residual",
     )
-    coded = pq_encode(residuals(emb), books, emb_col="residual").select(
-        F.col("vec_id").alias("cand_id"), "cid", "codes"
-    )
+    # pq_encode_qerr = pq_encode's integer argmin plus the winning
+    # distance itself: codes are bit-identical, and the qerr column is
+    # the training-time quantization-error yardstick ivfpq_build
+    # persists as per-cid stats (serving paths prune it)
+    coded = pq_encode_qerr(
+        _residuals(emb, cents), quantize_books(books), emb_col="residual"
+    ).select(F.col("vec_id").alias("cand_id"), "cid", "codes", "qerr")
     return cents, coded, quantize_books(books)
+
+
+def _residuals(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign ``base`` to its nearest FROZEN centroid (round-6 argmax,
+    zero-shuffle) and append ``residual`` = embedding - c_emb (exact
+    double subtraction) — the IVFPQ encode input. Shared by ivfpq_fit,
+    sim_ivfpq_incremental, and ivfpq_append so the residual surface can
+    never drift between build-time and append-time encoding."""
+    return ivf_assign(base, cents, round_digits=6).join(
+        F.broadcast(cents), "cid"
+    ).withColumn(
+        "residual",
+        F.zip_with(
+            "embedding", "c_emb",
+            lambda x, c: x.cast("double") - c.cast("double"),
+        ),
+    )
 
 
 def _ivfpq_serve(
@@ -2096,7 +2323,10 @@ def _index_shape(kind: str) -> tuple:
         # drift against — a v1 index without it must rebuild
         "ivf": (IVF_K, KM_ITERS, DIM, 2),
         "annlsh": (ANN_BANDS, ANN_ROWS, PLANE_SEED, DIM),
-        "ivfpq": (IVF_K, KM_ITERS, PQ_M, PQ_KS, DIM),
+        # v2: codes partitioned by cid (probe-side file pruning, and
+        # the layout ivfpq_compact folds appends into) + per-cid
+        # quantization-error `stats` ivfpq_append diffs drift against
+        "ivfpq": (IVF_K, KM_ITERS, PQ_M, PQ_KS, DIM, 2),
     }[kind]
 
 
@@ -2141,7 +2371,24 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) 
 
     def write(tmp: str) -> None:
         cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-        coded.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+        # cid partitioning: the serve-phase probe join prunes to
+        # nprobe/K of the code FILES (the lists layout's discipline),
+        # and ivfpq_compact folds cid-partitioned appends into the
+        # same shape
+        coded.write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(tmp, "codes")
+        )
+        # per-cid training quantization-error stats: the frozen
+        # yardstick ivfpq_append diffs code-space drift against.
+        # Computed from the codes JUST WRITTEN (read-back = the
+        # durable truth; re-executing `coded` would re-run the full
+        # encode pass — the ivf_build discipline).
+        landed = spark.read.parquet(os.path.join(tmp, "codes")).select(
+            "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
+        )
+        _qerr_stats(landed).write.mode("overwrite").parquet(
+            os.path.join(tmp, "stats")
+        )
         book_rows = [
             (m, k, [int(v) for v in books_q[m, k]])
             for m in range(M)
@@ -2170,13 +2417,268 @@ def sim_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = spark.read.parquet(os.path.join(idx, "centroids"))
     coded = spark.read.parquet(os.path.join(idx, "codes"))
-    brows = spark.read.parquet(os.path.join(idx, "codebooks")).collect()
+    return _ivfpq_serve(emb, cents, coded, _load_books_q(spark, idx))
+
+
+def _load_books_q(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """The persisted quantized codebooks as the (M, KS, d_sub) int64
+    array pq_encode_qerr / the ADC LUT consume — one bounded collect of
+    exactly M*KS rows."""
+    brows = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
     M = max(r["m"] for r in brows) + 1
     KS = max(r["k"] for r in brows) + 1
     books_q = np.zeros((M, KS, len(brows[0]["sub"])), dtype=np.int64)
     for r in brows:
         books_q[r["m"], r["k"]] = r["sub"]
-    return _ivfpq_serve(emb, cents, coded, books_q)
+    return books_q
+
+
+# --- incremental IVFPQ index maintenance -------------------------------------
+
+
+def _ivfpq_incremental_oracle() -> str:
+    d_sub = DIM // PQ_M
+    d2 = (
+        f"list_sum(list_transform(range(1, {d_sub + 1}), "
+        f"j -> (r.rq[t.m * {d_sub} + j] - s.rq[t.m * {d_sub} + j])"
+        f" * (r.rq[t.m * {d_sub} + j] - s.rq[t.m * {d_sub} + j])))"
+    )
+    return f"""
+WITH {_portable_c1_cte(where='WHERE vec_id % 2 = 0')},
+snap AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id % 2 = 1),
+allv AS (SELECT vec_id, v FROM x UNION ALL SELECT vec_id, v FROM snap),
+al AS (SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ROUND({_ORACLE_COS.format(c='c1.c')}, 6) DESC, c1.cid)
+             AS rn
+    FROM allv x CROSS JOIN c1) WHERE rn = 1),
+res AS (SELECT al.vec_id, al.cid,
+               list_transform(range(1, {DIM + 1}),
+                 j -> CAST(FLOOR((x.v[j] - c1.c[j]) * 1000000) AS BIGINT))
+                 AS rq
+        FROM al JOIN allv x USING (vec_id) JOIN c1 USING (cid)),
+bseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, rq
+           FROM res WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {PQ_KS}),
+mind AS (SELECT vec_id, cid, d2 FROM (
+    SELECT r.vec_id, r.cid, t.m, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id, t.m
+             ORDER BY {d2} ASC, s.k ASC) AS rn
+    FROM res r CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) t
+    CROSS JOIN bseeds s) WHERE rn = 1),
+qerr AS (SELECT vec_id, cid,
+                CAST(SUM(d2) AS BIGINT) // 1000000 AS qmu
+         FROM mind GROUP BY vec_id, cid),
+base AS (SELECT cid, COUNT(*) AS n_base,
+                CAST(SUM(qmu) AS BIGINT) AS base_qerr_sum_mu
+         FROM qerr WHERE vec_id % 2 = 0 GROUP BY cid),
+newb AS (SELECT cid, COUNT(*) AS n_new,
+                CAST(SUM(qmu) AS BIGINT) AS new_qerr_sum_mu
+         FROM qerr WHERE vec_id % 2 = 1 GROUP BY cid)
+SELECT CAST(COALESCE(base.cid, newb.cid) AS BIGINT) AS cid,
+       CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(base_qerr_sum_mu, 0) AS BIGINT) AS base_qerr_sum_mu,
+       CAST(COALESCE(new_qerr_sum_mu, 0) AS BIGINT) AS new_qerr_sum_mu,
+       CAST(COALESCE(new_qerr_sum_mu, 0) * COALESCE(n_base, 0)
+            - COALESCE(base_qerr_sum_mu, 0) * COALESCE(n_new, 0) AS BIGINT)
+         AS drift_num_mu
+FROM base FULL JOIN newb ON base.cid = newb.cid
+"""
+
+
+@query("sim_ivfpq_incremental", _ivfpq_incremental_oracle())
+def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVFPQ index maintenance — sim_ivf_incremental one
+    level down: encode a NEW embedding snapshot (vec_id % 2 = 1) into
+    residual PQ codes against codebooks AND coarse centroids trained on
+    the STANDING corpus (vec_id % 2 = 0), without retraining either.
+    Output per cid: training member count + integer quantization-error
+    sum, snapshot count + error sum, and the exact-integer drift
+    numerator (sign of mean_new_qerr - mean_train_qerr; POSITIVE =
+    new vectors quantize WORSE against the frozen codebooks — the
+    retrain trigger PQ actually needs, since a drifted corpus degrades
+    recall through reconstruction error long before the coarse
+    assignment shifts).
+
+    This IS ivfpq_append's arithmetic — the machinery test asserts the
+    persisted-index path (ivfpq_build on the corpus half +
+    ivfpq_append of the snapshot) returns exactly these rows, so the
+    driver's oracle evidence covers the maintained-index code path.
+
+    Scale shape: two zero-shuffle literal-argmax assignments + two
+    narrow Arrow encode passes (integer argmin, qerr = the winning
+    distance itself — no decode pass) + map-side-combinable per-cid
+    sums; the only exchange anywhere carries K-cardinality rows. The
+    snapshot never touches the standing codes — yesterday's 4-byte
+    codes are never re-encoded, the dd_incremental story for the
+    compressed index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    # localCheckpoint: consumed by two assignments' literal collects,
+    # two broadcast joins, and the codebook seed slice (the
+    # sim_ivf_incremental discipline — without it the Lloyd DAG
+    # re-executes per consumer)
+    cents = portable_centroids(corpus).localCheckpoint(eager=True)
+    books_q = quantize_books(
+        pq_codebooks(
+            _residuals(corpus.orderBy("vec_id").limit(PQ_KS), cents),
+            emb_col="residual",
+        )
+    )
+    base_stats = _qerr_stats(
+        pq_encode_qerr(_residuals(corpus, cents), books_q, emb_col="residual")
+    )
+    new_stats = _qerr_stats(
+        pq_encode_qerr(_residuals(snap, cents), books_q, emb_col="residual")
+    )
+    return _drift_report(base_stats, new_stats, val="qerr_sum_mu")
+
+
+def ivfpq_append(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    batch_id: int,
+    cents: DataFrame | None = None,
+    books_q: np.ndarray | None = None,
+    expect_epoch: int | None = None,
+) -> DataFrame:
+    """Append a NEW embedding snapshot to a persisted IVFPQ index
+    WITHOUT retraining — ivf_append one level down: assign against the
+    frozen centroids (zero-shuffle literal argmax), encode residual PQ
+    codes against the FROZEN persisted codebooks (integer argmin,
+    pq_encode_qerr), land the 4-byte codes under
+    ``<index>/code_appends`` partitioned by (bid, cid), and return the
+    per-cid code-space drift report vs the training-time
+    quantization-error stats the build persisted (POSITIVE drift_num_mu
+    = new vectors quantize worse = the PQ retrain trigger).
+
+    Durability, fencing, and the empty-batch guard follow ivf_append
+    exactly: batch_id-keyed DYNAMIC partition overwrite (per-writer
+    option — replay rewrites its own bid partitions), expect_epoch
+    raises CompactionFenceError when ivfpq_compact folded meanwhile,
+    empty batches short-circuit to a lazy n_new=0 report, and drift
+    stats come from the READ-BACK bid partition. Serving reads
+    codes ∪ code_appends (ivfpq_codes_with_appends); cid stays a
+    partition column in both, so probe-side file pruning holds for
+    appended codes too. At 100 TB: yesterday's 4-byte codes are never
+    re-encoded — new data costs assign + encode + append only."""
+    _check_epoch(index_dir, expect_epoch)
+    base_stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    if new_emb.isEmpty():
+        empty = spark.createDataFrame([], "cid bigint, n bigint, qerr_sum_mu bigint")
+        return _drift_report(base_stats, empty, val="qerr_sum_mu")
+    if cents is None:
+        cents = spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).localCheckpoint(eager=True)
+    if books_q is None:
+        books_q = _load_books_q(spark, index_dir)
+    coded = (
+        pq_encode_qerr(_residuals(new_emb, cents), books_q, emb_col="residual")
+        .select(F.col("vec_id").alias("cand_id"), "cid", "codes", "qerr")
+        .withColumn("bid", F.lit(int(batch_id)).cast("bigint"))
+    )
+    out = os.path.join(index_dir, "code_appends")
+    (
+        coded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid", "cid")
+        .parquet(out)
+    )
+    landed = spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}")).select(
+        "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
+    )
+    return _drift_report(base_stats, _qerr_stats(landed), val="qerr_sum_mu")
+
+
+def ivfpq_codes_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The servable code table of an incrementally maintained IVFPQ
+    index: build-time codes plus every appended snapshot's codes. Both
+    sides are cid-partitioned on disk, so the serve-phase probe join
+    still prunes to nprobe/K of the files. Feed the result straight
+    into _ivfpq_serve (qerr is projected away — serving needs only the
+    4-byte codes)."""
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).select(
+        "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes"
+    )
+    ap = os.path.join(index_dir, "code_appends")
+    if not os.path.isdir(ap):
+        return codes
+    appends = spark.read.parquet(ap).select(
+        "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes"
+    )
+    return codes.unionByName(appends)
+
+
+def ivfpq_compact(spark: SparkSession, index_dir: str) -> bool:
+    """Fold appended code snapshots into the base ``codes`` table and
+    clear ``code_appends`` — ivf_compact's crash ladder applied to the
+    compressed index (shared core _compact_index: rename-aside-first,
+    epoch-fence bump, append-only contract assertion, cand_id-dedup
+    healing, monotonic two-rename publish). The training ``stats`` and
+    ``codebooks`` are untouched: they are the frozen drift yardstick
+    and the frozen quantizer. Returns False when nothing to fold."""
+    return _compact_index(
+        spark,
+        index_dir,
+        data="codes",
+        appends="code_appends",
+        key="cand_id",
+        project=lambda df: df.select(
+            "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
+        ),
+    )
+
+
+def run_incremental_ivfpq_stream(
+    spark: SparkSession,
+    index_dir: str,
+    source: DataFrame,
+    timeout_s: int = 300,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin of the incremental IVFPQ maintenance —
+    run_incremental_ivf_stream one level down: arriving embedding
+    snapshots stream through a foreachBatch ivfpq_append, so each
+    micro-batch encodes against the FROZEN centroids + codebooks
+    (loaded once per stream, shared by every batch) and lands its
+    code rows under (bid=batch_id, cid) dynamic partition overwrites —
+    replay-idempotent, restart-safe, and FENCED: the compaction epoch
+    is snapshotted at open and a compact racing the stream fails the
+    next append loudly (CompactionFenceError) instead of silently
+    double-serving replayed rows."""
+    cents = spark.read.parquet(
+        os.path.join(index_dir, "centroids")
+    ).localCheckpoint(eager=True)
+    books_q = _load_books_q(spark, index_dir)
+    epoch0 = compaction_epoch(index_dir)
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        ivfpq_append(
+            spark, index_dir, batch_df, batch_id,
+            cents=cents, books_q=books_q, expect_epoch=epoch0,
+        )
+
+    q = (
+        source.writeStream.foreachBatch(append)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(index_dir, "_code_append_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"incremental IVFPQ stream did not drain within {timeout_s}s"
+        )
+    return q
 
 
 @query(

@@ -335,6 +335,7 @@ def test_ivfpq_build_query_parity(spark, sf_oracle, tmp_path):
         "centroids",
         "codebooks",
         "codes",
+        "stats",  # v2: per-cid training qerr stats (ivfpq_append yardstick)
     ]
     assert S.index_ready(idx, "ivfpq")
     emb = load_table(spark, sf_oracle, "embeddings")
@@ -801,3 +802,300 @@ def test_ivf_compact_heals_replay_residue(spark, sf_oracle, tmp_path):
     assert S.ivf_compact(spark, idx) is True  # heal
     healed = sorted(served())
     assert healed == clean
+
+
+def test_ivfpq_append_serves_new_vectors_idempotently(spark, sf_oracle, tmp_path):
+    """The maintained COMPRESSED index end-to-end (ivf_append's proof
+    set one level down): build an IVFPQ index on the corpus half only,
+    ivfpq_append the snapshot half as batch 1, and require (1) every
+    appended code row equals the direct frozen-centroid +
+    frozen-codebook encode of that vector, (2) serving from
+    codes ∪ code_appends finds snapshot vectors base-only serving
+    cannot, (3) replaying the same batch_id is a no-op, and (4) the
+    returned drift report equals the oracle-checked
+    sim_ivfpq_incremental rows exactly, so the driver's hash evidence
+    covers the persisted-index arithmetic too."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivfpq_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    drift = {
+        tuple(r) for r in S.ivfpq_append(spark, idx, snap, batch_id=1).collect()
+    }
+
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    books_q = S._load_books_q(spark, idx)
+    direct = {
+        (r["cand_id"], r["cid"], tuple(r["codes"]))
+        for r in S.pq_encode_qerr(
+            S._residuals(snap, cents), books_q, emb_col="residual"
+        )
+        .select(F.col("vec_id").alias("cand_id"), "cid", "codes")
+        .collect()
+    }
+    served = S.ivfpq_codes_with_appends(spark, idx)
+    appended = {
+        (r["cand_id"], r["cid"], tuple(r["codes"]))
+        for r in served.filter(F.col("cand_id") % 2 == 1).collect()
+    }
+    assert appended == direct and appended  # (1)
+
+    base_codes = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes"
+    )
+    base_cands = {
+        r["cand_id"]
+        for r in S._ivfpq_serve(emb, cents, base_codes, books_q).collect()
+    }
+    updated_cands = {
+        r["cand_id"]
+        for r in S._ivfpq_serve(emb, cents, served, books_q).collect()
+    }
+    assert not any(c % 2 == 1 for c in base_cands)  # (2) pre-append
+    assert any(c % 2 == 1 for c in updated_cands)  # (2) found new vectors
+
+    n_before = served.count()
+    drift_replay = {
+        tuple(r) for r in S.ivfpq_append(spark, idx, snap, batch_id=1).collect()
+    }
+    assert S.ivfpq_codes_with_appends(spark, idx).count() == n_before  # (3)
+    assert drift_replay == drift  # (3)
+
+    want = {
+        tuple(r) for r in S.sim_ivfpq_incremental(spark, sf_oracle).collect()
+    }
+    assert drift == want  # (4)
+
+
+def test_ivfpq_compact_preserves_serving(spark, sf_oracle, tmp_path):
+    """ivfpq_compact is pure layout: fold code appends into the base
+    codes table and the served code set is identical; appends are
+    gone, the compaction epoch advanced (the fence), a second compact
+    is a no-op, and the compacted index keeps accepting appends."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivfpq_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    S.ivfpq_append(spark, idx, snap.filter(F.col("vec_id") % 4 == 1), batch_id=0)
+    S.ivfpq_append(spark, idx, snap.filter(F.col("vec_id") % 4 == 3), batch_id=1)
+
+    def served_key():
+        return {
+            (r["cand_id"], r["cid"], tuple(r["codes"]))
+            for r in S.ivfpq_codes_with_appends(spark, idx).collect()
+        }
+
+    before = served_key()
+    epoch0 = S.compaction_epoch(idx)
+    assert S.ivfpq_compact(spark, idx) is True
+    assert served_key() == before
+    assert not os.path.isdir(os.path.join(idx, "code_appends"))
+    assert S.compaction_epoch(idx) == epoch0 + 1
+    assert S.ivfpq_compact(spark, idx) is False  # nothing left to fold
+    extra = snap.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    S.ivfpq_append(spark, idx, extra, batch_id=2)
+    assert len(served_key()) == len(before) + 3
+
+
+def test_compaction_fence_append_racing_compact_fails_loudly(
+    spark, sf_oracle, tmp_path
+):
+    """The quiesce contract, machine-enforced (r10 verdict task 4): an
+    append carrying the epoch its stream opened under must FAIL with
+    CompactionFenceError once a compact has started folding — before
+    writing anything — while an append that re-snapshots the epoch
+    proceeds. The exact double-serve scenario the fence exists for: a
+    replay of an already-folded bid."""
+    import os
+
+    import pytest
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+
+    epoch0 = S.compaction_epoch(idx)
+    assert epoch0 == 0  # fresh index
+    S.ivf_append(spark, idx, snap, batch_id=0, expect_epoch=epoch0)  # fenced, ok
+    assert S.ivf_compact(spark, idx) is True
+    assert S.compaction_epoch(idx) == epoch0 + 1
+
+    served_before = S.ivf_lists_with_appends(spark, idx).count()
+    with pytest.raises(S.CompactionFenceError):
+        # the stream's at-least-once replay of the folded bid
+        S.ivf_append(spark, idx, snap, batch_id=0, expect_epoch=epoch0)
+    # the fence fired BEFORE any write: nothing double-served
+    assert not os.path.isdir(os.path.join(idx, "appends"))
+    assert S.ivf_lists_with_appends(spark, idx).count() == served_before
+
+    # a caller that re-snapshots the epoch proceeds safely
+    extra = snap.limit(2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    S.ivf_append(
+        spark, idx, extra, batch_id=1, expect_epoch=S.compaction_epoch(idx)
+    )
+    assert S.ivf_lists_with_appends(spark, idx).count() == served_before + 2
+
+
+def test_append_empty_batch_short_circuits(spark, sf_oracle, tmp_path):
+    """r10 advice: an empty micro-batch (kafka/rate/no-data triggers)
+    must not kill the append path — a dynamic overwrite of an empty
+    frame creates no bid partition, so the read-back would raise
+    PATH_NOT_FOUND. Both appends short-circuit to a lazy n_new=0
+    drift report and write nothing."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+
+    ivf_idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "ivf"))
+    rows = S.ivf_append(spark, ivf_idx, empty, batch_id=7).collect()
+    assert rows and all(r["n_new"] == 0 for r in rows)
+    assert all(r["n_base"] > 0 for r in rows)  # base side intact
+    assert not os.path.isdir(os.path.join(ivf_idx, "appends"))
+
+    pq_idx = S.ivfpq_build(spark, str(tmp_path), index_dir=str(tmp_path / "pq"))
+    rows = S.ivfpq_append(spark, pq_idx, empty, batch_id=7).collect()
+    assert rows and all(r["n_new"] == 0 for r in rows)
+    assert not os.path.isdir(os.path.join(pq_idx, "code_appends"))
+
+
+def test_compact_rejects_conflicting_reappend(spark, sf_oracle, tmp_path):
+    """r10 advice: dropDuplicates-as-healing assumes duplicate keys are
+    bit-identical replay residue. A re-append of a CHANGED embedding
+    for an existing vec_id must make compaction raise loudly instead of
+    silently keeping an arbitrary copy."""
+    import pytest
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    S.ivf_append(spark, idx, snap, batch_id=0)
+    # same vec_ids, conflicting embeddings (reverse: same type/norm set,
+    # different values) — the contract violation, landed as another bid
+    conflicted = snap.limit(4).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    S.ivf_append(spark, idx, conflicted, batch_id=1)
+    with pytest.raises(RuntimeError, match="append-only contract"):
+        S.ivf_compact(spark, idx)
+
+
+def _ladder_expected(spark, idx):
+    return {
+        (r["vec_id"], r["cid"], tuple(r["embedding"]))
+        for r in S.ivf_lists_with_appends(spark, idx).collect()
+    }
+
+
+def test_ivf_compact_crash_ladder_property(spark, sf_oracle, tmp_path, monkeypatch):
+    """Fault-injection over EVERY boundary of the compact crash ladder
+    (r10 verdict task 6): kill the fold at each os.rename under the
+    index (appends-aside, epoch publish, lists->backup, tmp->lists) and
+    at post-publish cleanup, then require at every point that (a) if
+    the lists dir survives, serving has no duplicates, serves a subset
+    of the expected rows, and never loses a base-corpus row; (b) one
+    subsequent compact heals to exactly the expected set with appends
+    and fold leftovers gone. One test walks all five points on one
+    built index — each heal restores the invariant the next point
+    re-breaks."""
+    import os
+    import shutil
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivf_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    base_rows = {
+        (r["vec_id"], r["cid"], tuple(r["embedding"]))
+        for r in S.ivf_lists_with_appends(spark, idx).collect()
+    }
+    snap_a = snap.filter(F.col("vec_id") % 4 == 1)
+    snap_b = snap.filter(F.col("vec_id") % 4 == 3)
+
+    class Boom(Exception):
+        pass
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+
+    for crash_at in (1, 2, 3, 4, "cleanup"):
+        # (re-)append both bids; earlier heals folded them into lists,
+        # so dedup must also hold across fold+re-append residue
+        S.ivf_append(spark, idx, snap_a, batch_id=0)
+        S.ivf_append(spark, idx, snap_b, batch_id=1)
+        expected = _ladder_expected(spark, idx)
+        assert expected >= base_rows
+
+        calls = {"n": 0}
+        if crash_at == "cleanup":
+            def boom_rmtree(path, *a, **kw):
+                if str(path).startswith(str(idx)):
+                    raise Boom(path)
+                return real_rmtree(path, *a, **kw)
+
+            monkeypatch.setattr(shutil, "rmtree", boom_rmtree)
+        else:
+            def boom_rename(src, dst):
+                if str(src).startswith(str(idx)):
+                    calls["n"] += 1
+                    if calls["n"] == crash_at:
+                        raise Boom(f"injected at rename #{calls['n']}: {src}")
+                return real_rename(src, dst)
+
+            monkeypatch.setattr(os, "rename", boom_rename)
+
+        try:
+            S.ivf_compact(spark, idx)
+            raised = False
+        except Boom:
+            raised = True
+        monkeypatch.undo()
+        assert raised, f"injection at {crash_at} did not fire"
+
+        if os.path.isdir(os.path.join(idx, "lists")):
+            served = [
+                (r["vec_id"], r["cid"], tuple(r["embedding"]))
+                for r in S.ivf_lists_with_appends(spark, idx).collect()
+            ]
+            assert len(served) == len(set(served))  # never double-serves
+            assert set(served) <= expected  # never invents rows
+            assert set(served) >= base_rows  # never loses committed base
+
+        assert S.ivf_compact(spark, idx) is True  # heal
+        assert _ladder_expected(spark, idx) == expected
+        assert not os.path.isdir(os.path.join(idx, "appends"))
+        leftovers = [
+            d
+            for d in os.listdir(idx)
+            if d.startswith(("appends.folding.", "lists.compacting.", "lists.old."))
+        ]
+        assert leftovers == []

@@ -1333,6 +1333,126 @@ def test_incremental_ivf_stream_multi_microbatch_and_restart(spark, sf_oracle, t
     } == direct
 
 
+def test_incremental_ivfpq_stream_multi_microbatch_and_restart(
+    spark, sf_oracle, tmp_path
+):
+    """The compressed maintained index under REAL streaming maintenance
+    (the IVF twin's proof set one level down): build an IVFPQ index on
+    the corpus half, stream the snapshot half as three vec_id-ordered
+    micro-batches through the foreachBatch ivfpq_append twin, and
+    require the served codes to hold exactly corpus ∪ snapshot with
+    every appended row equal to its direct frozen-centroid +
+    frozen-codebook encode. Then the recovery story: a direct replay of
+    the last committed batch leaves the codes bit-identical (dynamic
+    (bid, cid) overwrite — the multi-bid layout that caught the
+    session-conf wipe bug on the IVF side), and a RESTART on the same
+    checkpoint after a fourth file lands processes only the new file
+    while earlier appends survive."""
+    import os
+
+    from ftp_blueprints_spark.operators import similarity as S
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap_rows = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ivfpq_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+
+    third = len(snap_rows) // 3
+    chunks = [snap_rows[:third], snap_rows[third:2 * third], snap_rows[2 * third:]]
+    src_dir = tmp_path / "emb_parts"
+    schema = emb.select("vec_id", "embedding", "label").schema
+
+    def land(i, rows):
+        out = str(src_dir / f"part{i}")
+        spark.createDataFrame(
+            [(r["vec_id"], r["embedding"], r["label"]) for r in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
+
+    for i, rows in enumerate(chunks):
+        land(i, rows)
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+
+    ckpt = str(tmp_path / "pq_ckpt")
+    q = S.run_incremental_ivfpq_stream(spark, idx, src(), checkpoint_dir=ckpt)
+    _assert_multi_batch(q, 3)
+
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    books_q = S._load_books_q(spark, idx)
+    snap_df = emb.filter(F.col("vec_id") % 2 == 1)
+    direct = {
+        (r["cand_id"], r["cid"], tuple(r["codes"]))
+        for r in S.pq_encode_qerr(
+            S._residuals(snap_df, cents), books_q, emb_col="residual"
+        )
+        .select(F.col("vec_id").alias("cand_id"), "cid", "codes")
+        .collect()
+    }
+    served = S.ivfpq_codes_with_appends(spark, idx)
+    appended = {
+        (r["cand_id"], r["cid"], tuple(r["codes"]))
+        for r in served.filter(F.col("cand_id") % 2 == 1).collect()
+    }
+    assert appended == direct
+    assert served.count() == emb.count()  # corpus ∪ snapshot, nothing else
+
+    # replay idempotency: re-append the LAST committed batch directly
+    def codes_key(df):
+        return {
+            (r["cand_id"], r["cid"], tuple(r["codes"])) for r in df.collect()
+        }
+
+    codes_before = codes_key(served)
+    last_bid = max(
+        r["bid"]
+        for r in spark.read.parquet(os.path.join(idx, "code_appends"))
+        .select("bid").distinct().collect()
+    )
+    replay_df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in chunks[-1]], schema
+    )
+    S.ivfpq_append(spark, idx, replay_df, batch_id=last_bid)
+    assert codes_key(S.ivfpq_codes_with_appends(spark, idx)) == codes_before
+
+    # restart: land NEW vectors (ids beyond the fixture), same checkpoint
+    new_rows = [
+        (1_000_000 + i, r["embedding"], r["label"])
+        for i, r in enumerate(snap_rows[:5])
+    ]
+    out4 = str(src_dir / "part3")
+    spark.createDataFrame(new_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out4)
+    for f in os.listdir(out4):
+        os.utime(os.path.join(out4, f), (1_700_000_003,) * 2)
+    S.run_incremental_ivfpq_stream(spark, idx, src(), checkpoint_dir=ckpt)
+    final = S.ivfpq_codes_with_appends(spark, idx)
+    assert final.count() == emb.count() + len(new_rows)
+    assert final.filter(F.col("cand_id") >= 1_000_000).count() == len(new_rows)
+    # earlier appends untouched by the restarted run
+    assert {
+        (r["cand_id"], r["cid"], tuple(r["codes"]))
+        for r in final.filter(
+            (F.col("cand_id") % 2 == 1) & (F.col("cand_id") < 1_000_000)
+        ).collect()
+    } == direct
+
+
 def test_dwell_group_scan_property_vs_naive():
     """Property: for ANY event multiset (duplicate timestamps included),
     ANY chunking, ANY within-chunk order, and ANY legal carried state,
