@@ -1288,21 +1288,32 @@ def compaction_epoch(index_dir: str) -> int:
     try:
         with open(path) as fh:
             return int(fh.read().strip())
-    except (OSError, ValueError):
+    except FileNotFoundError:
         return 0
+    # any OTHER failure (EACCES/EIO, corrupt/empty contents) propagates:
+    # a safety fence must fail CLOSED — mapping an unreadable marker to
+    # epoch 0 would disarm it exactly when a half-written file after a
+    # crash means a compact may have run (r11 review)
 
 
 def _bump_epoch(index_dir: str) -> int:
-    """Advance the compaction epoch (write-tmp + atomic rename). Called
-    the moment a compaction commits to folding — AFTER the appends
-    tree is renamed aside, BEFORE any merge work — so a fenced append
-    can never land rows a running fold might also serve. A compaction
-    that crashes later leaves the epoch advanced: open streams refuse
-    loudly instead of silently double-serving, which is the point."""
+    """Advance the compaction epoch (write-tmp + fsync + atomic
+    rename). Called the moment a compaction commits to folding — AFTER
+    the appends tree is renamed aside, BEFORE any merge work — so a
+    fenced append observes the new epoch either at entry (_check_epoch)
+    or right after its write lands (_post_write_fence, which also
+    removes the landed bid). Neither side holds a lock, so a fold and
+    an append CAN still interleave in a microsecond window — but every
+    interleaving now ends in a loud CompactionFenceError with at most
+    one bid of key-deduped replay residue, never the silent double-
+    serve. A compaction that crashes later leaves the epoch advanced:
+    open streams refuse loudly, which is the point."""
     nxt = compaction_epoch(index_dir) + 1
     tmp = os.path.join(index_dir, f".{_EPOCH_FILE}.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
         fh.write(str(nxt))
+        fh.flush()
+        os.fsync(fh.fileno())  # a power-cut empty marker would fail-closed
     os.rename(tmp, os.path.join(index_dir, _EPOCH_FILE))
     return nxt
 
@@ -1324,6 +1335,34 @@ def _check_epoch(index_dir: str, expect_epoch: int | None) -> None:
             f"compaction epoch advanced {expect_epoch} -> {now} under "
             f"{index_dir}: a compact ran while this append stream was "
             "open; stop and reopen the stream (quiesce contract)"
+        )
+
+
+def _post_write_fence(
+    index_dir: str, expect_epoch: int | None, bid_dir: str
+) -> None:
+    """The fence's act half: the entry _check_epoch is check-then-act
+    (a compact can start folding DURING the micro-batch), so after the
+    bid partition lands, re-read the epoch; if it advanced, best-effort
+    remove the just-written bid subtree and raise. Two races remain,
+    both bounded and loud: (a) the compact renamed appends aside AFTER
+    our rows landed — they are being folded exactly once, the raise
+    fails the stream before its checkpoint commits, and the reopened
+    stream's replay residue heals at the next compact's key dedup;
+    (b) the compact's rename ran between our write and this removal —
+    same story. What can no longer happen is the SILENT path: an
+    append landing concurrently with a fold and nobody noticing."""
+    if expect_epoch is None:
+        return
+    now = compaction_epoch(index_dir)
+    if now != expect_epoch:
+        import shutil
+
+        shutil.rmtree(bid_dir, ignore_errors=True)
+        raise CompactionFenceError(
+            f"compaction epoch advanced {expect_epoch} -> {now} under "
+            f"{index_dir} DURING an append: the landed bid was removed; "
+            "stop and reopen the stream (quiesce contract)"
         )
 
 
@@ -1400,6 +1439,7 @@ def ivf_append(
         .partitionBy("bid", "cid")
         .parquet(out)
     )
+    _post_write_fence(index_dir, expect_epoch, os.path.join(out, f"bid={int(batch_id)}"))
     # read back ONLY this bid's subtree: listing the whole appends
     # tree would pay O(all (bid, cid) partitions ever written) file
     # discovery per micro-batch on a long-lived stream, just to prune
@@ -1519,35 +1559,45 @@ def _compact_index(
         if not backups:
             raise FileNotFoundError(f"no {data} under {index_dir}")
         os.rename(os.path.join(index_dir, backups[-1]), data_dir)
-    # stale tmp dirs from dead compactions are garbage: never published
+    # stale tmp dirs/files from dead compactions are garbage: never
+    # published (includes epoch tmps a crash at the publish rename left)
     for d in _entries(f"{data}.compacting."):
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    for d in _entries(f".{_EPOCH_FILE}.tmp."):
+        try:
+            os.remove(os.path.join(index_dir, d))
+        except OSError:
+            pass
 
-    tag = _next_tag(index_dir)
     ap = os.path.join(index_dir, appends)
+    fold_srcs = [d for d in _entries(f"{appends}.folding.")]
     if os.path.isdir(ap):
-        os.rename(ap, os.path.join(index_dir, f"{appends}.folding.{tag}"))
-    folding = _entries(f"{appends}.folding.")
-    if not folding:
+        fold_srcs.append(appends)
+    if not fold_srcs:
         return False
-    # the fence: from here on, appends from streams opened earlier
-    # must refuse (their checkpoint may not have committed past rows
-    # this fold is about to serve from the base layout)
-    _bump_epoch(index_dir)
-    merged = project(spark.read.parquet(data_dir))
-    for d in folding:
-        merged = merged.unionByName(
-            project(spark.read.parquet(os.path.join(index_dir, d)))
-        )
-    # append-only contract: duplicate keys may only be bit-identical
-    # replay residue. A re-append of a CHANGED row for an existing key
-    # would otherwise have dropDuplicates keep an arbitrary copy (and
-    # pre-compaction serving double-serve conflicting rows). One extra
-    # pass over lists ∪ appends at maintenance time — the price of a
-    # loud contract (r10 advice).
-    chk = merged.agg(
+
+    def _merged(sources: list[str]):
+        out = project(spark.read.parquet(data_dir))
+        for d in sources:
+            out = out.unionByName(
+                project(spark.read.parquet(os.path.join(index_dir, d)))
+            )
+        return out
+
+    # append-only contract, checked BEFORE anything is renamed aside:
+    # duplicate keys may only be bit-identical replay residue. A
+    # re-append of a CHANGED row for an existing key would otherwise
+    # have dropDuplicates keep an arbitrary copy (and pre-compaction
+    # serving double-serve conflicting rows). Raising here leaves the
+    # index fully served (appends still in place) — checking after the
+    # rename-aside would strand every appended row unserved with no
+    # automated recovery (r11 review). One extra pass over
+    # base ∪ appends at maintenance time — the price of a loud
+    # contract (r10 advice).
+    pre = _merged(fold_srcs)
+    chk = pre.agg(
         F.countDistinct(key).alias("ids"),
-        F.countDistinct(F.struct(*merged.columns)).alias("rows"),
+        F.countDistinct(F.struct(*pre.columns)).alias("rows"),
     ).collect()[0]
     if chk["ids"] != chk["rows"]:
         raise RuntimeError(
@@ -1556,7 +1606,16 @@ def _compact_index(
             "across base/appends — a caller re-appended a changed row "
             "for an existing key; resolve upstream before compacting"
         )
-    merged = merged.dropDuplicates([key])
+
+    tag = _next_tag(index_dir)
+    if os.path.isdir(ap):
+        os.rename(ap, os.path.join(index_dir, f"{appends}.folding.{tag}"))
+    folding = _entries(f"{appends}.folding.")
+    # the fence: from here on, appends from streams opened earlier
+    # must refuse (their checkpoint may not have committed past rows
+    # this fold is about to serve from the base layout)
+    _bump_epoch(index_dir)
+    merged = _merged(folding).dropDuplicates([key])
     tmp = os.path.join(index_dir, f"{data}.compacting.{tag}")
     merged.write.mode("overwrite").partitionBy("cid").parquet(tmp)
     old = os.path.join(index_dir, f"{data}.old.{tag}")
@@ -1610,20 +1669,31 @@ def run_incremental_ivf_stream(
             expect_epoch=epoch0,
         )
 
+    return _run_append_stream(
+        source,
+        append,
+        checkpoint_dir or os.path.join(index_dir, "_append_ckpt"),
+        timeout_s,
+    )
+
+
+def _run_append_stream(source: DataFrame, append_fn, checkpoint: str, timeout_s: int):
+    """Shared foreachBatch runner of the two maintained-index stream
+    twins (one scaffold in the repo — checkpoint wiring, availableNow
+    drain, timeout/stop/raise; r11 review): the per-stream snapshots
+    (frozen centroids/codebooks, compaction epoch) stay in the callers,
+    the lifecycle lives here."""
     q = (
-        source.writeStream.foreachBatch(append)
+        source.writeStream.foreachBatch(append_fn)
         .outputMode("append")
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(index_dir, "_append_ckpt"),
-        )
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(
-            f"incremental IVF stream did not drain within {timeout_s}s"
+            f"incremental append stream did not drain within {timeout_s}s"
         )
     return q
 
@@ -1840,26 +1910,13 @@ def pq_encode(emb: DataFrame, books: np.ndarray, emb_col: str = "embedding") -> 
     old float-BLAS d2 could flip a near-tie code between engines).
     One Arrow-batched numpy pass (int64 broadcast-subtract per batch) —
     a narrow projection, no shuffle; at 100 TB this is the compression
-    pass that shrinks every vector 64x (256 B float32 -> 4 B codes)."""
-    from pyspark.sql.types import ArrayType, IntegerType
+    pass that shrinks every vector 64x (256 B float32 -> 4 B codes).
 
-    books_q = quantize_books(books)
-    M, KS, d_sub = books.shape
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def encode(s: pd.Series) -> pd.Series:
-        X = np.stack(s.to_numpy()).astype(np.float64)  # (n, dim)
-        Xq = np.floor(X * 1_000_000).astype(np.int64)
-        n = X.shape[0]
-        codes = np.empty((n, M), dtype=np.int32)
-        for m in range(M):
-            sub = Xq[:, m * d_sub : (m + 1) * d_sub]  # (n, d_sub) int64
-            diff = sub[:, None, :] - books_q[m][None, :, :]  # (n, KS, d_sub)
-            d2 = (diff * diff).sum(axis=2)  # exact int64
-            codes[:, m] = d2.argmin(axis=1)  # first min -> lowest code
-        return pd.Series(list(codes))
-
-    return emb.withColumn("codes", encode(emb_col))
+    Delegates to pq_encode_qerr (one argmin kernel in the repo — the
+    hand-copied twin had already diverged: only the qerr copy carried
+    the empty-Arrow-batch guard; r11 review) and drops the error
+    column; codes are the identical argmin either way."""
+    return pq_encode_qerr(emb, quantize_books(books), emb_col).drop("qerr")
 
 
 def pq_encode_qerr(
@@ -2589,6 +2646,7 @@ def ivfpq_append(
         .partitionBy("bid", "cid")
         .parquet(out)
     )
+    _post_write_fence(index_dir, expect_epoch, os.path.join(out, f"bid={int(batch_id)}"))
     landed = spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}")).select(
         "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
     )
@@ -2663,22 +2721,12 @@ def run_incremental_ivfpq_stream(
             cents=cents, books_q=books_q, expect_epoch=epoch0,
         )
 
-    q = (
-        source.writeStream.foreachBatch(append)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(index_dir, "_code_append_ckpt"),
-        )
-        .trigger(availableNow=True)
-        .start()
+    return _run_append_stream(
+        source,
+        append,
+        checkpoint_dir or os.path.join(index_dir, "_code_append_ckpt"),
+        timeout_s,
     )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"incremental IVFPQ stream did not drain within {timeout_s}s"
-        )
-    return q
 
 
 @query(

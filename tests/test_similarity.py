@@ -1099,3 +1099,49 @@ def test_ivf_compact_crash_ladder_property(spark, sf_oracle, tmp_path, monkeypat
             if d.startswith(("appends.folding.", "lists.compacting.", "lists.old."))
         ]
         assert leftovers == []
+
+
+def test_post_write_fence_removes_landed_bid(tmp_path):
+    """The fence's act half (r11 review): when the epoch advances
+    DURING a micro-batch (entry check passed, write landed, fold
+    started), the post-write re-check must remove the just-landed bid
+    subtree and raise — the loud path that replaced the silent
+    double-serve window."""
+    import os
+
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    bid_dir = os.path.join(idx, "appends", "bid=3")
+    os.makedirs(bid_dir)
+    open(os.path.join(bid_dir, "part-0.parquet"), "w").close()
+
+    S._post_write_fence(idx, None, bid_dir)  # unfenced caller: no-op
+    assert os.path.isdir(bid_dir)
+    S._post_write_fence(idx, 0, bid_dir)  # epoch unchanged: no-op
+    assert os.path.isdir(bid_dir)
+
+    S._bump_epoch(idx)  # the racing compact
+    with pytest.raises(S.CompactionFenceError, match="DURING an append"):
+        S._post_write_fence(idx, 0, bid_dir)
+    assert not os.path.isdir(bid_dir)  # landed rows withdrawn
+
+
+def test_compaction_epoch_fails_closed(tmp_path):
+    """A fence must fail CLOSED: a missing marker is epoch 0 (fresh
+    index), but a corrupt/empty one (half-written at a power cut)
+    raises instead of silently disarming the fence (r11 review)."""
+    import os
+
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    assert S.compaction_epoch(idx) == 0  # missing -> fresh
+    assert S._bump_epoch(idx) == 1
+    assert S.compaction_epoch(idx) == 1
+    with open(os.path.join(idx, "compact.epoch"), "w"):
+        pass  # truncate: the post-crash empty marker
+    with pytest.raises(ValueError):
+        S.compaction_epoch(idx)
