@@ -1,0 +1,197 @@
+"""Randomized-schedule property for the maintained IVF index: ANY
+interleaving of appends (fresh bids AND replays), compacts, and
+CRASH-compacts (fault injected at a random rename boundary) must keep
+the serving invariants — the stateful generalization of the example
+crash-ladder walk in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyspark.sql.functions as F  # noqa: F401 - parity with sibling files
+import pytest
+
+from ftp_blueprints_spark.operators import similarity as S
+from tests.test_similarity import _write_crafted_embeddings
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+N_CHUNKS = 3
+
+
+def _served_pairs(spark, idx):
+    rows = S.ivf_lists_with_appends(spark, idx).collect()
+    return [(r["vec_id"], r["cid"]) for r in rows]
+
+
+def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
+    """Property: starting from a built index, for ANY schedule of
+    {append chunk c (bid=c; re-drawing an already-appended chunk is an
+    at-least-once REPLAY), compact, crash-compact at a random rename
+    boundary}, serving holds (a) a vec_id is served at most twice, and
+    twice ONLY when its bid was replayed after a compact already
+    folded it into the base lists — the documented quiesce-contract
+    residue, healed at the next compact (every other double-serve is a
+    bug), (b) no invented rows (⊆ base ∪ appended chunks), (c) the
+    base corpus is never lost, (d) every successfully appended chunk
+    is served except in the bounded post-crash degraded window
+    (appends renamed aside, not yet folded), and (e) after a CLEAN
+    compact — including the final healing one — serving equals
+    base ∪ appended exactly (no duplicates) with no fold leftovers.
+    The example-based crash-ladder test walks each boundary once in a
+    fixed order; this walks random interleavings, including
+    replay-after-fold, replay-after-crash, and crash-after-crash —
+    and its first run falsified a TOO-STRONG invariant (never any
+    dup), reproducing the replay-after-fold residue the heal test
+    documents: the property now pins that residue's exact bound."""
+    # template: built once, copied per example (a build per example
+    # would dominate the property's runtime)
+    base_dir = tmp_path_factory.mktemp("sched_base")
+    dim = 8
+    vecs = []
+    for k in range(S.IVF_K):
+        e = np.zeros(dim)
+        e[k % dim] = 1.0
+        e[(k + 3) % dim] = 0.25 + 0.05 * (k // dim)
+        vecs.append(e / np.linalg.norm(e))
+    for j in range(8):
+        v = np.ones(dim)
+        v[j % dim] += 0.5 + 0.1 * j
+        vecs.append(v / np.linalg.norm(v))
+    _write_crafted_embeddings(base_dir / "embeddings.parquet", vecs)
+    template = str(base_dir / "idx")
+    S.ivf_build(spark, str(base_dir), index_dir=template)
+
+    cents = spark.read.parquet(os.path.join(template, "centroids")).localCheckpoint(
+        eager=True
+    )
+    base_pairs = set(_served_pairs(spark, template))
+    chunk_dfs, chunk_pairs = {}, {}
+    for c in range(N_CHUNKS):
+        rows = [
+            (1000 + 10 * c + i, [float(x) for x in np.roll(vecs[i], c + 1)])
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        chunk_dfs[c] = df
+        chunk_pairs[c] = {
+            (r["vec_id"], r["cid"])
+            for r in S.ivf_assign(df, cents, round_digits=6).collect()
+        }
+
+    real_rename = os.rename
+
+    class Boom(Exception):
+        pass
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.data())
+    def run(data):
+        idx = os.path.join(str(tmp_path_factory.mktemp("sched")), "idx")
+        shutil.copytree(template, idx)
+        appended: set[int] = set()
+        folded: set[int] = set()  # bids a compact moved into base lists
+        residue: set[int] = set()  # folded bids later replayed (dup window)
+        degraded = False  # a crash left appends renamed aside (unserved)
+
+        def expected():
+            out = set(base_pairs)
+            for c in appended:
+                out |= chunk_pairs[c]
+            return out
+
+        def check(lists_must_exist: bool):
+            if not os.path.isdir(os.path.join(idx, "lists")):
+                assert not lists_must_exist  # only a mid-swap crash window
+                return
+            served = _served_pairs(spark, idx)
+            from collections import Counter
+
+            cnt = Counter(v for v, _ in served)
+            dup_ok = {
+                vid for c in residue for vid, _ in chunk_pairs[c]
+            }
+            # (a) at most 2 copies, and only for replayed-after-fold ids
+            assert all(n <= 2 for n in cnt.values())
+            assert {v for v, n in cnt.items() if n > 1} <= dup_ok
+            assert set(served) <= expected()  # (b) never invents rows
+            assert set(served) >= base_pairs  # (c) base never lost
+
+        n_ops = data.draw(st.integers(min_value=2, max_value=6))
+        for _ in range(n_ops):
+            op = data.draw(
+                st.sampled_from(["append", "append", "compact", "crash"])
+            )
+            if op == "append":
+                c = data.draw(st.integers(0, N_CHUNKS - 1))
+                S.ivf_append(spark, idx, chunk_dfs[c], batch_id=c, cents=cents)
+                appended.add(c)
+                if c in folded:
+                    residue.add(c)  # replay of an already-folded bid
+                # a prior mid-swap crash may leave `lists` missing until
+                # the next compact restores it — the append itself never
+                # touches lists, so that window is legal while degraded
+                check(lists_must_exist=not degraded)
+                if os.path.isdir(os.path.join(idx, "lists")):
+                    served = set(_served_pairs(spark, idx))
+                    assert chunk_pairs[c] <= served  # (d) the landed bid serves
+            elif op == "compact":
+                S.ivf_compact(spark, idx)
+                degraded = False
+                folded |= set(appended)
+                residue.clear()  # key-dedup healed the replay residue
+                check(lists_must_exist=True)
+                served = _served_pairs(spark, idx)
+                assert sorted(served) == sorted(expected())  # (e) exact, no dups
+            else:  # crash-compact: fault at a random idx-scoped rename
+                k = data.draw(st.integers(min_value=1, max_value=4))
+                calls = {"n": 0}
+
+                def boom(src, dst, *, _k=k, _calls=calls):
+                    if str(src).startswith(idx):
+                        _calls["n"] += 1
+                        if _calls["n"] == _k:
+                            raise Boom(src)
+                    return real_rename(src, dst)
+
+                os.rename = boom
+                try:
+                    folded_now = S.ivf_compact(spark, idx)
+                    crashed = False
+                except Boom:
+                    crashed = True
+                finally:
+                    os.rename = real_rename
+                if crashed:
+                    degraded = True
+                else:
+                    # the injection point exceeded the rename count (a
+                    # folding-leftovers-only fold has 3) — a clean fold
+                    if folded_now:
+                        folded |= set(appended)
+                        residue.clear()
+                    degraded = False
+                check(lists_must_exist=False)
+
+        # final heal: one compact restores the exact-equality invariant
+        # (False = nothing to fold is only legal when not degraded)
+        healed = S.ivf_compact(spark, idx)
+        assert healed or not degraded
+        final = _served_pairs(spark, idx)
+        assert sorted(final) == sorted(expected())  # exact, residue healed
+        leftovers = [
+            d
+            for d in os.listdir(idx)
+            if d.startswith(("appends.folding.", "lists.compacting."))
+        ]
+        assert leftovers == []
+
+    run()

@@ -1,0 +1,62 @@
+"""Cross-engine properties for the adaptive-width phash contract and
+the compaction tag discipline — pure-python/DuckDB (no Spark session),
+so they pin the cross-engine derivations cheaply on every run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+duckdb = pytest.importorskip("duckdb")
+
+from hypothesis import given, settings, strategies as st
+
+from ftp_blueprints_spark.operators.multimodal import phash_width_for
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**15))
+def test_phash_width_for_equals_oracle_formula(n):
+    """mm_phash_neardup_wide's correctness hinges on BOTH engines
+    deriving the same band width from the same corpus count: python's
+    max(10, ceil(log2 n)) (phash_width_for) and the oracle's
+    GREATEST(10, LENGTH(BIN(n - 1))). The docstring argues equality
+    (bit-length is exact; log2 of a non-power-of-2 integer can never
+    round across an integer boundary) — this property checks it over
+    fifteen decades, including the powers of two and their neighbours
+    hypothesis shrinks toward."""
+    sql = duckdb.sql(f"SELECT GREATEST(10, LENGTH(BIN({n} - 1)))").fetchone()[0]
+    assert phash_width_for(n) == sql
+    # and the pure-integer spelling, the form the docstrings cite
+    assert phash_width_for(n) == max(10, max(n - 1, 1).bit_length())
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=10**19),  # crashed-tag suffixes
+            st.text(
+                alphabet="abcdef.", min_size=1, max_size=8
+            ),  # non-numeric residue (e.g. "deadbeef")
+        ),
+        max_size=8,
+    )
+)
+def test_next_tag_monotone_over_any_crash_residue(tmp_path_factory, suffixes):
+    """_next_tag must exceed EVERY numeric tag already under the index
+    dir regardless of what combination of crashed backups/tmps/appends
+    is present (and ignore non-numeric residue) — the property behind
+    'a clock step backwards can never rank a stale backup newest'."""
+    import os
+
+    from ftp_blueprints_spark.operators.similarity import _next_tag
+
+    idx = tmp_path_factory.mktemp("idx")
+    for i, s in enumerate(suffixes):
+        prefix = ["lists.old.", "appends.folding.", "lists.compacting."][i % 3]
+        os.makedirs(idx / f"{prefix}{s}", exist_ok=True)
+    tag = _next_tag(str(idx))
+    assert len(tag) == 20 and tag.isdigit()
+    numeric = [int(s) for s in suffixes if isinstance(s, int) or str(s).isdigit()]
+    assert all(int(tag) > x for x in numeric)
