@@ -101,6 +101,8 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
         folded: set[int] = set()  # bids a compact moved into base lists
         residue: set[int] = set()  # folded bids later replayed (dup window)
         degraded = False  # a crash left appends renamed aside (unserved)
+        # a long-lived fenced stream: epoch snapshotted once, at open
+        stream_epoch = S.compaction_epoch(idx)
 
         def expected():
             out = set(base_pairs)
@@ -128,8 +130,38 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
         n_ops = data.draw(st.integers(min_value=2, max_value=6))
         for _ in range(n_ops):
             op = data.draw(
-                st.sampled_from(["append", "append", "compact", "crash"])
+                st.sampled_from(
+                    ["append", "append", "compact", "crash", "stream_append"]
+                )
             )
+            if op == "stream_append":
+                # the fenced path: the stream's open-time epoch either
+                # still holds (append lands like any other) or a fold
+                # advanced it (append must refuse and land NOTHING)
+                c = data.draw(st.integers(0, N_CHUNKS - 1))
+                if S.compaction_epoch(idx) == stream_epoch:
+                    S.ivf_append(
+                        spark, idx, chunk_dfs[c], batch_id=c,
+                        cents=cents, expect_epoch=stream_epoch,
+                    )
+                    appended.add(c)
+                    if c in folded:
+                        residue.add(c)
+                    check(lists_must_exist=not degraded)
+                else:
+                    before = (
+                        sorted(_served_pairs(spark, idx))
+                        if os.path.isdir(os.path.join(idx, "lists"))
+                        else None
+                    )
+                    with pytest.raises(S.CompactionFenceError):
+                        S.ivf_append(
+                            spark, idx, chunk_dfs[c], batch_id=c,
+                            cents=cents, expect_epoch=stream_epoch,
+                        )
+                    if before is not None:  # refused = landed nothing
+                        assert sorted(_served_pairs(spark, idx)) == before
+                continue
             if op == "append":
                 c = data.draw(st.integers(0, N_CHUNKS - 1))
                 S.ivf_append(spark, idx, chunk_dfs[c], batch_id=c, cents=cents)

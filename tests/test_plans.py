@@ -348,3 +348,23 @@ def test_phash_wide_lossless_vs_numpy_reference(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_incremental_no_cartesian_no_window(spark, sf_oracle):
+    """sim_ivfpq_incremental: two zero-shuffle assignments + Arrow
+    encode passes + map-side-combinable per-cid sums — no window, no
+    cartesian; the only joins are broadcasts onto the K-row centroid
+    table and the K-cardinality full-outer stats diff."""
+    plan = _plan(spark, "sim_ivfpq_incremental", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan  # stats combine map-side
+
+
+def test_phash_wide_registered_query_bucketed(spark, sf_oracle):
+    """mm_phash_neardup_wide (the registered adaptive-width surface):
+    candidates form only inside (band, value) buckets — never an
+    all-pairs join — at the corpus-selected width."""
+    plan = _plan(spark, "mm_phash_neardup_wide", sf_oracle)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
