@@ -607,10 +607,17 @@ def phash_width_for(n: int) -> int:
     expected per-band bucket load O(1), so banded candidate pairs stay
     ~linear in n instead of n^2 / 2^w. Floor of 10 reproduces the
     48-bit query's band capacity at small corpora; no ceiling — each
-    band is its own BIGINT word, so width is not capped by one long."""
-    import math
+    band is its own BIGINT word, so width is not capped by one long.
 
-    return max(10, math.ceil(math.log2(max(n, 2))))
+    INTEGER bit-length, not float ceil(log2): the two differ at
+    n = 2^49 + 1 (and the larger 2^k + 1), where log2(n)'s fractional
+    part ~2^-49 is below the double-precision ulp near k, so the
+    correctly rounded log2 IS exactly k and ceil under-sizes the band
+    by one bit — caught by the r11 review against this function's own
+    cross-engine property. bit_length matches the oracle's
+    LENGTH(BIN(n-1)) exactly for every integer n
+    (tests/test_width_contract.py)."""
+    return max(10, max(n - 1, 1).bit_length())
 
 
 def phash_media_wide(media: DataFrame, width: int) -> DataFrame:
@@ -693,12 +700,13 @@ def _mm_phash_wide_oracle() -> str:
     computed parameter (bits = 5 * GREATEST(10, bit_length(n - 1)))
     instead of the 48-bit literal, and the fingerprint materialized as
     the 5 band WORDS (one BIGINT per band — the engine's array layout)
-    whose XOR popcounts sum to the total Hamming distance. LENGTH(BIN
-    (n-1)) is exact integer bit-length, provably equal to python's
-    max(10, ceil(log2 n)) in phash_width_for for every integer n >= 2
-    (log2 of a non-power-of-2 integer is irrational, so the correctly
-    rounded double can never cross an integer boundary; powers of 2
-    are exact)."""
+    whose XOR popcounts sum to the total Hamming distance.
+    LENGTH(BIN(n-1)) is exact integer bit-length — the IDENTICAL
+    derivation phash_width_for now uses ((n-1).bit_length(); a float
+    ceil(log2 n) spelling was caught diverging at n = 2^49 + 1, where
+    the fractional part sinks below the double ulp — so engine and
+    oracle widths agree for every integer n by construction
+    (property-pinned in tests/test_width_contract.py)."""
     hexpos = "strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1"
     hexpos2 = "strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1"
     return f"""
@@ -782,9 +790,10 @@ def mm_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Width determinism across engines: the corpus count feeds
     phash_width_for here and GREATEST(10, LENGTH(BIN(n-1))) in the
-    oracle — exactly equal for all n (see _mm_phash_wide_oracle).
-    The count() is one bounded job (a count-star over parquet
-    metadata), the same class as the fingerprint totals collect."""
+    oracle — the same integer bit-length derivation on both sides
+    (see _mm_phash_wide_oracle; property-pinned). The count() is one
+    bounded job (a count-star over parquet metadata), the same class
+    as the fingerprint totals collect."""
     media = to_media_table(load_table(spark, sf_dir, "documents"))
     n = media.count()
     return phash_neardup_pairs_wide(media, phash_width_for(n))

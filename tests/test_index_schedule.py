@@ -111,9 +111,11 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
             return out
 
         def check(lists_must_exist: bool):
+            """Serving invariants; returns the served pairs (or None in
+            the legal mid-swap window) so callers reuse the collect."""
             if not os.path.isdir(os.path.join(idx, "lists")):
                 assert not lists_must_exist  # only a mid-swap crash window
-                return
+                return None
             served = _served_pairs(spark, idx)
             from collections import Counter
 
@@ -126,6 +128,7 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
             assert {v for v, n in cnt.items() if n > 1} <= dup_ok
             assert set(served) <= expected()  # (b) never invents rows
             assert set(served) >= base_pairs  # (c) base never lost
+            return served
 
         n_ops = data.draw(st.integers(min_value=2, max_value=6))
         for _ in range(n_ops):
@@ -145,8 +148,10 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
                         cents=cents, expect_epoch=stream_epoch,
                     )
                     appended.add(c)
-                    if c in folded:
-                        residue.add(c)
+                    # a fenced replay-after-fold is impossible by
+                    # construction: every fold bumps the epoch, so the
+                    # stream branch can only land while nothing folded
+                    assert c not in folded
                     check(lists_must_exist=not degraded)
                 else:
                     before = (
@@ -171,20 +176,24 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
                 # a prior mid-swap crash may leave `lists` missing until
                 # the next compact restores it — the append itself never
                 # touches lists, so that window is legal while degraded
-                check(lists_must_exist=not degraded)
-                if os.path.isdir(os.path.join(idx, "lists")):
-                    served = set(_served_pairs(spark, idx))
-                    assert chunk_pairs[c] <= served  # (d) the landed bid serves
+                served = check(lists_must_exist=not degraded)
+                if served is not None:
+                    assert chunk_pairs[c] <= set(served)  # (d) landed bid serves
             elif op == "compact":
                 S.ivf_compact(spark, idx)
                 degraded = False
                 folded |= set(appended)
                 residue.clear()  # key-dedup healed the replay residue
-                check(lists_must_exist=True)
-                served = _served_pairs(spark, idx)
+                served = check(lists_must_exist=True)
                 assert sorted(served) == sorted(expected())  # (e) exact, no dups
             else:  # crash-compact: fault at a random idx-scoped rename
-                k = data.draw(st.integers(min_value=1, max_value=4))
+                # up to 5 renames: a compact on an already-degraded
+                # index restores the backup FIRST (restore, aside,
+                # epoch, data->old, tmp->data) — k=5 reaches the
+                # publish boundary in crash-after-crash schedules;
+                # draws past the path's actual count fall through as
+                # clean folds (handled below)
+                k = data.draw(st.integers(min_value=1, max_value=5))
                 calls = {"n": 0}
 
                 def boom(src, dst, *, _k=k, _calls=calls):

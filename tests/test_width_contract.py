@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 duckdb = pytest.importorskip("duckdb")
+pytest.importorskip("hypothesis")  # match the sibling property file
 
 from hypothesis import given, settings, strategies as st
 
@@ -19,16 +20,28 @@ from ftp_blueprints_spark.operators.multimodal import phash_width_for
 def test_phash_width_for_equals_oracle_formula(n):
     """mm_phash_neardup_wide's correctness hinges on BOTH engines
     deriving the same band width from the same corpus count: python's
-    max(10, ceil(log2 n)) (phash_width_for) and the oracle's
-    GREATEST(10, LENGTH(BIN(n - 1))). The docstring argues equality
-    (bit-length is exact; log2 of a non-power-of-2 integer can never
-    round across an integer boundary) — this property checks it over
-    fifteen decades, including the powers of two and their neighbours
-    hypothesis shrinks toward."""
+    phash_width_for and the oracle's GREATEST(10, LENGTH(BIN(n - 1))).
+    This property is why the function is the INTEGER bit-length: the
+    original float ceil(log2 n) spelling differs at n = 2^49 + 1
+    (fractional part ~2^-49 sinks below the double ulp near 49, so the
+    correctly rounded log2 is exactly 49 and ceil under-sizes the
+    band) — asserted explicitly below so the regression can never
+    sneak back, plus 300 random draws over fifteen decades."""
     sql = duckdb.sql(f"SELECT GREATEST(10, LENGTH(BIN({n} - 1)))").fetchone()[0]
     assert phash_width_for(n) == sql
-    # and the pure-integer spelling, the form the docstrings cite
     assert phash_width_for(n) == max(10, max(n - 1, 1).bit_length())
+
+
+def test_phash_width_for_float_log2_counterexample():
+    """The concrete divergence the r11 review found: at n = 2^49 + 1
+    the float spelling yields 49, the true ceil(log2 n) is 50."""
+    import math
+
+    n = 2**49 + 1
+    assert math.ceil(math.log2(n)) == 49  # the float trap, pinned
+    assert phash_width_for(n) == 50  # the integer derivation is right
+    sql = duckdb.sql(f"SELECT GREATEST(10, LENGTH(BIN({n} - 1)))").fetchone()[0]
+    assert phash_width_for(n) == sql
 
 
 @settings(max_examples=200, deadline=None)
