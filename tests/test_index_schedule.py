@@ -1,8 +1,10 @@
-"""Randomized-schedule property for the maintained IVF index: ANY
-interleaving of appends (fresh bids AND replays), compacts, and
+"""Randomized-schedule property for the maintained ANN indexes (IVF
+inverted lists AND the compressed IVFPQ codes): ANY interleaving of
+appends (fresh bids AND replays), fenced stream-appends, compacts, and
 CRASH-compacts (fault injected at a random rename boundary) must keep
 the serving invariants — the stateful generalization of the example
-crash-ladder walk in tests/test_similarity.py.
+crash-ladder walk in tests/test_similarity.py, run against both
+wrappers of the shared _compact_index core.
 """
 
 from __future__ import annotations
@@ -22,35 +24,63 @@ from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E
 
 N_CHUNKS = 3
 
+# family descriptors: how to build, append into, compact, and read the
+# servable rows of each maintained index kind
+FAMILIES = {
+    "ivf": dict(
+        build=S.ivf_build,
+        compact=S.ivf_compact,
+        data="lists",
+        appends="appends",
+        id_col="vec_id",
+    ),
+    "ivfpq": dict(
+        build=S.ivfpq_build,
+        compact=S.ivfpq_compact,
+        data="codes",
+        appends="code_appends",
+        id_col="cand_id",
+    ),
+}
 
-def _served_pairs(spark, idx):
-    rows = S.ivf_lists_with_appends(spark, idx).collect()
-    return [(r["vec_id"], r["cid"]) for r in rows]
+
+def _served_pairs(spark, idx, fam):
+    if fam["data"] == "lists":
+        rows = S.ivf_lists_with_appends(spark, idx).collect()
+    else:
+        rows = S.ivfpq_codes_with_appends(spark, idx).collect()
+    return [(r[fam["id_col"]], r["cid"]) for r in rows]
 
 
-def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_maintained_index_random_schedule_property(
+    spark, tmp_path_factory, family
+):
     """Property: starting from a built index, for ANY schedule of
     {append chunk c (bid=c; re-drawing an already-appended chunk is an
-    at-least-once REPLAY), compact, crash-compact at a random rename
-    boundary}, serving holds (a) a vec_id is served at most twice, and
-    twice ONLY when its bid was replayed after a compact already
-    folded it into the base lists — the documented quiesce-contract
-    residue, healed at the next compact (every other double-serve is a
-    bug), (b) no invented rows (⊆ base ∪ appended chunks), (c) the
-    base corpus is never lost, (d) every successfully appended chunk
-    is served except in the bounded post-crash degraded window
-    (appends renamed aside, not yet folded), and (e) after a CLEAN
-    compact — including the final healing one — serving equals
-    base ∪ appended exactly (no duplicates) with no fold leftovers.
-    The example-based crash-ladder test walks each boundary once in a
-    fixed order; this walks random interleavings, including
-    replay-after-fold, replay-after-crash, and crash-after-crash —
-    and its first run falsified a TOO-STRONG invariant (never any
-    dup), reproducing the replay-after-fold residue the heal test
-    documents: the property now pins that residue's exact bound."""
+    at-least-once REPLAY), fenced stream-append carrying the open-time
+    epoch, compact, crash-compact at a random rename boundary}, serving
+    holds (a) an id is served at most twice, and twice ONLY when its
+    bid was replayed after a compact already folded it into the base —
+    the documented quiesce-contract residue, healed at the next
+    compact (every other double-serve is a bug), (b) no invented rows
+    (⊆ base ∪ appended chunks), (c) the base corpus is never lost,
+    (d) every successfully appended chunk is served except in the
+    bounded post-crash degraded window (appends renamed aside, not yet
+    folded), (e) a stale-epoch stream-append refuses and lands
+    NOTHING, and (f) after a CLEAN compact — including the final
+    healing one — serving equals base ∪ appended exactly (no
+    duplicates) with no fold leftovers. The example-based crash-ladder
+    test walks each boundary once in a fixed order; this walks random
+    interleavings — replay-after-fold, replay-after-crash,
+    crash-after-crash — over BOTH index families. The property's first
+    run falsified a TOO-STRONG invariant (never any dup), reproducing
+    the replay-after-fold residue the heal test documents: it now pins
+    that residue's exact bound."""
+    fam = FAMILIES[family]
     # template: built once, copied per example (a build per example
     # would dominate the property's runtime)
-    base_dir = tmp_path_factory.mktemp("sched_base")
+    base_dir = tmp_path_factory.mktemp(f"sched_base_{family}")
     dim = 8
     vecs = []
     for k in range(S.IVF_K):
@@ -64,12 +94,26 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
         vecs.append(v / np.linalg.norm(v))
     _write_crafted_embeddings(base_dir / "embeddings.parquet", vecs)
     template = str(base_dir / "idx")
-    S.ivf_build(spark, str(base_dir), index_dir=template)
+    fam["build"](spark, str(base_dir), index_dir=template)
 
     cents = spark.read.parquet(os.path.join(template, "centroids")).localCheckpoint(
         eager=True
     )
-    base_pairs = set(_served_pairs(spark, template))
+    books_q = S._load_books_q(spark, template) if family == "ivfpq" else None
+
+    def append(idx, c, df, expect_epoch=None):
+        if family == "ivf":
+            S.ivf_append(
+                spark, idx, df, batch_id=c, cents=cents,
+                expect_epoch=expect_epoch,
+            )
+        else:
+            S.ivfpq_append(
+                spark, idx, df, batch_id=c, cents=cents, books_q=books_q,
+                expect_epoch=expect_epoch,
+            )
+
+    base_pairs = set(_served_pairs(spark, template, fam))
     chunk_dfs, chunk_pairs = {}, {}
     for c in range(N_CHUNKS):
         rows = [
@@ -78,6 +122,8 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
         ]
         df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
         chunk_dfs[c] = df
+        # the (id, cid) pair surface is the coarse assignment for both
+        # families (codes ride along, proven equal by the machinery tests)
         chunk_pairs[c] = {
             (r["vec_id"], r["cid"])
             for r in S.ivf_assign(df, cents, round_digits=6).collect()
@@ -98,7 +144,7 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
         idx = os.path.join(str(tmp_path_factory.mktemp("sched")), "idx")
         shutil.copytree(template, idx)
         appended: set[int] = set()
-        folded: set[int] = set()  # bids a compact moved into base lists
+        folded: set[int] = set()  # bids a compact moved into the base
         residue: set[int] = set()  # folded bids later replayed (dup window)
         degraded = False  # a crash left appends renamed aside (unserved)
         # a long-lived fenced stream: epoch snapshotted once, at open
@@ -110,13 +156,13 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
                 out |= chunk_pairs[c]
             return out
 
-        def check(lists_must_exist: bool):
+        def check(data_must_exist: bool):
             """Serving invariants; returns the served pairs (or None in
             the legal mid-swap window) so callers reuse the collect."""
-            if not os.path.isdir(os.path.join(idx, "lists")):
-                assert not lists_must_exist  # only a mid-swap crash window
+            if not os.path.isdir(os.path.join(idx, fam["data"])):
+                assert not data_must_exist  # only a mid-swap crash window
                 return None
-            served = _served_pairs(spark, idx)
+            served = _served_pairs(spark, idx, fam)
             from collections import Counter
 
             cnt = Counter(v for v, _ in served)
@@ -143,49 +189,43 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
                 # advanced it (append must refuse and land NOTHING)
                 c = data.draw(st.integers(0, N_CHUNKS - 1))
                 if S.compaction_epoch(idx) == stream_epoch:
-                    S.ivf_append(
-                        spark, idx, chunk_dfs[c], batch_id=c,
-                        cents=cents, expect_epoch=stream_epoch,
-                    )
+                    append(idx, c, chunk_dfs[c], expect_epoch=stream_epoch)
                     appended.add(c)
                     # a fenced replay-after-fold is impossible by
                     # construction: every fold bumps the epoch, so the
                     # stream branch can only land while nothing folded
                     assert c not in folded
-                    check(lists_must_exist=not degraded)
+                    check(data_must_exist=not degraded)
                 else:
                     before = (
-                        sorted(_served_pairs(spark, idx))
-                        if os.path.isdir(os.path.join(idx, "lists"))
+                        sorted(_served_pairs(spark, idx, fam))
+                        if os.path.isdir(os.path.join(idx, fam["data"]))
                         else None
                     )
                     with pytest.raises(S.CompactionFenceError):
-                        S.ivf_append(
-                            spark, idx, chunk_dfs[c], batch_id=c,
-                            cents=cents, expect_epoch=stream_epoch,
-                        )
-                    if before is not None:  # refused = landed nothing
-                        assert sorted(_served_pairs(spark, idx)) == before
+                        append(idx, c, chunk_dfs[c], expect_epoch=stream_epoch)
+                    if before is not None:  # (e) refused = landed nothing
+                        assert sorted(_served_pairs(spark, idx, fam)) == before
                 continue
             if op == "append":
                 c = data.draw(st.integers(0, N_CHUNKS - 1))
-                S.ivf_append(spark, idx, chunk_dfs[c], batch_id=c, cents=cents)
+                append(idx, c, chunk_dfs[c])
                 appended.add(c)
                 if c in folded:
                     residue.add(c)  # replay of an already-folded bid
-                # a prior mid-swap crash may leave `lists` missing until
-                # the next compact restores it — the append itself never
-                # touches lists, so that window is legal while degraded
-                served = check(lists_must_exist=not degraded)
+                # a prior mid-swap crash may leave the base dir missing
+                # until the next compact restores it — the append never
+                # touches it, so that window is legal while degraded
+                served = check(data_must_exist=not degraded)
                 if served is not None:
                     assert chunk_pairs[c] <= set(served)  # (d) landed bid serves
             elif op == "compact":
-                S.ivf_compact(spark, idx)
+                fam["compact"](spark, idx)
                 degraded = False
                 folded |= set(appended)
                 residue.clear()  # key-dedup healed the replay residue
-                served = check(lists_must_exist=True)
-                assert sorted(served) == sorted(expected())  # (e) exact, no dups
+                served = check(data_must_exist=True)
+                assert sorted(served) == sorted(expected())  # (f) exact, no dups
             else:  # crash-compact: fault at a random idx-scoped rename
                 # up to 5 renames: a compact on an already-degraded
                 # index restores the backup FIRST (restore, aside,
@@ -205,7 +245,7 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
 
                 os.rename = boom
                 try:
-                    folded_now = S.ivf_compact(spark, idx)
+                    folded_now = fam["compact"](spark, idx)
                     crashed = False
                 except Boom:
                     crashed = True
@@ -220,18 +260,20 @@ def test_maintained_index_random_schedule_property(spark, tmp_path_factory):
                         folded |= set(appended)
                         residue.clear()
                     degraded = False
-                check(lists_must_exist=False)
+                check(data_must_exist=False)
 
         # final heal: one compact restores the exact-equality invariant
         # (False = nothing to fold is only legal when not degraded)
-        healed = S.ivf_compact(spark, idx)
+        healed = fam["compact"](spark, idx)
         assert healed or not degraded
-        final = _served_pairs(spark, idx)
+        final = _served_pairs(spark, idx, fam)
         assert sorted(final) == sorted(expected())  # exact, residue healed
         leftovers = [
             d
             for d in os.listdir(idx)
-            if d.startswith(("appends.folding.", "lists.compacting."))
+            if d.startswith(
+                (f"{fam['appends']}.folding.", f"{fam['data']}.compacting.")
+            )
         ]
         assert leftovers == []
 
