@@ -1158,41 +1158,48 @@ def _assign_cos_stats(assigned: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _drift_report(
-    base_stats: DataFrame, new_stats: DataFrame, val: str = "cos_sum_mu"
+    base_stats: DataFrame,
+    new_stats: DataFrame,
+    val: str = "cos_sum_mu",
+    key: str = "cid",
+    drift_col: str = "drift_num_mu",
 ) -> DataFrame:
-    """Full-outer per-cid diff of two assignment-stats frames, plus the
-    exact-integer drift numerator: mean_new - mean_base has the sign of
-    new_<val> * n_base - base_<val> * n_new (cross-multiplied to stay
-    in BIGINT — no integer division of possibly-negative sums, whose
-    floor-vs-truncate semantics differ across engines). Sign reading
-    depends on the metric: for the IVF cos stats (val="cos_sum_mu",
-    higher = closer) a NEGATIVE drift_num_mu means the new snapshot
-    sits farther from the frozen centroids than the training corpus
-    did; for the IVFPQ quantization-error stats (val="qerr_sum_mu",
-    higher = worse) the retrain signal is POSITIVE. Zero when either
-    side is empty."""
+    """Full-outer per-``key`` diff of two assignment-stats frames, plus
+    the exact-integer drift numerator: mean_new - mean_base has the
+    sign of new_<val> * n_base - base_<val> * n_new (cross-multiplied
+    to stay in BIGINT — no integer division of possibly-negative sums,
+    whose floor-vs-truncate semantics differ across engines). Sign
+    reading depends on the metric: for the IVF cos stats
+    (val="cos_sum_mu", higher = closer) a NEGATIVE drift numerator
+    means the new snapshot sits farther from the frozen centroids than
+    the training corpus did; for the IVFPQ quantization-error stats
+    (val="qerr_sum_mu", higher = worse) the retrain signal is POSITIVE;
+    for the LSH per-band bucket-collision stats (key="band",
+    val="pair_sum", higher = denser) POSITIVE means the new batch
+    collides denser than the training corpus. Zero when either side is
+    empty."""
     b = base_stats.select(
-        "cid",
+        key,
         F.col("n").alias("n_base"),
         F.col(val).alias(f"base_{val}"),
     )
     s = new_stats.select(
-        "cid",
+        key,
         F.col("n").alias("n_new"),
         F.col(val).alias(f"new_{val}"),
     )
-    j = b.alias("b").join(s.alias("s"), "cid", "full_outer")
+    j = b.alias("b").join(s.alias("s"), key, "full_outer")
     n_base = F.coalesce("n_base", F.lit(0)).cast("bigint")
     n_new = F.coalesce("n_new", F.lit(0)).cast("bigint")
     base_sum = F.coalesce(f"base_{val}", F.lit(0)).cast("bigint")
     new_sum = F.coalesce(f"new_{val}", F.lit(0)).cast("bigint")
     return j.select(
-        F.col("cid").cast("bigint").alias("cid"),
+        F.col(key).cast("bigint").alias(key),
         n_base.alias("n_base"),
         n_new.alias("n_new"),
         base_sum.alias(f"base_{val}"),
         new_sum.alias(f"new_{val}"),
-        (new_sum * n_base - base_sum * n_new).cast("bigint").alias("drift_num_mu"),
+        (new_sum * n_base - base_sum * n_new).cast("bigint").alias(drift_col),
     )
 
 
@@ -1534,17 +1541,22 @@ def _compact_index(
     index_dir: str,
     data: str,
     appends: str,
-    key: str,
+    key: str | list[str],
     project,
+    part_col: str = "cid",
 ) -> bool:
     """Shared fold-appends-into-base core of ivf_compact /
-    ivfpq_compact: rename-aside-first crash discipline, epoch fence
-    bump, append-only contract assertion, key-dedup healing, monotonic
-    two-rename publish. ``project`` normalizes a read-back frame to
-    the canonical column set (partition-column cid comes back int32);
-    ``key`` is the dedup identity. See ivf_compact's docstring for the
-    full crash ladder."""
+    ivfpq_compact / ann_lsh_compact: rename-aside-first crash
+    discipline, epoch fence bump, append-only contract assertion,
+    key-dedup healing, monotonic two-rename publish. ``project``
+    normalizes a read-back frame to the canonical column set (the
+    ``part_col`` partition column comes back int32); ``key`` is the
+    dedup identity (a composite for the LSH sig table, where a vector
+    legitimately owns one row per band). See ivf_compact's docstring
+    for the full crash ladder."""
     import shutil
+
+    keys = [key] if isinstance(key, str) else list(key)
 
     data_dir = os.path.join(index_dir, data)
 
@@ -1596,15 +1608,16 @@ def _compact_index(
     # contract (r10 advice).
     pre = _merged(fold_srcs)
     chk = pre.agg(
-        F.countDistinct(key).alias("ids"),
+        F.countDistinct(*keys).alias("ids"),
         F.countDistinct(F.struct(*pre.columns)).alias("rows"),
     ).collect()[0]
     if chk["ids"] != chk["rows"]:
         raise RuntimeError(
             f"append-only contract violated under {index_dir}: "
-            f"{chk['rows'] - chk['ids']} {key}(s) carry conflicting rows "
-            "across base/appends — a caller re-appended a changed row "
-            "for an existing key; resolve upstream before compacting"
+            f"{chk['rows'] - chk['ids']} {'/'.join(keys)} key(s) carry "
+            "conflicting rows across base/appends — a caller re-appended "
+            "a changed row for an existing key; resolve upstream before "
+            "compacting"
         )
 
     tag = _next_tag(index_dir)
@@ -1615,9 +1628,9 @@ def _compact_index(
     # must refuse (their checkpoint may not have committed past rows
     # this fold is about to serve from the base layout)
     _bump_epoch(index_dir)
-    merged = _merged(folding).dropDuplicates([key])
+    merged = _merged(folding).dropDuplicates(keys)
     tmp = os.path.join(index_dir, f"{data}.compacting.{tag}")
-    merged.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    merged.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
     old = os.path.join(index_dir, f"{data}.old.{tag}")
     os.rename(data_dir, old)
     os.rename(tmp, data_dir)
@@ -1806,6 +1819,26 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_query_topk(scored)
 
 
+def _band_pair_stats(sigs: DataFrame) -> DataFrame:
+    """Per-band (n, pair_sum) of a signature table: row count plus the
+    bucket-collision pair count Σ_sig C(cnt, 2) — the number of
+    candidate pairs a band's bucket self-join generates, i.e. the exact
+    cost driver that saturates a fixed-width LSH at scale (the
+    mm_phash_neardup lesson, measured 327 s at its 100x probe before
+    the adaptive width). Two map-side-combinable aggregations: shuffle
+    on (band, sig) then band — never O(n^2). cnt*(cnt-1) is even, so
+    the integer halving is exact."""
+    per_bucket = sigs.groupBy(F.col("band").cast("bigint").alias("band"), "sig").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return per_bucket.groupBy("band").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum((F.col("cnt") * (F.col("cnt") - 1)) / F.lit(2))
+        .cast("bigint")
+        .alias("pair_sum"),
+    )
+
+
 def ann_lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
     """BUILD phase of the LSH-ANN serving split: hash every corpus
     vector once (quantized hyperplane projections -> band signatures)
@@ -1813,18 +1846,33 @@ def ann_lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None
     The planes are a deterministic fixed-seed function, so query-time
     signatures need no stored state — the index is just the corpus-side
     hashes, bands x ~10 bytes per vector, rebuilt only per ingest
-    batch instead of per query call."""
+    batch instead of per query call.
+
+    v2 layout (incremental maintenance): sigs are PARTITIONED BY band —
+    the layout ann_lsh_compact folds appends into — and a per-band
+    ``stats`` parquet (ANN_BANDS rows: n + bucket-collision pair_sum)
+    freezes the training corpus's collision density as the yardstick
+    ann_lsh_append diffs every arriving snapshot against. Stats are
+    computed from the READ-BACK landed sigs (ivf_build's durable-truth
+    discipline; re-executing the sigs frame would re-run the corpus
+    projection a second time)."""
     out = index_dir or _index_dir(sf_dir, "annlsh")
     if index_ready(out, "annlsh"):
         return out
     sigs = band_signatures(
         load_table(spark, sf_dir, "embeddings"), ANN_BANDS, ANN_ROWS, quantize=True
     ).select("vec_id", "band", "sig")
-    return _publish_index(
-        out,
-        "annlsh",
-        lambda tmp: sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs")),
-    )
+
+    def write(tmp: str) -> None:
+        sigs.write.mode("overwrite").partitionBy("band").parquet(
+            os.path.join(tmp, "sigs")
+        )
+        landed = spark.read.parquet(os.path.join(tmp, "sigs"))
+        _band_pair_stats(landed).write.mode("overwrite").parquet(
+            os.path.join(tmp, "stats")
+        )
+
+    return _publish_index(out, "annlsh", write)
 
 
 @query("sim_ann_lsh_query", _ann_lsh_oracle())
@@ -1843,6 +1891,17 @@ def sim_ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ann_lsh_build(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = spark.read.parquet(os.path.join(idx, "sigs"))
+    return _ann_lsh_serve(emb, sigs)
+
+
+def _ann_lsh_serve(emb: DataFrame, sigs: DataFrame) -> DataFrame:
+    """The LSH serve join shared by sim_ann_lsh_query and the
+    maintained-index path (ann_lsh_sigs_with_appends): bucket-join the
+    narrow sig table with itself, dedupe candidate ids, then fetch
+    vectors — queries' by broadcast, candidates' by one equi-join.
+    ``emb`` is the vector store (separate from the sig index: appended
+    vectors' embeddings must be present here for exact scoring — the
+    index holds only their hashes)."""
     qs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "sig"
     )
@@ -1875,6 +1934,236 @@ def sim_ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_query_topk(scored)
+
+
+# --- incremental LSH index maintenance ---------------------------------------
+
+
+def _lsh_incremental_oracle() -> str:
+    planes_q = np.floor(
+        _planes(ANN_BANDS * ANN_ROWS) * 1_000_000
+    ).astype(np.int64)
+    plane_lists = ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in planes_q
+    )
+    n_planes = ANN_BANDS * ANN_ROWS
+    return f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xq AS (SELECT vec_id, vec_id % 2 AS half,
+              list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+       FROM x),
+pl AS (SELECT UNNEST(range(0, {n_planes})) AS p,
+              UNNEST([{plane_lists}]) AS pv),
+sigs AS (
+  SELECT xq.vec_id, xq.half, pl.p // {ANN_ROWS} AS band,
+         string_agg(CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),
+                      j -> xq.vq[j] * pl.pv[j])) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+  FROM xq CROSS JOIN pl
+  GROUP BY xq.vec_id, xq.half, pl.p // {ANN_ROWS}
+),
+buckets AS (SELECT half, band, sig, COUNT(*) AS cnt
+            FROM sigs GROUP BY half, band, sig),
+stats AS (SELECT half, band, CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS pair_sum
+          FROM buckets GROUP BY half, band),
+base AS (SELECT band, n AS n_base, pair_sum AS base_pair_sum
+         FROM stats WHERE half = 0),
+newb AS (SELECT band, n AS n_new, pair_sum AS new_pair_sum
+         FROM stats WHERE half = 1)
+SELECT CAST(COALESCE(base.band, newb.band) AS BIGINT) AS band,
+       CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(base_pair_sum, 0) AS BIGINT) AS base_pair_sum,
+       CAST(COALESCE(new_pair_sum, 0) AS BIGINT) AS new_pair_sum,
+       CAST(COALESCE(new_pair_sum, 0) * COALESCE(n_base, 0)
+            - COALESCE(base_pair_sum, 0) * COALESCE(n_new, 0) AS BIGINT)
+         AS drift_num
+FROM base FULL JOIN newb ON base.band = newb.band
+"""
+
+
+# NOTE: deliberately NOT registered this round — the round-11 window
+# math caps new registrations at 2 (see __spark_entry__.py); the
+# decorator goes on in round 12. The oracle above is already proven
+# equal to the Spark plan by tests/test_similarity.py's local
+# compare_query run, so registration is evidence-only.
+def sim_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance — the sim_ivf_incremental
+    story for the third index family: hash a NEW embedding snapshot
+    (vec_id % 2 = 1) with the FROZEN deterministic hyperplanes and diff
+    its per-band bucket-collision density against the STANDING corpus's
+    (vec_id % 2 = 0), without touching the standing sig table. Output
+    per band: training row count + bucket-collision pair count
+    (Σ_sig C(cnt,2) — exactly the candidate-pair volume a band
+    self-join generates), the same for the snapshot alone, and the
+    exact-integer drift numerator (sign of new density - training
+    density; POSITIVE = the snapshot collides DENSER than the training
+    corpus did = the distribution is concentrating into this band's hot
+    buckets and the width chosen at build no longer bounds bucket
+    loads — the re-hash trigger LSH actually needs, the quantified form
+    of the mm_phash_neardup 48-bit saturation lesson).  Pure-size
+    saturation (n growing at fixed width) is the province of the
+    adaptive-width contracts (neardup_params, phash_width_for) at
+    rebuild; these per-band pair counts are the data that rebuild
+    decision reads.
+
+    This IS ann_lsh_append's arithmetic — the machinery test asserts
+    the persisted-index path (ann_lsh_build on the corpus half +
+    ann_lsh_append of the snapshot) returns exactly these rows.
+
+    Scale shape: two narrow Arrow projection passes (one BLAS matmul
+    per batch, no join, no shuffle beyond two map-side-combinable
+    aggregations keyed (band, sig) then band); the report is
+    ANN_BANDS rows. The snapshot never touches the standing sigs — at
+    100 TB yesterday's hashes are never recomputed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _band_pair_stats(
+        band_signatures(
+            emb.filter(F.col("vec_id") % 2 == 0), ANN_BANDS, ANN_ROWS, quantize=True
+        )
+    )
+    new = _band_pair_stats(
+        band_signatures(
+            emb.filter(F.col("vec_id") % 2 == 1), ANN_BANDS, ANN_ROWS, quantize=True
+        )
+    )
+    return _drift_report(base, new, val="pair_sum", key="band", drift_col="drift_num")
+
+
+def ann_lsh_append(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    batch_id: int,
+    expect_epoch: int | None = None,
+) -> DataFrame:
+    """Append a NEW embedding snapshot to a persisted LSH-ANN index
+    WITHOUT rehashing the standing corpus: band-hash the batch against
+    the FROZEN deterministic hyperplanes (a narrow Arrow projection —
+    no join, no shuffle), land the (vec_id, band, sig) rows under
+    ``<index>/appends`` partitioned by (bid, band), and return the
+    per-band bucket-collision drift report vs the training-time stats
+    the build persisted (POSITIVE drift_num = the batch collides denser
+    than the training corpus = the re-hash trigger; see
+    sim_lsh_incremental).
+
+    Durability, fencing, and the empty-batch guard follow ivf_append
+    exactly: batch_id-keyed DYNAMIC partition overwrite (per-writer
+    option — an at-least-once replay rewrites exactly its own bid
+    partitions), expect_epoch raises CompactionFenceError when
+    ann_lsh_compact folded meanwhile, empty batches short-circuit to a
+    lazy n_new=0 report, and drift stats come from the READ-BACK bid
+    partition (the durable truth a replay would serve). Serving reads
+    sigs ∪ appends (ann_lsh_sigs_with_appends). Unlike IVF, the index
+    rows carry no embeddings — the vector store is the caller's
+    (serve-time exact scoring joins the base table), so an append
+    moves ~10 bytes per (vector, band). At 100 TB: new data costs one
+    projection + append; yesterday's hashes are never recomputed."""
+    _check_epoch(index_dir, expect_epoch)
+    base_stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    if new_emb.isEmpty():
+        empty = spark.createDataFrame([], "band bigint, n bigint, pair_sum bigint")
+        return _drift_report(
+            base_stats, empty, val="pair_sum", key="band", drift_col="drift_num"
+        )
+    sigs = (
+        band_signatures(new_emb, ANN_BANDS, ANN_ROWS, quantize=True)
+        .select("vec_id", "band", "sig")
+        .withColumn("bid", F.lit(int(batch_id)).cast("bigint"))
+    )
+    out = os.path.join(index_dir, "appends")
+    (
+        sigs.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid", "band")
+        .parquet(out)
+    )
+    _post_write_fence(index_dir, expect_epoch, os.path.join(out, f"bid={int(batch_id)}"))
+    landed = spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}"))
+    return _drift_report(
+        base_stats,
+        _band_pair_stats(landed),
+        val="pair_sum",
+        key="band",
+        drift_col="drift_num",
+    )
+
+
+def ann_lsh_sigs_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The servable signature table of an incrementally maintained
+    LSH-ANN index: the build-time sigs plus every appended snapshot's
+    hashes, normalized to the (vec_id, band, sig) serve surface. Feed
+    the result straight into _ann_lsh_serve (with a vector store that
+    covers the appended ids)."""
+    sigs = spark.read.parquet(os.path.join(index_dir, "sigs")).select(
+        "vec_id", F.col("band").cast("int").alias("band"), "sig"
+    )
+    ap = os.path.join(index_dir, "appends")
+    if not os.path.isdir(ap):
+        return sigs
+    appends = spark.read.parquet(ap).select(
+        "vec_id", F.col("band").cast("int").alias("band"), "sig"
+    )
+    return sigs.unionByName(appends)
+
+
+def ann_lsh_compact(spark: SparkSession, index_dir: str) -> bool:
+    """Fold appended signature snapshots into the base ``sigs`` table
+    and clear ``appends`` — ivf_compact's crash ladder applied to the
+    LSH index (shared core _compact_index: rename-aside-first,
+    epoch-fence bump, append-only contract assertion, key-dedup
+    healing, monotonic two-rename publish). The dedup identity is the
+    COMPOSITE (vec_id, band) — a vector legitimately owns one row per
+    band, and the deterministic fixed-seed planes make any replay of
+    the same vec_id bit-identical per band. The training ``stats`` are
+    untouched: they are the frozen collision-density yardstick.
+    Returns False when nothing to fold."""
+    return _compact_index(
+        spark,
+        index_dir,
+        data="sigs",
+        appends="appends",
+        key=["vec_id", "band"],
+        project=lambda df: df.select(
+            "vec_id", F.col("band").cast("int").alias("band"), "sig"
+        ),
+        part_col="band",
+    )
+
+
+def run_incremental_lsh_stream(
+    spark: SparkSession,
+    index_dir: str,
+    source: DataFrame,
+    timeout_s: int = 300,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin of the incremental LSH maintenance — the
+    run_incremental_ivf_stream shape for the third index family:
+    arriving embedding snapshots stream through a foreachBatch
+    ann_lsh_append, so each micro-batch hashes against the FROZEN
+    deterministic hyperplanes (nothing to load — the planes are a
+    fixed-seed function, the cheapest frozen state of the three
+    families) and lands its sig rows under (bid=batch_id, band)
+    dynamic partition overwrites — replay-idempotent, restart-safe,
+    and FENCED: the compaction epoch is snapshotted at open and a
+    compact racing the stream fails the next append loudly
+    (CompactionFenceError) instead of silently double-serving replayed
+    rows."""
+    epoch0 = compaction_epoch(index_dir)
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        ann_lsh_append(
+            spark, index_dir, batch_df, batch_id, expect_epoch=epoch0
+        )
+
+    return _run_append_stream(
+        source,
+        append,
+        checkpoint_dir or os.path.join(index_dir, "_sig_append_ckpt"),
+        timeout_s,
+    )
 
 
 # --- product quantization (PQ) ANN -----------------------------------------
@@ -2379,7 +2668,10 @@ def _index_shape(kind: str) -> tuple:
         # parquet (training-assignment cos sums) ivf_append diffs
         # drift against — a v1 index without it must rebuild
         "ivf": (IVF_K, KM_ITERS, DIM, 2),
-        "annlsh": (ANN_BANDS, ANN_ROWS, PLANE_SEED, DIM),
+        # v2: sigs partitioned by band (the layout ann_lsh_compact
+        # folds appends into) + per-band bucket-collision `stats`
+        # ann_lsh_append diffs drift against
+        "annlsh": (ANN_BANDS, ANN_ROWS, PLANE_SEED, DIM, 2),
         # v2: codes partitioned by cid (probe-side file pruning, and
         # the layout ivfpq_compact folds appends into) + per-cid
         # quantization-error `stats` ivfpq_append diffs drift against

@@ -5,6 +5,7 @@ validation story for the rows-only driver checks).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from ftp_blueprints_spark.operators import similarity as S
 from tests.conftest import SF_ORACLE
@@ -1145,3 +1146,237 @@ def test_compaction_epoch_fails_closed(tmp_path):
         pass  # truncate: the post-crash empty marker
     with pytest.raises(ValueError):
         S.compaction_epoch(idx)
+
+
+# --- incremental LSH index maintenance (third index family) ------------------
+
+
+def test_lsh_incremental_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-12 registration: sim_lsh_incremental's
+    Spark plan vs its DuckDB oracle under the driver's own comparison
+    (row count + schema + exact values), so putting the @query
+    decorator on next round is evidence-only, zero-risk."""
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sim_lsh_incremental, S._lsh_incremental_oracle(), sf_oracle
+    )
+
+
+def test_lsh_append_serves_new_vectors_idempotently(spark, sf_oracle, tmp_path):
+    """The maintained LSH index end-to-end (the ivf_append proof set
+    for the third family): build on the corpus half only, append the
+    snapshot half as batch 1, and require (1) every appended sig row
+    equals the snapshot's direct frozen-plane hashing, (2) serving from
+    sigs ∪ appends finds snapshot vectors that base-only serving
+    cannot, (3) replaying the same batch_id is a no-op, and (4) the
+    returned drift report equals the sim_lsh_incremental rows exactly,
+    so the (round-12) driver evidence covers the persisted-index
+    arithmetic too."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ann_lsh_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    drift = {
+        tuple(r) for r in S.ann_lsh_append(spark, idx, snap, batch_id=1).collect()
+    }
+
+    direct = {
+        (r["vec_id"], r["band"], r["sig"])
+        for r in S.band_signatures(
+            snap, S.ANN_BANDS, S.ANN_ROWS, quantize=True
+        )
+        .select("vec_id", "band", "sig")
+        .collect()
+    }
+    appended = {
+        (r["vec_id"], r["band"], r["sig"])
+        for r in S.ann_lsh_sigs_with_appends(spark, idx)
+        .filter(F.col("vec_id") % 2 == 1)
+        .collect()
+    }
+    assert appended == direct and appended  # (1)
+
+    base_sigs = spark.read.parquet(os.path.join(idx, "sigs"))
+    base_cands = {
+        r["cand_id"] for r in S._ann_lsh_serve(emb, base_sigs).collect()
+    }
+    updated_cands = {
+        r["cand_id"]
+        for r in S._ann_lsh_serve(
+            emb, S.ann_lsh_sigs_with_appends(spark, idx)
+        ).collect()
+    }
+    assert not any(c % 2 == 1 for c in base_cands)  # (2) pre-append
+    assert any(c % 2 == 1 for c in updated_cands)  # (2) found new vectors
+
+    n_before = S.ann_lsh_sigs_with_appends(spark, idx).count()
+    drift_replay = {
+        tuple(r) for r in S.ann_lsh_append(spark, idx, snap, batch_id=1).collect()
+    }
+    assert S.ann_lsh_sigs_with_appends(spark, idx).count() == n_before  # (3)
+    assert drift_replay == drift  # (3)
+
+    want = {
+        tuple(r) for r in S.sim_lsh_incremental(spark, sf_oracle).collect()
+    }
+    assert drift == want  # (4)
+
+
+def test_lsh_append_drift_sign_detects_concentration(spark, tmp_path):
+    """The LSH drift metric must actually signal distribution
+    concentration: on an index trained over well-spread vectors (plus
+    one duplicated pair, so the training pair density is nonzero),
+    appending a batch of NEAR-IDENTICAL vectors (all land in one bucket
+    per band -> C(k,2) batch pairs everywhere) yields strictly POSITIVE
+    drift for every band, while appending a dispersed batch that
+    self-collides nowhere yields strictly NEGATIVE drift — the re-hash
+    trigger the docstring promises."""
+    import numpy as np
+
+    DIM = S.DIM
+    rng = np.random.default_rng(7)
+    corpus = [v / np.linalg.norm(v) for v in rng.standard_normal((40, DIM))]
+    corpus.append(corpus[0])  # one exact duplicate: base_pair_sum >= 1
+    _write_crafted_embeddings(tmp_path / "embeddings.parquet", corpus)
+    idx = S.ann_lsh_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    stats = spark.read.parquet(f"{idx}/stats").collect()
+    assert all(r["pair_sum"] >= 1 for r in stats)  # the duplicate collides
+
+    def snap(vectors, base_id):
+        return spark.createDataFrame(
+            [(base_id + i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    concentrated = [corpus[1]] * 8  # identical -> same sig in every band
+    drift_hot = S.ann_lsh_append(
+        spark, idx, snap(concentrated, 1000), batch_id=1
+    ).collect()
+    assert len(drift_hot) == S.ANN_BANDS
+    assert all(r["new_pair_sum"] == 28 for r in drift_hot)  # C(8,2)
+    assert all(r["drift_num"] > 0 for r in drift_hot)
+
+    # dispersed: with only 2^ANN_ROWS = 16 buckets per band, random
+    # vectors collide somewhere across 32 bands far too often to
+    # assert on — so SEARCH (numpy replay of the frozen quantized
+    # planes, deterministic by construction) for a pair whose sigs
+    # differ in EVERY band, and append exactly that pair
+    planes_q = np.floor(
+        S._planes(S.ANN_BANDS * S.ANN_ROWS) * 1_000_000
+    ).astype(np.int64)
+    cands = rng.standard_normal((40, DIM))
+    cands = (cands / np.linalg.norm(cands, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    cq = np.floor(cands.astype(np.float64) * 1_000_000).astype(np.int64)
+    bits = (cq @ planes_q.T >= 0).reshape(len(cands), S.ANN_BANDS, S.ANN_ROWS)
+    pair = next(
+        (i, j)
+        for i in range(len(cands))
+        for j in range(i + 1, len(cands))
+        if not (bits[i] == bits[j]).all(axis=1).any()
+    )
+    dispersed = [cands[pair[0]], cands[pair[1]]]
+    drift_cold = S.ann_lsh_append(
+        spark, idx, snap(dispersed, 2000), batch_id=2
+    ).collect()
+    assert all(r["new_pair_sum"] == 0 for r in drift_cold)
+    assert all(r["drift_num"] < 0 for r in drift_cold)
+
+
+def test_lsh_compact_preserves_serving(spark, sf_oracle, tmp_path):
+    """Compaction of the LSH sig table is pure layout: fold appends
+    into the band-partitioned base and the served (vec_id, band, sig)
+    set is identical; appends are gone, a second compact is a no-op,
+    further appends still work, and a conflicting re-append (same
+    vec_id, different embedding -> different sig under the composite
+    (vec_id, band) key) makes the next compact raise loudly."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ann_lsh_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+    S.ann_lsh_append(spark, idx, snap.filter(F.col("vec_id") % 4 == 1), batch_id=0)
+    S.ann_lsh_append(spark, idx, snap.filter(F.col("vec_id") % 4 == 3), batch_id=1)
+
+    def served_key():
+        return {
+            (r["vec_id"], r["band"], r["sig"])
+            for r in S.ann_lsh_sigs_with_appends(spark, idx).collect()
+        }
+
+    before = served_key()
+    assert S.ann_lsh_compact(spark, idx) is True
+    assert served_key() == before
+    assert not os.path.isdir(os.path.join(idx, "appends"))
+    assert S.ann_lsh_compact(spark, idx) is False  # nothing left to fold
+
+    extra = snap.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    S.ann_lsh_append(spark, idx, extra, batch_id=2)
+    assert len(served_key()) == len(before) + 3 * S.ANN_BANDS
+
+    # conflicting re-append: negate an existing vector (every nonzero
+    # quantized projection flips sign -> different sig, same vec_id)
+    conflicted = snap.limit(2).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    S.ann_lsh_append(spark, idx, conflicted, batch_id=3)
+    with pytest.raises(RuntimeError, match="append-only contract"):
+        S.ann_lsh_compact(spark, idx)
+
+
+def test_lsh_append_empty_batch_and_fence(spark, sf_oracle, tmp_path):
+    """The third family honors the shared append contracts: an empty
+    micro-batch short-circuits to a lazy n_new=0 drift report writing
+    nothing, and an append carrying a stale epoch fails loudly after a
+    compact (the quiesce fence) while a re-snapshotted caller
+    proceeds."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ann_lsh_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    rows = S.ann_lsh_append(spark, idx, empty, batch_id=7).collect()
+    assert rows and all(r["n_new"] == 0 for r in rows)
+    assert all(r["n_base"] > 0 for r in rows)  # base side intact
+    assert not os.path.isdir(os.path.join(idx, "appends"))
+
+    epoch0 = S.compaction_epoch(idx)
+    S.ann_lsh_append(spark, idx, snap, batch_id=0, expect_epoch=epoch0)
+    assert S.ann_lsh_compact(spark, idx) is True
+    served_before = S.ann_lsh_sigs_with_appends(spark, idx).count()
+    with pytest.raises(S.CompactionFenceError):
+        S.ann_lsh_append(spark, idx, snap, batch_id=0, expect_epoch=epoch0)
+    assert not os.path.isdir(os.path.join(idx, "appends"))
+    assert S.ann_lsh_sigs_with_appends(spark, idx).count() == served_before
+
+    extra = snap.limit(2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    S.ann_lsh_append(
+        spark, idx, extra, batch_id=1, expect_epoch=S.compaction_epoch(idx)
+    )
+    assert (
+        S.ann_lsh_sigs_with_appends(spark, idx).count()
+        == served_before + 2 * S.ANN_BANDS
+    )
