@@ -1,10 +1,14 @@
 """Randomized-schedule property for the maintained ANN indexes (IVF
-inverted lists AND the compressed IVFPQ codes): ANY interleaving of
-appends (fresh bids AND replays), fenced stream-appends, compacts, and
-CRASH-compacts (fault injected at a random rename boundary) must keep
-the serving invariants — the stateful generalization of the example
-crash-ladder walk in tests/test_similarity.py, run against both
-wrappers of the shared _compact_index core.
+inverted lists, the compressed IVFPQ codes, AND the LSH sig table):
+ANY interleaving of appends (fresh bids AND replays), fenced
+stream-appends, compacts, and CRASH-compacts (fault injected at a
+random rename boundary) must keep the serving invariants — the
+stateful generalization of the example crash-ladder walk in
+tests/test_similarity.py, run against all three wrappers of the
+shared _compact_index core. The serve surface is family-shaped:
+(dedup-key tuple, payload) pairs — (vec_id,)->cid for IVF,
+(cand_id,)->cid for IVFPQ, and the composite (vec_id, band)->sig for
+LSH, where a vector legitimately owns one row per band.
 """
 
 from __future__ import annotations
@@ -25,31 +29,45 @@ from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E
 N_CHUNKS = 3
 
 # family descriptors: how to build, append into, compact, and read the
-# servable rows of each maintained index kind
+# servable rows of each maintained index kind; ``dim`` is the fixture
+# vector width (the LSH planes are DIM-wide by contract, the two
+# centroid families keep the cheap 8-dim fixture the crash-ladder test
+# established)
 FAMILIES = {
     "ivf": dict(
         build=S.ivf_build,
         compact=S.ivf_compact,
         data="lists",
         appends="appends",
-        id_col="vec_id",
+        dim=8,
     ),
     "ivfpq": dict(
         build=S.ivfpq_build,
         compact=S.ivfpq_compact,
         data="codes",
         appends="code_appends",
-        id_col="cand_id",
+        dim=8,
+    ),
+    "annlsh": dict(
+        build=S.ann_lsh_build,
+        compact=S.ann_lsh_compact,
+        data="sigs",
+        appends="appends",
+        dim=S.DIM,
     ),
 }
 
 
-def _served_pairs(spark, idx, fam):
-    if fam["data"] == "lists":
+def _served_pairs(spark, idx, family):
+    """(dedup-key tuple, payload) pairs of the servable rows."""
+    if family == "ivf":
         rows = S.ivf_lists_with_appends(spark, idx).collect()
-    else:
+        return [((r["vec_id"],), r["cid"]) for r in rows]
+    if family == "ivfpq":
         rows = S.ivfpq_codes_with_appends(spark, idx).collect()
-    return [(r[fam["id_col"]], r["cid"]) for r in rows]
+        return [((r["cand_id"],), r["cid"]) for r in rows]
+    rows = S.ann_lsh_sigs_with_appends(spark, idx).collect()
+    return [((r["vec_id"], r["band"]), r["sig"]) for r in rows]
 
 
 @pytest.mark.parametrize("family", sorted(FAMILIES))
@@ -73,7 +91,7 @@ def test_maintained_index_random_schedule_property(
     duplicates) with no fold leftovers. The example-based crash-ladder
     test walks each boundary once in a fixed order; this walks random
     interleavings — replay-after-fold, replay-after-crash,
-    crash-after-crash — over BOTH index families. The property's first
+    crash-after-crash — over all THREE index families. The property's first
     run falsified a TOO-STRONG invariant (never any dup), reproducing
     the replay-after-fold residue the heal test documents: it now pins
     that residue's exact bound."""
@@ -81,7 +99,7 @@ def test_maintained_index_random_schedule_property(
     # template: built once, copied per example (a build per example
     # would dominate the property's runtime)
     base_dir = tmp_path_factory.mktemp(f"sched_base_{family}")
-    dim = 8
+    dim = fam["dim"]
     vecs = []
     for k in range(S.IVF_K):
         e = np.zeros(dim)
@@ -96,9 +114,12 @@ def test_maintained_index_random_schedule_property(
     template = str(base_dir / "idx")
     fam["build"](spark, str(base_dir), index_dir=template)
 
-    cents = spark.read.parquet(os.path.join(template, "centroids")).localCheckpoint(
-        eager=True
-    )
+    if family == "annlsh":
+        cents = None  # frozen state is the deterministic planes
+    else:
+        cents = spark.read.parquet(
+            os.path.join(template, "centroids")
+        ).localCheckpoint(eager=True)
     books_q = S._load_books_q(spark, template) if family == "ivfpq" else None
 
     def append(idx, c, df, expect_epoch=None):
@@ -107,13 +128,34 @@ def test_maintained_index_random_schedule_property(
                 spark, idx, df, batch_id=c, cents=cents,
                 expect_epoch=expect_epoch,
             )
-        else:
+        elif family == "ivfpq":
             S.ivfpq_append(
                 spark, idx, df, batch_id=c, cents=cents, books_q=books_q,
                 expect_epoch=expect_epoch,
             )
+        else:
+            S.ann_lsh_append(spark, idx, df, batch_id=c, expect_epoch=expect_epoch)
 
-    base_pairs = set(_served_pairs(spark, template, fam))
+    def df_pairs(df):
+        """The family's (dedup-key, payload) surface of a chunk frame:
+        the coarse assignment for the two centroid families (codes ride
+        along, proven equal by the machinery tests), the frozen-plane
+        band sigs for LSH."""
+        if family == "annlsh":
+            return {
+                ((r["vec_id"], r["band"]), r["sig"])
+                for r in S.band_signatures(
+                    df, S.ANN_BANDS, S.ANN_ROWS, quantize=True
+                )
+                .select("vec_id", "band", "sig")
+                .collect()
+            }
+        return {
+            ((r["vec_id"],), r["cid"])
+            for r in S.ivf_assign(df, cents, round_digits=6).collect()
+        }
+
+    base_pairs = set(_served_pairs(spark, template, family))
     chunk_dfs, chunk_pairs = {}, {}
     for c in range(N_CHUNKS):
         rows = [
@@ -122,12 +164,7 @@ def test_maintained_index_random_schedule_property(
         ]
         df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
         chunk_dfs[c] = df
-        # the (id, cid) pair surface is the coarse assignment for both
-        # families (codes ride along, proven equal by the machinery tests)
-        chunk_pairs[c] = {
-            (r["vec_id"], r["cid"])
-            for r in S.ivf_assign(df, cents, round_digits=6).collect()
-        }
+        chunk_pairs[c] = df_pairs(df)
 
     real_rename = os.rename
 
@@ -162,7 +199,7 @@ def test_maintained_index_random_schedule_property(
             if not os.path.isdir(os.path.join(idx, fam["data"])):
                 assert not data_must_exist  # only a mid-swap crash window
                 return None
-            served = _served_pairs(spark, idx, fam)
+            served = _served_pairs(spark, idx, family)
             from collections import Counter
 
             cnt = Counter(v for v, _ in served)
@@ -198,14 +235,14 @@ def test_maintained_index_random_schedule_property(
                     check(data_must_exist=not degraded)
                 else:
                     before = (
-                        sorted(_served_pairs(spark, idx, fam))
+                        sorted(_served_pairs(spark, idx, family))
                         if os.path.isdir(os.path.join(idx, fam["data"]))
                         else None
                     )
                     with pytest.raises(S.CompactionFenceError):
                         append(idx, c, chunk_dfs[c], expect_epoch=stream_epoch)
                     if before is not None:  # (e) refused = landed nothing
-                        assert sorted(_served_pairs(spark, idx, fam)) == before
+                        assert sorted(_served_pairs(spark, idx, family)) == before
                 continue
             if op == "append":
                 c = data.draw(st.integers(0, N_CHUNKS - 1))
@@ -266,7 +303,7 @@ def test_maintained_index_random_schedule_property(
         # (False = nothing to fold is only legal when not degraded)
         healed = fam["compact"](spark, idx)
         assert healed or not degraded
-        final = _served_pairs(spark, idx, fam)
+        final = _served_pairs(spark, idx, family)
         assert sorted(final) == sorted(expected())  # exact, residue healed
         leftovers = [
             d

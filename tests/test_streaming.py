@@ -1453,6 +1453,125 @@ def test_incremental_ivfpq_stream_multi_microbatch_and_restart(
     } == direct
 
 
+def test_incremental_lsh_stream_multi_microbatch_and_restart(
+    spark, sf_oracle, tmp_path
+):
+    """The LSH maintained index under REAL streaming maintenance (the
+    IVF twin's proof set for the third family): build the sig index on
+    the corpus half, stream the snapshot half as three vec_id-ordered
+    micro-batches through the foreachBatch ann_lsh_append twin, and
+    require the served sigs to hold exactly corpus ∪ snapshot with
+    every appended row equal to its direct frozen-plane hashing. Then
+    the recovery story: a direct replay of the last committed batch
+    leaves the sigs bit-identical (dynamic (bid, band) overwrite — the
+    multi-bid layout that caught the session-conf wipe bug on the IVF
+    side), and a RESTART on the same checkpoint after a fourth file
+    lands processes only the new file while earlier appends survive."""
+    import os
+
+    from ftp_blueprints_spark.operators import similarity as S
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    snap_rows = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = S.ann_lsh_build(spark, str(tmp_path), index_dir=str(tmp_path / "idx"))
+
+    third = len(snap_rows) // 3
+    chunks = [snap_rows[:third], snap_rows[third:2 * third], snap_rows[2 * third:]]
+    src_dir = tmp_path / "emb_parts"
+    schema = emb.select("vec_id", "embedding", "label").schema
+
+    def land(i, rows):
+        out = str(src_dir / f"part{i}")
+        spark.createDataFrame(
+            [(r["vec_id"], r["embedding"], r["label"]) for r in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
+
+    for i, rows in enumerate(chunks):
+        land(i, rows)
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+
+    ckpt = str(tmp_path / "lsh_ckpt")
+    q = S.run_incremental_lsh_stream(spark, idx, src(), checkpoint_dir=ckpt)
+    _assert_multi_batch(q, 3)
+
+    snap_df = emb.filter(F.col("vec_id") % 2 == 1)
+    direct = {
+        (r["vec_id"], r["band"], r["sig"])
+        for r in S.band_signatures(
+            snap_df, S.ANN_BANDS, S.ANN_ROWS, quantize=True
+        )
+        .select("vec_id", "band", "sig")
+        .collect()
+    }
+    served = S.ann_lsh_sigs_with_appends(spark, idx)
+    appended = {
+        (r["vec_id"], r["band"], r["sig"])
+        for r in served.filter(F.col("vec_id") % 2 == 1).collect()
+    }
+    assert appended == direct
+    # corpus ∪ snapshot, one row per band, nothing else
+    assert served.count() == emb.count() * S.ANN_BANDS
+
+    # replay idempotency: re-append the LAST committed batch directly
+    def sigs_key(df):
+        return {(r["vec_id"], r["band"], r["sig"]) for r in df.collect()}
+
+    sigs_before = sigs_key(served)
+    last_bid = max(
+        r["bid"]
+        for r in spark.read.parquet(os.path.join(idx, "appends"))
+        .select("bid").distinct().collect()
+    )
+    replay_df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in chunks[-1]], schema
+    )
+    S.ann_lsh_append(spark, idx, replay_df, batch_id=last_bid)
+    assert sigs_key(S.ann_lsh_sigs_with_appends(spark, idx)) == sigs_before
+
+    # restart: land NEW vectors (ids beyond the fixture), same checkpoint
+    new_rows = [
+        (1_000_000 + i, r["embedding"], r["label"])
+        for i, r in enumerate(snap_rows[:5])
+    ]
+    out4 = str(src_dir / "part3")
+    spark.createDataFrame(new_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out4)
+    for f in os.listdir(out4):
+        os.utime(os.path.join(out4, f), (1_700_000_003,) * 2)
+    S.run_incremental_lsh_stream(spark, idx, src(), checkpoint_dir=ckpt)
+    final = S.ann_lsh_sigs_with_appends(spark, idx)
+    assert final.count() == (emb.count() + len(new_rows)) * S.ANN_BANDS
+    assert (
+        final.filter(F.col("vec_id") >= 1_000_000).count()
+        == len(new_rows) * S.ANN_BANDS
+    )
+    # earlier appends untouched by the restarted run
+    assert {
+        (r["vec_id"], r["band"], r["sig"])
+        for r in final.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1_000_000)
+        ).collect()
+    } == direct
+
+
 def test_dwell_group_scan_property_vs_naive():
     """Property: for ANY event multiset (duplicate timestamps included),
     ANY chunking, ANY within-chunk order, and ANY legal carried state,
