@@ -1173,11 +1173,17 @@ def _drift_report(
     (val="cos_sum_mu", higher = closer) a NEGATIVE drift numerator
     means the new snapshot sits farther from the frozen centroids than
     the training corpus did; for the IVFPQ quantization-error stats
-    (val="qerr_sum_mu", higher = worse) the retrain signal is POSITIVE;
-    for the LSH per-band bucket-collision stats (key="band",
-    val="pair_sum", higher = denser) POSITIVE means the new batch
-    collides denser than the training corpus. Zero when either side is
-    empty."""
+    (val="qerr_sum_mu", higher = worse) the retrain signal is POSITIVE.
+    Zero when either side is empty.
+
+    Exactness envelope: the cross-multiply is exact while
+    |new_<val> * n_base| < 2^63. Both registered metrics are LINEAR
+    micro-unit sums (|sum| <= n * 1e6), so the bound is
+    n_new * n_base < ~9.2e12 per cid — comfortable for per-cell
+    populations but a real ceiling for billion-row cells; metrics whose
+    sums grow superlinearly must NOT reuse this (the LSH pair counts
+    are quadratic per band and use _lsh_drift_report's overflow-free
+    split-division density surface instead; r11 review)."""
     b = base_stats.select(
         key,
         F.col("n").alias("n_base"),
@@ -1831,11 +1837,13 @@ def _band_pair_stats(sigs: DataFrame) -> DataFrame:
     per_bucket = sigs.groupBy(F.col("band").cast("bigint").alias("band"), "sig").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
+    # integer `div`, never `/`: Spark's `/` on bigints returns DOUBLE,
+    # whose sum silently loses low-order integer bits past 2^53 while
+    # the DuckDB oracle's `// 2` stays exact (r11 review); the halving
+    # itself is exact because cnt*(cnt-1) is even
     return per_bucket.groupBy("band").agg(
         F.sum("cnt").cast("bigint").alias("n"),
-        F.sum((F.col("cnt") * (F.col("cnt") - 1)) / F.lit(2))
-        .cast("bigint")
-        .alias("pair_sum"),
+        F.sum(F.expr("cnt * (cnt - 1) div 2")).cast("bigint").alias("pair_sum"),
     )
 
 
@@ -1970,17 +1978,85 @@ stats AS (SELECT half, band, CAST(SUM(cnt) AS BIGINT) AS n,
 base AS (SELECT band, n AS n_base, pair_sum AS base_pair_sum
          FROM stats WHERE half = 0),
 newb AS (SELECT band, n AS n_new, pair_sum AS new_pair_sum
-         FROM stats WHERE half = 1)
-SELECT CAST(COALESCE(base.band, newb.band) AS BIGINT) AS band,
-       CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
-       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
-       CAST(COALESCE(base_pair_sum, 0) AS BIGINT) AS base_pair_sum,
-       CAST(COALESCE(new_pair_sum, 0) AS BIGINT) AS new_pair_sum,
-       CAST(COALESCE(new_pair_sum, 0) * COALESCE(n_base, 0)
-            - COALESCE(base_pair_sum, 0) * COALESCE(n_new, 0) AS BIGINT)
-         AS drift_num
-FROM base FULL JOIN newb ON base.band = newb.band
+         FROM stats WHERE half = 1),
+joined AS (
+  SELECT CAST(COALESCE(base.band, newb.band) AS BIGINT) AS band,
+         CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         CAST(COALESCE(base_pair_sum, 0) AS BIGINT) AS base_pair_sum,
+         CAST(COALESCE(new_pair_sum, 0) AS BIGINT) AS new_pair_sum
+  FROM base FULL JOIN newb ON base.band = newb.band)
+-- split-division density in exact integer micro-units (overflow-free:
+-- every intermediate < 2^63; all operands non-negative, so DuckDB's
+-- flooring // equals Spark's truncating div), 0 when either side empty
+SELECT band, n_base, n_new, base_pair_sum, new_pair_sum,
+       CAST(CASE WHEN n_base = 0 OR n_new = 0 THEN 0
+            ELSE ((new_pair_sum // n_new) * 1000000
+                  + ((new_pair_sum % n_new) * 1000000) // n_new)
+               - ((base_pair_sum // n_base) * 1000000
+                  + ((base_pair_sum % n_base) * 1000000) // n_base)
+            END AS BIGINT) AS drift_num
+FROM joined
 """
+
+
+def _lsh_drift_report(base_stats: DataFrame, new_stats: DataFrame) -> DataFrame:
+    """Full-outer per-band diff of two (band, n, pair_sum) stats
+    frames. Unlike _drift_report's cross-multiplied numerator — exact
+    only while |new_sum * n_base| < 2^63, fine for the linear IVF/IVFPQ
+    sums but CUBIC here because pair_sum grows ~quadratically in the
+    per-band row count (r11 review: overflow at ~7e6 standing vectors)
+    — the LSH drift compares collision DENSITIES in exact integer
+    micro-units computed by SPLIT DIVISION:
+
+        density_mu = (pair_sum div n) * 1e6 + ((pair_sum mod n) * 1e6) div n
+
+    which equals floor(pair_sum * 1e6 / n) exactly with every
+    intermediate < 2^63 while pair_sum/n < ~9.2e12 (per-band mean
+    bucket load of 9.2e12 co-occupants — an index that saturated its
+    serve join orders of magnitude earlier).  All operands are
+    non-negative, so Spark's truncating `div` and DuckDB's flooring
+    `//` agree — the negative-sum hazard that forces _drift_report to
+    cross-multiply does not exist on this surface.  drift_num =
+    new_density_mu - base_density_mu (resolution: one micro-pair per
+    row; POSITIVE = the new batch collides denser than the training
+    corpus), and 0 when either side is empty, matching _drift_report's
+    empty-side convention."""
+
+    def density_mu(pair_sum: str, n: str):
+        return F.when(F.col(n) == 0, F.lit(0)).otherwise(
+            F.expr(f"({pair_sum} div {n}) * 1000000"
+                   f" + (({pair_sum} % {n}) * 1000000) div {n}")
+        )
+
+    b = base_stats.select(
+        "band",
+        F.col("n").alias("n_base"),
+        F.col("pair_sum").alias("base_pair_sum"),
+    )
+    s = new_stats.select(
+        "band",
+        F.col("n").alias("n_new"),
+        F.col("pair_sum").alias("new_pair_sum"),
+    )
+    j = b.join(s, "band", "full_outer")
+    n_base = F.coalesce("n_base", F.lit(0)).cast("bigint")
+    n_new = F.coalesce("n_new", F.lit(0)).cast("bigint")
+    base_sum = F.coalesce("base_pair_sum", F.lit(0)).cast("bigint")
+    new_sum = F.coalesce("new_pair_sum", F.lit(0)).cast("bigint")
+    j = j.select(
+        F.col("band").cast("bigint").alias("band"),
+        n_base.alias("n_base"),
+        n_new.alias("n_new"),
+        base_sum.alias("base_pair_sum"),
+        new_sum.alias("new_pair_sum"),
+    )
+    drift = F.when(
+        (F.col("n_base") == 0) | (F.col("n_new") == 0), F.lit(0)
+    ).otherwise(
+        density_mu("new_pair_sum", "n_new") - density_mu("base_pair_sum", "n_base")
+    )
+    return j.withColumn("drift_num", drift.cast("bigint"))
 
 
 # NOTE: deliberately NOT registered this round — the round-11 window
@@ -1997,8 +2073,10 @@ def sim_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band: training row count + bucket-collision pair count
     (Σ_sig C(cnt,2) — exactly the candidate-pair volume a band
     self-join generates), the same for the snapshot alone, and the
-    exact-integer drift numerator (sign of new density - training
-    density; POSITIVE = the snapshot collides DENSER than the training
+    exact-integer density drift in micro-pairs-per-row
+    (_lsh_drift_report's overflow-free split division — NOT
+    _drift_report's cross-multiply, which goes cubic on this quadratic
+    metric; POSITIVE = the snapshot collides DENSER than the training
     corpus did = the distribution is concentrating into this band's hot
     buckets and the width chosen at build no longer bounds bucket
     loads — the re-hash trigger LSH actually needs, the quantified form
@@ -2028,7 +2106,7 @@ def sim_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") % 2 == 1), ANN_BANDS, ANN_ROWS, quantize=True
         )
     )
-    return _drift_report(base, new, val="pair_sum", key="band", drift_col="drift_num")
+    return _lsh_drift_report(base, new)
 
 
 def ann_lsh_append(
@@ -2064,9 +2142,7 @@ def ann_lsh_append(
     base_stats = spark.read.parquet(os.path.join(index_dir, "stats"))
     if new_emb.isEmpty():
         empty = spark.createDataFrame([], "band bigint, n bigint, pair_sum bigint")
-        return _drift_report(
-            base_stats, empty, val="pair_sum", key="band", drift_col="drift_num"
-        )
+        return _lsh_drift_report(base_stats, empty)
     sigs = (
         band_signatures(new_emb, ANN_BANDS, ANN_ROWS, quantize=True)
         .select("vec_id", "band", "sig")
@@ -2081,13 +2157,7 @@ def ann_lsh_append(
     )
     _post_write_fence(index_dir, expect_epoch, os.path.join(out, f"bid={int(batch_id)}"))
     landed = spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}"))
-    return _drift_report(
-        base_stats,
-        _band_pair_stats(landed),
-        val="pair_sum",
-        key="band",
-        drift_col="drift_num",
-    )
+    return _lsh_drift_report(base_stats, _band_pair_stats(landed))
 
 
 def ann_lsh_sigs_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:

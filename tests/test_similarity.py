@@ -921,8 +921,6 @@ def test_compaction_fence_append_racing_compact_fails_loudly(
     replay of an already-folded bid."""
     import os
 
-    import pytest
-
     from ftp_blueprints_spark.session import load_table
 
     emb = load_table(spark, sf_oracle, "embeddings")
@@ -988,7 +986,6 @@ def test_compact_rejects_conflicting_reappend(spark, sf_oracle, tmp_path):
     bit-identical replay residue. A re-append of a CHANGED embedding
     for an existing vec_id must make compaction raise loudly instead of
     silently keeping an arbitrary copy."""
-    import pytest
 
     from ftp_blueprints_spark.session import load_table
 
@@ -1110,7 +1107,6 @@ def test_post_write_fence_removes_landed_bid(tmp_path):
     double-serve window."""
     import os
 
-    import pytest
 
     idx = str(tmp_path / "idx")
     os.makedirs(idx)
@@ -1135,7 +1131,6 @@ def test_compaction_epoch_fails_closed(tmp_path):
     raises instead of silently disarming the fence (r11 review)."""
     import os
 
-    import pytest
 
     idx = str(tmp_path / "idx")
     os.makedirs(idx)
