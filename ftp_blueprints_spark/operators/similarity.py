@@ -2012,9 +2012,15 @@ def _lsh_drift_report(base_stats: DataFrame, new_stats: DataFrame) -> DataFrame:
         density_mu = (pair_sum div n) * 1e6 + ((pair_sum mod n) * 1e6) div n
 
     which equals floor(pair_sum * 1e6 / n) exactly with every
-    intermediate < 2^63 while pair_sum/n < ~9.2e12 (per-band mean
-    bucket load of 9.2e12 co-occupants — an index that saturated its
-    serve join orders of magnitude earlier).  All operands are
+    intermediate < 2^63 across the envelope n < ~9.2e12 per band AND
+    mean bucket load pair_sum/n < ~9.2e12 (the quotient term bounds
+    the load, the remainder term — (pair_sum mod n) < n — bounds n;
+    both sit >20x beyond a 100 TB embedding corpus, and an index at
+    either bound saturated its serve join orders of magnitude
+    earlier). Beyond the envelope the bigint OUTPUT cannot represent
+    the density at all, so the correct behavior is ANSI-loud overflow,
+    not a silently-wrapped sign — pinned by the overflow-magnitudes
+    property test.  All operands are
     non-negative, so Spark's truncating `div` and DuckDB's flooring
     `//` agree — the negative-sum hazard that forces _drift_report to
     cross-multiply does not exist on this surface.  drift_num =

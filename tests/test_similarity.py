@@ -1375,3 +1375,86 @@ def test_lsh_append_empty_batch_and_fence(spark, sf_oracle, tmp_path):
         S.ann_lsh_sigs_with_appends(spark, idx).count()
         == served_before + 2 * S.ANN_BANDS
     )
+
+
+def test_lsh_drift_report_exact_at_overflow_magnitudes(spark):
+    """Property: _lsh_drift_report's split-division density equals the
+    Python-bigint reference floor(pair_sum * 1e6 / n) difference for
+    ANY stats pair inside the documented envelope (n and mean load
+    both < ~9.2e12 per band) — including magnitudes where the
+    cross-multiplied numerator (new_pair_sum * n_base) would exceed
+    2^63 by orders of magnitude — plus the empty-side and missing-band
+    cases.  Beyond the envelope the bigint output cannot represent the
+    density, and the first draft of this test proved totality is the
+    WRONG ask: the pinned behavior is ANSI-loud overflow, never a
+    silently-wrapped sign."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    ENV = 9_000_000_000_000  # inside the ~9.2e12 envelope bound
+
+    def stat():
+        # n <= ENV; pair_sum capped so the mean load stays <= ~9e9
+        # (still >20x any real per-band co-occupancy) and below 2^62
+        return st.tuples(
+            st.integers(min_value=0, max_value=ENV),
+            st.integers(min_value=0, max_value=2**62),
+        ).map(lambda t: (t[0], min(t[1], t[0] * 9_000_000_000, 2**62)))
+
+    stat = stat()
+
+    def ref_density(ps: int, n: int) -> int:
+        return 0 if n == 0 else (ps * 1_000_000) // n  # python bigint: exact
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        base=st.lists(stat, min_size=0, max_size=3),
+        new=st.lists(stat, min_size=0, max_size=3),
+    )
+    def run(base, new):
+        mk = lambda rows: spark.createDataFrame(
+            [(i, n, ps) for i, (n, ps) in enumerate(rows)],
+            "band bigint, n bigint, pair_sum bigint",
+        )
+        got = {
+            r["band"]: r
+            for r in S._lsh_drift_report(mk(base), mk(new)).collect()
+        }
+        bands = set(range(len(base))) | set(range(len(new)))
+        assert set(got) == bands
+        for band in bands:
+            nb, psb = base[band] if band < len(base) else (0, 0)
+            nn, psn = new[band] if band < len(new) else (0, 0)
+            r = got[band]
+            assert (r["n_base"], r["base_pair_sum"]) == (nb, psb)
+            assert (r["n_new"], r["new_pair_sum"]) == (nn, psn)
+            want = (
+                0
+                if nb == 0 or nn == 0
+                else ref_density(psn, nn) - ref_density(psb, nb)
+            )
+            assert r["drift_num"] == want, (band, nb, psb, nn, psn)
+
+    run()
+
+    # explicit extreme: the magnitudes the r11 review flagged — the
+    # cross-multiply would need ~2^123; the density surface is exact
+    n = 10**12
+    ps = 4 * 10**18  # near int64 max, far beyond 2^63 // n
+    mk1 = lambda p: spark.createDataFrame(
+        [(0, n, p)], "band bigint, n bigint, pair_sum bigint"
+    )
+    rows = S._lsh_drift_report(mk1(ps), mk1(ps - 1)).collect()
+    assert rows[0]["drift_num"] == ((ps - 1) * 10**6) // n - (ps * 10**6) // n
+    assert ps * n > 2**63  # the old numerator really would have overflowed
+
+    # beyond the envelope: mean load ~2^62 per row — loud, never wrapped
+    hot = spark.createDataFrame(
+        [(0, 1, 2**62)], "band bigint, n bigint, pair_sum bigint"
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        S._lsh_drift_report(mk1(ps), hot).collect()
