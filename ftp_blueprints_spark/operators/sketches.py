@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..functions import text as T
-from ..plans.registry import query
+from ..plans.registry import ORACLES, query
 from ..session import load_table
 
 CMS_DEPTH = 4
@@ -376,4 +376,326 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("est_distinct"),
+    )
+
+
+# --- incremental CMS maintenance: the streamed sketch registry ----------------
+#
+# The maintained-artifact pattern (similarity.py's IVF/IVFPQ/LSH index
+# lifecycle) applied to the sketch family — with a STRONGER guarantee.
+# Index rows have identities, so a replayed batch can be healed by key
+# dedup or fenced by a compaction epoch; sketch cells are SUMS, where a
+# double-counted replay is unhealable silent corruption. The registry
+# therefore makes replays exactly-once BY CONSTRUCTION:
+#
+#   <dir>/parts/bid=N/        per-batch PARTIAL sketches (<= DEPTH*WIDTH
+#                             rows each, whatever the batch size) landed
+#                             by cms_append via dynamic (bid) overwrite
+#   <dir>/consolidated.<tag>/ one merged partial of absorbed batches
+#   <dir>/_manifest.json      {"tag": ..., "absorbed": [bids...]} — the
+#                             SINGLE atomic commit point (write-tmp +
+#                             fsync + rename), exactly a table format's
+#                             snapshot-pointer swap
+#
+# Serving merges consolidated.<manifest.tag> with every NON-absorbed
+# bid partition; a replay of an absorbed bid re-creates its parts dir
+# but is excluded by the manifest at every commit point, and the next
+# compact deletes it without re-absorbing. cms_compact publishes the
+# new consolidated partial FULLY before the manifest rename, so a
+# crash at any point leaves the previous snapshot served intact and
+# only garbage (swept on the next call) behind.
+
+_CMS_MANIFEST = "_manifest.json"
+
+
+def cms_partial(docs: DataFrame) -> DataFrame:
+    """The constant-size CMS partial of a document batch: token counts
+    folded into the DEPTH x WIDTH grid. Map-side combinable twice
+    (token tf, then cell sum); <= DEPTH*WIDTH rows out regardless of
+    batch size — the whole point of appending sketches instead of
+    rescanning the corpus."""
+    toks = docs.select(F.explode(T.lower_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tf"))
+    return cms_sketch(tf)
+
+
+def _cms_manifest(registry_dir: str) -> dict:
+    """Current snapshot pointer: {"tag": str | None, "absorbed": [int]}.
+    Missing file = fresh registry; an unreadable/corrupt file RAISES —
+    a snapshot pointer must fail closed (serving from a guessed state
+    could double-count absorbed bids)."""
+    import json
+    import os
+
+    path = os.path.join(registry_dir, _CMS_MANIFEST)
+    if not os.path.isfile(path):
+        return {"tag": None, "absorbed": []}
+    with open(path) as fh:
+        m = json.load(fh)
+    if "absorbed" not in m or "tag" not in m:
+        raise ValueError(f"corrupt CMS registry manifest under {registry_dir}")
+    return m
+
+
+def _cms_publish_manifest(registry_dir: str, manifest: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(registry_dir, f".{_CMS_MANIFEST}.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(registry_dir, _CMS_MANIFEST))
+
+
+def cms_registry_build(spark: SparkSession, sf_dir: str, registry_dir: str) -> str:
+    """Initialize a CMS registry from a standing corpus: the corpus's
+    partial lands through the ordinary append path (one lifecycle
+    covers build and maintenance) under the RESERVED bid -1 — streaming
+    batch ids start at 0, so the base partial can never collide with
+    (and be dynamically overwritten by) a stream's first micro-batch;
+    the twin test caught exactly that with a bid-0 build."""
+    import os
+
+    os.makedirs(registry_dir, exist_ok=True)
+    if not os.path.isdir(os.path.join(registry_dir, "parts", "bid=-1")):
+        docs = load_table(spark, sf_dir, "documents")
+        cms_append(spark, registry_dir, docs, batch_id=-1)
+    return registry_dir
+
+
+def cms_append(
+    spark: SparkSession, registry_dir: str, docs: DataFrame, batch_id: int
+) -> DataFrame:
+    """Append a document batch's CMS partial under parts/bid=batch_id
+    (dynamic partition overwrite — an at-least-once replay rewrites
+    exactly its own bid with identical deterministic content) and
+    return the READ-BACK landed partial (the durable truth a replay
+    would serve). An empty batch short-circuits to an empty partial
+    (a dynamic overwrite of an empty frame creates no bid dir and the
+    read-back would raise PATH_NOT_FOUND — the ivf_append lesson).
+
+    No epoch fence needed, unlike the index appends: a replay of an
+    ALREADY-ABSORBED bid re-creates the parts dir, but serving excludes
+    it through the manifest at every commit point and the next compact
+    deletes it without re-absorbing — exactly-once by construction, not
+    by healing. The remaining single-writer rule is compact-vs-append
+    on the SAME in-flight bid (same as the index families' quiesce
+    contract and a table format's OPTIMIZE)."""
+    import os
+
+    if docs.isEmpty():
+        return spark.createDataFrame([], "d int, bucket bigint, cell bigint")
+    partial = cms_partial(docs).withColumn(
+        "bid", F.lit(int(batch_id)).cast("bigint")
+    )
+    out = os.path.join(registry_dir, "parts")
+    (
+        partial.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid")
+        .parquet(out)
+    )
+    return spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}")).select(
+        "d", "bucket", "cell"
+    )
+
+
+def cms_registry_sketch(spark: SparkSession, registry_dir: str) -> DataFrame:
+    """The servable merged sketch: consolidated.<manifest.tag> plus
+    every NON-absorbed bid partition, summed cell-wise. The absorbed
+    filter is on the bid PARTITION column, so excluded replay residue
+    is pruned at the file level; the merge input is
+    <= (#live bids + 1) * DEPTH * WIDTH rows — constant in corpus
+    size, linear only in batches-since-compact."""
+    import os
+
+    m = _cms_manifest(registry_dir)
+    frames = []
+    if m["tag"] is not None:
+        frames.append(
+            spark.read.parquet(
+                os.path.join(registry_dir, f"consolidated.{m['tag']}")
+            ).select("d", "bucket", "cell")
+        )
+    parts_dir = os.path.join(registry_dir, "parts")
+    # guard the empty-dir case (every bid absorbed and swept): parquet
+    # schema inference fails on a directory with no files
+    if os.path.isdir(parts_dir) and any(
+        d.startswith("bid=") for d in os.listdir(parts_dir)
+    ):
+        parts = spark.read.parquet(parts_dir)
+        if m["absorbed"]:
+            parts = parts.filter(~F.col("bid").isin(m["absorbed"]))
+        frames.append(parts.select("d", "bucket", "cell"))
+    if not frames:
+        return spark.createDataFrame([], "d int, bucket bigint, cell bigint")
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("d", "bucket").agg(
+        F.sum("cell").cast("bigint").alias("cell")
+    )
+
+
+def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
+    """Fold every live bid partial into a new consolidated partial and
+    advance the manifest — bounding the serve-time merge width after
+    long append runs. Commit discipline (the snapshot-pointer swap):
+
+    1. merge consolidated.<old> ∪ live bids -> consolidated.<newtag>
+       (a fresh uniquely-tagged dir: nothing serves it yet);
+    2. atomically publish the manifest naming <newtag> with the live
+       bids added to ``absorbed`` — THE commit point: a crash anywhere
+       before leaves the old snapshot served intact, the new dir being
+       unreferenced garbage;
+    3. sweep garbage: consolidated.* with other tags, parts dirs of
+       absorbed bids, stale manifest tmps.  A crash mid-sweep leaves
+       only re-sweepable leftovers (absorbed parts are manifest-excluded
+       from serving either way).
+
+    Returns False when there is nothing to fold. Single writer, like
+    the index compacts. Tags are monotonic per registry
+    (similarity._next_tag: max of wall-clock ns and successor-of-
+    existing, immune to backwards clock steps)."""
+    import os
+    import re
+    import shutil
+
+    from .similarity import _next_tag
+
+    m = _cms_manifest(registry_dir)
+    parts_dir = os.path.join(registry_dir, "parts")
+    live, residue = [], []
+    if os.path.isdir(parts_dir):
+        for d in os.listdir(parts_dir):
+            mm = re.fullmatch(r"bid=(-?\d+)", d)
+            if not mm:
+                continue
+            b = int(mm.group(1))
+            # residue = an already-absorbed bid re-created by a replay:
+            # never re-absorbed (that would double-count), only swept
+            (residue if b in m["absorbed"] else live).append(b)
+    garbage = [
+        d
+        for d in os.listdir(registry_dir)
+        if d.startswith("consolidated.")
+        and (m["tag"] is None or d != f"consolidated.{m['tag']}")
+    ]
+    if not live and not garbage and not residue:
+        return False
+    if live:
+        merged = cms_registry_sketch(spark, registry_dir)
+        tag = _next_tag(registry_dir)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(registry_dir, f"consolidated.{tag}")
+        )
+        _cms_publish_manifest(
+            registry_dir,
+            {"tag": tag, "absorbed": sorted(set(m["absorbed"]) | set(live))},
+        )
+        m = _cms_manifest(registry_dir)
+    # sweep under the NEW snapshot: stale consolidated dirs, absorbed
+    # bid partials (replay residue included), dead manifest tmps
+    for d in os.listdir(registry_dir):
+        if d.startswith("consolidated.") and d != f"consolidated.{m['tag']}":
+            shutil.rmtree(os.path.join(registry_dir, d), ignore_errors=True)
+        if d.startswith(f".{_CMS_MANIFEST}.tmp."):
+            try:
+                os.remove(os.path.join(registry_dir, d))
+            except OSError:
+                pass
+    if os.path.isdir(parts_dir):
+        for b in m["absorbed"]:
+            shutil.rmtree(
+                os.path.join(parts_dir, f"bid={b}"), ignore_errors=True
+            )
+    return True
+
+
+def run_incremental_cms_stream(
+    spark: SparkSession,
+    registry_dir: str,
+    source: DataFrame,
+    timeout_s: int = 300,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin of the CMS registry maintenance: arriving
+    document batches stream through a foreachBatch cms_append, each
+    landing its constant-size partial under bid=batch_id. No frozen
+    state to snapshot at open (the grid is code constants) and no
+    fence to carry (replays are exactly-once through the manifest);
+    restart resumes from the committed batch like the index twins."""
+    import os
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        cms_append(spark, registry_dir, batch_df, batch_id)
+
+    from .similarity import _run_append_stream
+
+    return _run_append_stream(
+        source,
+        append,
+        checkpoint_dir or os.path.join(registry_dir, "_part_ckpt"),
+        timeout_s,
+    )
+
+
+def _cms_incremental_oracle() -> str:
+    # identical to sk_cms_heavy_hitters' oracle BY DESIGN: cell sums
+    # are associative, so the merged-partials sketch is bit-equal to
+    # the monolithic one — the driver proves merge-exactness by
+    # hashing both paths against one SQL
+    return ORACLES["sk_cms_heavy_hitters"]
+
+
+# NOTE: deliberately NOT registered this round — round-11 caps new
+# registrations at 2 (see __spark_entry__.py); the decorator goes on in
+# round 12 alongside sim_lsh_incremental. Oracle equality is already
+# pinned locally by tests/test_sketches.py's driver-grade compare.
+def sk_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report from an INCREMENTALLY MERGED sketch: split
+    the corpus (doc_id mod 2), sketch each half independently, merge
+    cell-wise, and report exactly like sk_cms_heavy_hitters. Because
+    cell sums are associative the output is IDENTICAL to the monolithic
+    query — the oracle is literally the same SQL, so the driver check
+    proves MERGE-EXACTNESS: per-shard / per-day / per-batch sketches
+    combine without reprocessing raw data and lose nothing. This is
+    cms_append's arithmetic — the machinery test asserts the persisted
+    registry path (cms_registry_build on half 0 + cms_append of half 1
+    + cms_registry_sketch) serves exactly this merged sketch.
+
+    Scale shape: each half collapses map-side to <= DEPTH*WIDTH cells
+    before any shuffle; the merge is a constant-size aggregation. The
+    exact-tf side (true_cnt, kept to report the one-sided error bound)
+    is the only corpus-width shuffle, exactly as in the monolithic
+    query; a pure-sketch pipeline skips it. At 100 TB: yesterday's
+    documents are never re-tokenized — vocabulary statistics stream in
+    at constant per-batch cost, the dd_incremental story for
+    frequency sketches."""
+    docs = load_table(spark, sf_dir, "documents")
+    halves = [docs.filter(F.col("doc_id") % 2 == r) for r in (0, 1)]
+    merged = (
+        cms_partial(halves[0])
+        .unionByName(cms_partial(halves[1]))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cell").cast("bigint").alias("cell"))
+    )
+    toks = docs.select(F.explode(T.lower_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tf"))
+    est = (
+        cms_cells(tf)
+        .join(F.broadcast(merged), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("tf").cast("bigint").alias("true_cnt"),
+            F.min("cell").cast("bigint").alias("cms_est"),
+        )
+    )
+    return est.filter(F.col("true_cnt") >= CMS_HH_MIN).select(
+        "tok",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
     )

@@ -111,3 +111,173 @@ def test_kmv_estimate_tracks_exact_distinct(spark, sf_oracle):
     assert all(r["n_kept"] == S.KMV_K for r in est.values())
     assert sum(errs) / len(errs) <= 0.25, f"mean rel err {sum(errs)/len(errs):.3f}"
     assert max(errs) <= 0.6, f"max rel err {max(errs):.3f}"
+
+
+# --- incremental CMS registry (the maintained sketch artifact) ----------------
+
+
+def _cells(df):
+    return {(r["d"], r["bucket"]): r["cell"] for r in df.collect()}
+
+
+def test_cms_incremental_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-12 registration: sk_cms_incremental's
+    merged-partials plan vs the MONOLITHIC query's oracle under the
+    driver's own comparison — the driver check will prove
+    merge-exactness by hashing both paths against one SQL."""
+    import pytest
+
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sk_cms_incremental, S._cms_incremental_oracle(), sf_oracle
+    )
+
+
+def test_cms_registry_serves_merged_sketch_exactly_once(spark, sf_oracle, tmp_path):
+    """The persisted registry end-to-end: build on half 0, append half 1
+    as bid 1, and require (1) the served merged sketch equals the
+    monolithic whole-corpus sketch cell-for-cell (and the
+    sk_cms_incremental rows), (2) a replay of a committed bid leaves
+    serving bit-identical, (3) compaction preserves the served sketch
+    exactly while absorbing the live bids, and (4) — the guarantee the
+    index families can only heal or fence — a replay of an ALREADY
+    ABSORBED bid re-creates its parts dir yet serving stays
+    bit-identical at once (manifest exclusion), and the next compact
+    deletes the residue without re-absorbing it."""
+    import os
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    half0_dir = tmp_path / "half0"
+    half0.write.mode("overwrite").parquet(str(half0_dir / "documents.parquet"))
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    S.cms_append(spark, reg, half1, batch_id=1)
+
+    whole = _cells(S.cms_sketch(_tf(docs)))
+    served = _cells(S.cms_registry_sketch(spark, reg))
+    assert served == whole  # (1)
+
+    S.cms_append(spark, reg, half1, batch_id=1)  # replay committed bid
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole  # (2)
+
+    assert S.cms_compact(spark, reg) is True
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole  # (3)
+    assert not os.path.isdir(os.path.join(reg, "parts", "bid=-1"))  # base partial
+    assert not os.path.isdir(os.path.join(reg, "parts", "bid=1"))
+    assert S.cms_compact(spark, reg) is False  # nothing to fold
+
+    # (4) replay AFTER absorb: the unhealable case for summed cells
+    S.cms_append(spark, reg, half1, batch_id=1)
+    assert os.path.isdir(os.path.join(reg, "parts", "bid=1"))  # residue lands
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole  # excluded at once
+    assert S.cms_compact(spark, reg) is True  # sweeps the residue
+    assert not os.path.isdir(os.path.join(reg, "parts", "bid=1"))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole
+
+    # registry keeps accepting appends after compaction
+    S.cms_append(spark, reg, half1.limit(3), batch_id=2)
+    merged2 = _cells(S.cms_registry_sketch(spark, reg))
+    assert sum(merged2.values()) > sum(whole.values())
+
+
+def test_cms_incremental_machinery_equals_query(spark, sf_oracle, tmp_path):
+    """The registry path serves exactly the sk_cms_incremental merged
+    sketch, so the (round-12) driver evidence covers the persisted
+    machinery too: plugging the served cells into the est join
+    reproduces the query rows bit-for-bit."""
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    S.cms_append(spark, reg, docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+
+    served = S.cms_registry_sketch(spark, reg)
+    tf = _tf(docs)
+    est = (
+        S.cms_cells(tf)
+        .join(F.broadcast(served), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("tf").cast("bigint").alias("true_cnt"),
+            F.min("cell").cast("bigint").alias("cms_est"),
+        )
+    )
+    got = {
+        tuple(r)
+        for r in est.filter(F.col("true_cnt") >= S.CMS_HH_MIN)
+        .select(
+            "tok",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
+        )
+        .collect()
+    }
+    want = {tuple(r) for r in S.sk_cms_incremental(spark, sf_oracle).collect()}
+    assert got == want and got
+
+
+def test_cms_compact_crash_at_commit_point(spark, sf_oracle, tmp_path, monkeypatch):
+    """The snapshot-pointer swap: kill the compact at the manifest
+    rename (the single commit point) and require the OLD snapshot still
+    served bit-identically with the half-built consolidated dir being
+    unreferenced garbage; the next compact completes the fold and
+    sweeps the leftovers. Also: an empty batch short-circuits to an
+    empty partial and writes nothing."""
+    import os
+
+    import pytest
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    S.cms_append(spark, reg, docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    whole = _cells(S.cms_registry_sketch(spark, reg))
+
+    class Boom(Exception):
+        pass
+
+    real_rename = os.rename
+
+    def boom(src, dst):
+        if os.path.basename(dst) == S._CMS_MANIFEST and str(src).startswith(reg):
+            raise Boom(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(Boom):
+        S.cms_compact(spark, reg)
+    monkeypatch.undo()
+
+    # old snapshot intact; the new consolidated dir is garbage
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole
+    assert S._cms_manifest(reg)["tag"] is None  # commit never happened
+    leftovers = [d for d in os.listdir(reg) if d.startswith("consolidated.")]
+    assert leftovers  # the orphaned fold output
+
+    assert S.cms_compact(spark, reg) is True  # completes and sweeps
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole
+    m = S._cms_manifest(reg)
+    assert sorted(m["absorbed"]) == [-1, 1]
+    assert [
+        d for d in os.listdir(reg) if d.startswith("consolidated.")
+    ] == [f"consolidated.{m['tag']}"]
+
+    # empty batch: no bid dir, no serving change
+    empty = spark.createDataFrame([], docs.schema)
+    out = S.cms_append(spark, reg, empty, batch_id=9)
+    assert out.count() == 0
+    assert not os.path.isdir(os.path.join(reg, "parts", "bid=9"))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole

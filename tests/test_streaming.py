@@ -1869,3 +1869,100 @@ def test_concurrency_stream_drops_straddling_late_event_atomically(
     assert got == expected
     assert ("a", 0, 2, 0, 4) in got      # original bucket intact
     assert ("a", 1, 1, 0, 2) in got      # live bucket balanced: no orphan -1
+
+
+def test_incremental_cms_stream_multi_microbatch_and_restart(
+    spark, sf_oracle, tmp_path
+):
+    """The maintained sketch registry under REAL streaming maintenance:
+    build on the corpus half (doc_id % 2 = 0), stream the other half as
+    three doc_id-ordered micro-batches through the foreachBatch
+    cms_append twin, and require the served merged sketch to equal the
+    monolithic whole-corpus sketch cell-for-cell. Then the recovery
+    story: a direct replay of the last committed batch leaves serving
+    bit-identical (deterministic partial under a dynamic bid
+    overwrite), and a RESTART on the same checkpoint after a fourth
+    file lands processes only the new file — the earlier partials and
+    the merge-exactness survive."""
+    import os
+
+    from ftp_blueprints_spark.operators import sketches as K
+    from ftp_blueprints_spark.session import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1_rows = (
+        docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id").collect()
+    )
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    half0.write.mode("overwrite").parquet(str(half0_dir / "documents.parquet"))
+    K.cms_registry_build(spark, str(half0_dir), reg)
+
+    third = len(half1_rows) // 3
+    chunks = [
+        half1_rows[:third],
+        half1_rows[third : 2 * third],
+        half1_rows[2 * third :],
+    ]
+    src_dir = tmp_path / "doc_parts"
+    schema = docs.schema
+
+    def land(i, rows):
+        out = str(src_dir / f"part{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
+
+    for i, rows in enumerate(chunks):
+        land(i, rows)
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+
+    ckpt = str(tmp_path / "cms_ckpt")
+    q = K.run_incremental_cms_stream(spark, reg, src(), checkpoint_dir=ckpt)
+    _assert_multi_batch(q, 3)
+
+    def cells(df):
+        return {(r["d"], r["bucket"]): r["cell"] for r in df.collect()}
+
+    whole = cells(K.cms_partial(docs))  # the monolithic sketch
+    assert cells(K.cms_registry_sketch(spark, reg)) == whole
+
+    # replay idempotency: re-append the LAST committed batch directly
+    last_bid = max(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(reg, "parts"))
+        if d.startswith("bid=")
+    )
+    K.cms_append(
+        spark, reg, spark.createDataFrame(chunks[-1], schema), batch_id=last_bid
+    )
+    assert cells(K.cms_registry_sketch(spark, reg)) == whole
+
+    # restart: land a NEW file (fresh doc_ids), same checkpoint
+    new_rows = [
+        r.asDict() | {"doc_id": 1_000_000 + i}
+        for i, r in enumerate(half1_rows[:5])
+    ]
+    out4 = str(src_dir / "part3")
+    spark.createDataFrame(new_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out4)
+    for f in os.listdir(out4):
+        os.utime(os.path.join(out4, f), (1_700_000_003,) * 2)
+    K.run_incremental_cms_stream(spark, reg, src(), checkpoint_dir=ckpt)
+
+    extra = cells(K.cms_partial(spark.createDataFrame(new_rows, schema)))
+    want = dict(whole)
+    for k, v in extra.items():
+        want[k] = want.get(k, 0) + v
+    assert cells(K.cms_registry_sketch(spark, reg)) == want
