@@ -85,10 +85,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (mm_phash_neardup_wide, sim_ivfpq_incremental) so the 50-slot window
 # takes all 16 r7-stale rows plus ~32 of the 49 r8-stale rows (nothing
 # older than r8 evidence should remain after round 11).
-# Round 12 registration queue: sim_lsh_incremental (built + locally
-# oracle-proven + scale-probed in r11; the @query decorator is in
-# operators/similarity.py next to _lsh_incremental_oracle, deferred
-# only for this round's window math).
+# Round 12 registration queue (built + locally oracle-proven +
+# scale-probed in r11, decorators deferred only for this round's
+# window math):
+#   - sim_lsh_incremental (operators/similarity.py,
+#     _lsh_incremental_oracle)
+#   - sk_cms_incremental (operators/sketches.py,
+#     _cms_incremental_oracle — same SQL as sk_cms_heavy_hitters:
+#     the driver check proves sketch merge-exactness)
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era
