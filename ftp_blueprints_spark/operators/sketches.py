@@ -105,24 +105,7 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.lower_tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tf"))
-    cells = cms_cells(tf)
-    sketch = cells.groupBy("d", "bucket").agg(
-        F.sum("tf").cast("bigint").alias("cell")
-    )
-    est = (
-        cells.join(F.broadcast(sketch), ["d", "bucket"])
-        .groupBy("tok")
-        .agg(
-            F.min("tf").cast("bigint").alias("true_cnt"),
-            F.min("cell").cast("bigint").alias("cms_est"),
-        )
-    )
-    return est.filter(F.col("true_cnt") >= CMS_HH_MIN).select(
-        "tok",
-        "true_cnt",
-        "cms_est",
-        (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
-    )
+    return cms_report(tf, cms_sketch(tf))
 
 
 # --- Bloom-filter membership: the constant-size decontamination path --------
@@ -392,18 +375,27 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                             rows each, whatever the batch size) landed
 #                             by cms_append via dynamic (bid) overwrite
 #   <dir>/consolidated.<tag>/ one merged partial of absorbed batches
-#   <dir>/_manifest.json      {"tag": ..., "absorbed": [bids...]} — the
-#                             SINGLE atomic commit point (write-tmp +
-#                             fsync + rename), exactly a table format's
+#   <dir>/_manifest.json      {"tag", "hwm", "base"} — the SINGLE atomic
+#                             commit point (write-tmp + fsync + rename +
+#                             DIR fsync), a table format's
 #                             snapshot-pointer swap
 #
-# Serving merges consolidated.<manifest.tag> with every NON-absorbed
-# bid partition; a replay of an absorbed bid re-creates its parts dir
-# but is excluded by the manifest at every commit point, and the next
-# compact deletes it without re-absorbing. cms_compact publishes the
-# new consolidated partial FULLY before the manifest rename, so a
-# crash at any point leaves the previous snapshot served intact and
-# only garbage (swept on the next call) behind.
+# Absorption state is a HIGH-WATERMARK, not a list (r11 review: one
+# list entry per micro-batch would grow the manifest and the serve
+# predicate with total history forever): every bid <= hwm is absorbed,
+# which holds exactly because streaming batch ids are assigned
+# monotonically and cms_compact absorbs ALL live bids at once. The
+# corollary contract: a bid number must never be INTRODUCED at or
+# below the current hwm with new data (stream replays of committed
+# batches are fine — that is the exclusion working as designed).
+#
+# Serving merges consolidated.<manifest.tag> with every bid > hwm; a
+# replay of an absorbed bid re-creates its parts dir but is excluded by
+# the watermark at every commit point, and the next compact deletes it
+# without re-absorbing. cms_compact publishes the new consolidated
+# partial FULLY before the manifest rename, so a crash at any point
+# leaves the previous snapshot served intact and only garbage (swept on
+# the next call) behind.
 
 _CMS_MANIFEST = "_manifest.json"
 
@@ -419,25 +411,61 @@ def cms_partial(docs: DataFrame) -> DataFrame:
     return cms_sketch(tf)
 
 
+def cms_report(tf: DataFrame, sketch: DataFrame) -> DataFrame:
+    """THE heavy-hitter report surface shared by the monolithic and the
+    incremental query (and the machinery test): estimate each vocab
+    token against the 2048-cell sketch (broadcast), keep tokens with
+    true count >= CMS_HH_MIN, emit the one-sided error bound column.
+    One definition, like cms_cells — a report-surface fork between the
+    two oracle-hash-checked paths would silently break the
+    merge-exactness proof (r11 review)."""
+    est = (
+        cms_cells(tf)
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("tf").cast("bigint").alias("true_cnt"),
+            F.min("cell").cast("bigint").alias("cms_est"),
+        )
+    )
+    return est.filter(F.col("true_cnt") >= CMS_HH_MIN).select(
+        "tok",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
+    )
+
+
 def _cms_manifest(registry_dir: str) -> dict:
-    """Current snapshot pointer: {"tag": str | None, "absorbed": [int]}.
-    Missing file = fresh registry; an unreadable/corrupt file RAISES —
-    a snapshot pointer must fail closed (serving from a guessed state
-    could double-count absorbed bids)."""
+    """Current snapshot pointer: {"tag": str | None, "hwm": int | None,
+    "base": bool}. ``hwm`` is the absorption high-watermark (every bid
+    <= hwm is absorbed; None = nothing absorbed); ``base`` records that
+    the build's corpus partial (bid -1) has been absorbed, so build
+    idempotency survives compaction sweeping the bid dir. Missing file
+    = fresh registry; an unreadable/corrupt file RAISES — a snapshot
+    pointer must fail closed (serving from a guessed state could
+    double-count absorbed bids)."""
     import json
     import os
 
     path = os.path.join(registry_dir, _CMS_MANIFEST)
     if not os.path.isfile(path):
-        return {"tag": None, "absorbed": []}
+        return {"tag": None, "hwm": None, "base": False}
     with open(path) as fh:
         m = json.load(fh)
-    if "absorbed" not in m or "tag" not in m:
+    if not {"tag", "hwm", "base"} <= set(m):
         raise ValueError(f"corrupt CMS registry manifest under {registry_dir}")
     return m
 
 
 def _cms_publish_manifest(registry_dir: str, manifest: dict) -> None:
+    """Atomic snapshot-pointer swap: write-tmp + file fsync + rename +
+    DIRECTORY fsync. The dir fsync is load-bearing (r11 review): the
+    rename is directory metadata, and without forcing it to disk a
+    power cut after cms_compact's destructive sweep could recover the
+    OLD manifest pointing at a deleted consolidated dir — the crash
+    guarantee requires the pointer to be durable BEFORE anything it
+    supersedes is removed."""
     import json
     import os
 
@@ -447,6 +475,11 @@ def _cms_publish_manifest(registry_dir: str, manifest: dict) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, os.path.join(registry_dir, _CMS_MANIFEST))
+    dfd = os.open(registry_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def cms_registry_build(spark: SparkSession, sf_dir: str, registry_dir: str) -> str:
@@ -455,13 +488,20 @@ def cms_registry_build(spark: SparkSession, sf_dir: str, registry_dir: str) -> s
     covers build and maintenance) under the RESERVED bid -1 — streaming
     batch ids start at 0, so the base partial can never collide with
     (and be dynamically overwritten by) a stream's first micro-batch;
-    the twin test caught exactly that with a bid-0 build."""
+    the twin test caught exactly that with a bid-0 build. Idempotency
+    checks the manifest's ``base`` flag as well as the bid dir: after a
+    compact absorbs and sweeps bid -1, a restart must NOT re-sketch the
+    whole corpus (the exact corpus-width work the registry exists to
+    avoid; r11 review)."""
     import os
 
     os.makedirs(registry_dir, exist_ok=True)
-    if not os.path.isdir(os.path.join(registry_dir, "parts", "bid=-1")):
-        docs = load_table(spark, sf_dir, "documents")
-        cms_append(spark, registry_dir, docs, batch_id=-1)
+    if _cms_manifest(registry_dir)["base"] or os.path.isdir(
+        os.path.join(registry_dir, "parts", "bid=-1")
+    ):
+        return registry_dir
+    docs = load_table(spark, sf_dir, "documents")
+    cms_append(spark, registry_dir, docs, batch_id=-1)
     return registry_dir
 
 
@@ -478,11 +518,12 @@ def cms_append(
 
     No epoch fence needed, unlike the index appends: a replay of an
     ALREADY-ABSORBED bid re-creates the parts dir, but serving excludes
-    it through the manifest at every commit point and the next compact
-    deletes it without re-absorbing — exactly-once by construction, not
-    by healing. The remaining single-writer rule is compact-vs-append
-    on the SAME in-flight bid (same as the index families' quiesce
-    contract and a table format's OPTIMIZE)."""
+    it through the manifest watermark at every commit point and the
+    next compact deletes it without re-absorbing — exactly-once by
+    construction, not by healing. The single-writer rules that remain:
+    don't run compact against an append of an IN-FLIGHT bid (the index
+    families' quiesce contract), and never introduce a NEW bid at or
+    below the manifest hwm (streams can't — batch ids are monotonic)."""
     import os
 
     if docs.isEmpty():
@@ -502,16 +543,14 @@ def cms_append(
     )
 
 
-def cms_registry_sketch(spark: SparkSession, registry_dir: str) -> DataFrame:
-    """The servable merged sketch: consolidated.<manifest.tag> plus
-    every NON-absorbed bid partition, summed cell-wise. The absorbed
-    filter is on the bid PARTITION column, so excluded replay residue
-    is pruned at the file level; the merge input is
-    <= (#live bids + 1) * DEPTH * WIDTH rows — constant in corpus
-    size, linear only in batches-since-compact."""
+def _cms_frames(spark: SparkSession, registry_dir: str, m: dict) -> list:
+    """The snapshot's merge inputs: consolidated.<tag> plus the live
+    (bid > hwm) slice of parts/. The watermark filter is a RANGE
+    predicate on the bid partition column — file-level pruning, O(1)
+    however long the registry has lived (r11 review replaced the
+    unbounded absorbed-list NOT-isin with this)."""
     import os
 
-    m = _cms_manifest(registry_dir)
     frames = []
     if m["tag"] is not None:
         frames.append(
@@ -526,9 +565,28 @@ def cms_registry_sketch(spark: SparkSession, registry_dir: str) -> DataFrame:
         d.startswith("bid=") for d in os.listdir(parts_dir)
     ):
         parts = spark.read.parquet(parts_dir)
-        if m["absorbed"]:
-            parts = parts.filter(~F.col("bid").isin(m["absorbed"]))
+        if m["hwm"] is not None:
+            parts = parts.filter(F.col("bid") > m["hwm"])
         frames.append(parts.select("d", "bucket", "cell"))
+    return frames
+
+
+def cms_registry_sketch(spark: SparkSession, registry_dir: str) -> DataFrame:
+    """The servable merged sketch: consolidated.<manifest.tag> plus
+    every live (bid > hwm) partition, summed cell-wise. The merge input
+    is <= (#live bids + 1) * DEPTH * WIDTH rows — constant in corpus
+    size, linear only in batches-since-compact.
+
+    Reader contract: the returned frame is bound to the snapshot
+    current at CALL time (manifest read eagerly, file paths resolved at
+    the action). A cms_compact committing in between sweeps the old
+    consolidated dir and absorbed parts, so a stale frame's action
+    fails LOUDLY with a missing-path error — never silently wrong
+    cells. Materialize (collect/write) before compacting, the read
+    half of the single-writer rule; snapshot retention for concurrent
+    readers is a table format's job, not this registry's."""
+    m = _cms_manifest(registry_dir)
+    frames = _cms_frames(spark, registry_dir, m)
     if not frames:
         return spark.createDataFrame([], "d int, bucket bigint, cell bigint")
     merged = frames[0]
@@ -544,21 +602,28 @@ def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
     advance the manifest — bounding the serve-time merge width after
     long append runs. Commit discipline (the snapshot-pointer swap):
 
-    1. merge consolidated.<old> ∪ live bids -> consolidated.<newtag>
-       (a fresh uniquely-tagged dir: nothing serves it yet);
-    2. atomically publish the manifest naming <newtag> with the live
-       bids added to ``absorbed`` — THE commit point: a crash anywhere
-       before leaves the old snapshot served intact, the new dir being
-       unreferenced garbage;
-    3. sweep garbage: consolidated.* with other tags, parts dirs of
-       absorbed bids, stale manifest tmps.  A crash mid-sweep leaves
-       only re-sweepable leftovers (absorbed parts are manifest-excluded
-       from serving either way).
+    1. LIST the live bids (> hwm) once, then merge consolidated.<old>
+       with exactly that pinned set — filtering the fold input to the
+       listed bids, NOT re-listing at Spark-action time, so a new bid
+       landed by a concurrent append between the listing and the write
+       is neither folded nor watermarked and simply stays live (r11
+       review: the unpinned version folded it but left it outside
+       ``absorbed`` — double-counted forever);
+    2. write consolidated.<newtag> (a fresh uniquely-tagged dir:
+       nothing serves it yet);
+    3. atomically publish the manifest naming <newtag> with hwm
+       advanced to max(live) — THE commit point (file + dir fsync): a
+       crash anywhere before leaves the old snapshot served intact,
+       the new dir being unreferenced garbage;
+    4. sweep garbage: consolidated.* with other tags, parts dirs at or
+       below the new hwm (replay residue included), stale manifest
+       tmps. A crash mid-sweep leaves only re-sweepable leftovers.
 
-    Returns False when there is nothing to fold. Single writer, like
-    the index compacts. Tags are monotonic per registry
-    (similarity._next_tag: max of wall-clock ns and successor-of-
-    existing, immune to backwards clock steps)."""
+    Returns False when there is nothing to fold or sweep. Single
+    writer, like the index compacts; in-flight READER frames from
+    before the commit fail loudly rather than serve stale cells (see
+    cms_registry_sketch). Tags are monotonic per registry
+    (similarity._next_tag)."""
     import os
     import re
     import shutil
@@ -576,7 +641,10 @@ def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
             b = int(mm.group(1))
             # residue = an already-absorbed bid re-created by a replay:
             # never re-absorbed (that would double-count), only swept
-            (residue if b in m["absorbed"] else live).append(b)
+            if m["hwm"] is not None and b <= m["hwm"]:
+                residue.append(b)
+            else:
+                live.append(b)
     garbage = [
         d
         for d in os.listdir(registry_dir)
@@ -585,32 +653,57 @@ def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
     ]
     if not live and not garbage and not residue:
         return False
+    new_hwm = m["hwm"]
     if live:
-        merged = cms_registry_sketch(spark, registry_dir)
+        # pin the fold input to the LISTED bids (see step 1 above)
+        frames = []
+        if m["tag"] is not None:
+            frames.append(
+                spark.read.parquet(
+                    os.path.join(registry_dir, f"consolidated.{m['tag']}")
+                ).select("d", "bucket", "cell")
+            )
+        frames.append(
+            spark.read.parquet(parts_dir)
+            .filter(F.col("bid").isin(live))
+            .select("d", "bucket", "cell")
+        )
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        merged = merged.groupBy("d", "bucket").agg(
+            F.sum("cell").cast("bigint").alias("cell")
+        )
         tag = _next_tag(registry_dir)
         merged.write.mode("overwrite").parquet(
             os.path.join(registry_dir, f"consolidated.{tag}")
         )
+        new_hwm = max(live) if m["hwm"] is None else max(m["hwm"], max(live))
         _cms_publish_manifest(
             registry_dir,
-            {"tag": tag, "absorbed": sorted(set(m["absorbed"]) | set(live))},
+            {
+                "tag": tag,
+                "hwm": new_hwm,
+                "base": m["base"] or -1 in live,
+            },
         )
         m = _cms_manifest(registry_dir)
-    # sweep under the NEW snapshot: stale consolidated dirs, absorbed
-    # bid partials (replay residue included), dead manifest tmps
+    # sweep under the NEW (durably committed) snapshot: stale
+    # consolidated dirs, absorbed bid partials, dead manifest tmps
     for d in os.listdir(registry_dir):
-        if d.startswith("consolidated.") and d != f"consolidated.{m['tag']}":
+        keep = None if m["tag"] is None else f"consolidated.{m['tag']}"
+        if d.startswith("consolidated.") and d != keep:
             shutil.rmtree(os.path.join(registry_dir, d), ignore_errors=True)
         if d.startswith(f".{_CMS_MANIFEST}.tmp."):
             try:
                 os.remove(os.path.join(registry_dir, d))
             except OSError:
                 pass
-    if os.path.isdir(parts_dir):
-        for b in m["absorbed"]:
-            shutil.rmtree(
-                os.path.join(parts_dir, f"bid={b}"), ignore_errors=True
-            )
+    if os.path.isdir(parts_dir) and m["hwm"] is not None:
+        for d in os.listdir(parts_dir):
+            mm = re.fullmatch(r"bid=(-?\d+)", d)
+            if mm and int(mm.group(1)) <= m["hwm"]:
+                shutil.rmtree(os.path.join(parts_dir, d), ignore_errors=True)
     return True
 
 
@@ -625,8 +718,9 @@ def run_incremental_cms_stream(
     document batches stream through a foreachBatch cms_append, each
     landing its constant-size partial under bid=batch_id. No frozen
     state to snapshot at open (the grid is code constants) and no
-    fence to carry (replays are exactly-once through the manifest);
-    restart resumes from the committed batch like the index twins."""
+    fence to carry (replays are exactly-once through the manifest
+    watermark); restart resumes from the committed batch like the
+    index twins."""
     import os
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
@@ -657,11 +751,12 @@ def _cms_incremental_oracle() -> str:
 def sk_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter report from an INCREMENTALLY MERGED sketch: split
     the corpus (doc_id mod 2), sketch each half independently, merge
-    cell-wise, and report exactly like sk_cms_heavy_hitters. Because
-    cell sums are associative the output is IDENTICAL to the monolithic
-    query — the oracle is literally the same SQL, so the driver check
-    proves MERGE-EXACTNESS: per-shard / per-day / per-batch sketches
-    combine without reprocessing raw data and lose nothing. This is
+    cell-wise, and report exactly like sk_cms_heavy_hitters (through
+    the shared cms_report surface). Because cell sums are associative
+    the output is IDENTICAL to the monolithic query — the oracle is
+    literally the same SQL, so the driver check proves
+    MERGE-EXACTNESS: per-shard / per-day / per-batch sketches combine
+    without reprocessing raw data and lose nothing. This is
     cms_append's arithmetic — the machinery test asserts the persisted
     registry path (cms_registry_build on half 0 + cms_append of half 1
     + cms_registry_sketch) serves exactly this merged sketch.
@@ -684,18 +779,4 @@ def sk_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select(F.explode(T.lower_tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tf"))
-    est = (
-        cms_cells(tf)
-        .join(F.broadcast(merged), ["d", "bucket"])
-        .groupBy("tok")
-        .agg(
-            F.min("tf").cast("bigint").alias("true_cnt"),
-            F.min("cell").cast("bigint").alias("cms_est"),
-        )
-    )
-    return est.filter(F.col("true_cnt") >= CMS_HH_MIN).select(
-        "tok",
-        "true_cnt",
-        "cms_est",
-        (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
-    )
+    return cms_report(tf, merged)

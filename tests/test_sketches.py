@@ -200,27 +200,7 @@ def test_cms_incremental_machinery_equals_query(spark, sf_oracle, tmp_path):
     S.cms_append(spark, reg, docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
 
     served = S.cms_registry_sketch(spark, reg)
-    tf = _tf(docs)
-    est = (
-        S.cms_cells(tf)
-        .join(F.broadcast(served), ["d", "bucket"])
-        .groupBy("tok")
-        .agg(
-            F.min("tf").cast("bigint").alias("true_cnt"),
-            F.min("cell").cast("bigint").alias("cms_est"),
-        )
-    )
-    got = {
-        tuple(r)
-        for r in est.filter(F.col("true_cnt") >= S.CMS_HH_MIN)
-        .select(
-            "tok",
-            "true_cnt",
-            "cms_est",
-            (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
-        )
-        .collect()
-    }
+    got = {tuple(r) for r in S.cms_report(_tf(docs), served).collect()}
     want = {tuple(r) for r in S.sk_cms_incremental(spark, sf_oracle).collect()}
     assert got == want and got
 
@@ -270,7 +250,7 @@ def test_cms_compact_crash_at_commit_point(spark, sf_oracle, tmp_path, monkeypat
     assert S.cms_compact(spark, reg) is True  # completes and sweeps
     assert _cells(S.cms_registry_sketch(spark, reg)) == whole
     m = S._cms_manifest(reg)
-    assert sorted(m["absorbed"]) == [-1, 1]
+    assert m["hwm"] == 1 and m["base"] is True  # -1 and 1 both absorbed
     assert [
         d for d in os.listdir(reg) if d.startswith("consolidated.")
     ] == [f"consolidated.{m['tag']}"]
@@ -280,4 +260,72 @@ def test_cms_compact_crash_at_commit_point(spark, sf_oracle, tmp_path, monkeypat
     out = S.cms_append(spark, reg, empty, batch_id=9)
     assert out.count() == 0
     assert not os.path.isdir(os.path.join(reg, "parts", "bid=9"))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole
+
+
+def test_cms_build_idempotent_after_compact(spark, sf_oracle, tmp_path):
+    """r11 review: compaction absorbs and sweeps the build's bid=-1
+    partial, so a pipeline restart's cms_registry_build must recognize
+    the manifest's base flag instead of re-sketching the whole corpus
+    (and landing residue). Serving must be unchanged and no bid=-1 dir
+    re-created."""
+    import os
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    assert S.cms_compact(spark, reg) is True
+    assert not os.path.isdir(os.path.join(reg, "parts", "bid=-1"))
+    before = _cells(S.cms_registry_sketch(spark, reg))
+
+    S.cms_registry_build(spark, str(half0_dir), reg)  # the restart
+    assert not os.path.isdir(os.path.join(reg, "parts", "bid=-1"))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == before
+
+
+def test_cms_compact_pins_fold_to_listed_bids(spark, sf_oracle, tmp_path, monkeypatch):
+    """r11 review: a NEW bid landed by a concurrent append AFTER
+    compact lists the live bids but BEFORE the fold's Spark action must
+    be neither folded nor watermarked — it stays live and serving stays
+    exact. The unpinned version read parts/ lazily at action time,
+    folding the newcomer into consolidated while leaving it outside
+    the absorbed state: every one of its cells double-counted forever.
+    The race is injected deterministically through _next_tag, which
+    cms_compact calls between the listing and the write."""
+    from ftp_blueprints_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+    half0.write.mode("overwrite").parquet(str(half0_dir / "documents.parquet"))
+    S.cms_registry_build(spark, str(half0_dir), reg)
+
+    real_next_tag = SIM._next_tag
+
+    def racy_tag(d):
+        # the concurrent append: a fresh bid lands mid-compact
+        S.cms_append(spark, reg, half1, batch_id=5)
+        return real_next_tag(d)
+
+    monkeypatch.setattr(SIM, "_next_tag", racy_tag)
+    assert S.cms_compact(spark, reg) is True
+    monkeypatch.undo()
+
+    m = S._cms_manifest(reg)
+    assert m["hwm"] == -1  # only the listed build bid was absorbed
+    import os
+
+    assert os.path.isdir(os.path.join(reg, "parts", "bid=5"))  # stays live
+    whole = _cells(S.cms_sketch(_tf(docs)))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == whole  # exactly once
+
+    # the next compact absorbs the straggler normally
+    assert S.cms_compact(spark, reg) is True
+    assert S._cms_manifest(reg)["hwm"] == 5
     assert _cells(S.cms_registry_sketch(spark, reg)) == whole
