@@ -329,3 +329,129 @@ def test_cms_compact_pins_fold_to_listed_bids(spark, sf_oracle, tmp_path, monkey
     assert S.cms_compact(spark, reg) is True
     assert S._cms_manifest(reg)["hwm"] == 5
     assert _cells(S.cms_registry_sketch(spark, reg)) == whole
+
+
+def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factory):
+    """Randomized-schedule property for the maintained sketch registry
+    (the test_index_schedule pattern applied to the exactly-once
+    artifact): starting from a built registry, for ANY schedule of
+    {append chunk c (bid=c; re-drawing = an at-least-once REPLAY),
+    re-build (restart idempotency), compact, crash-compact killed at
+    the manifest commit point or during the post-commit sweep}, the
+    served merged sketch equals the exact python-side merge of the base
+    partial plus each appended chunk counted EXACTLY ONCE — at every
+    step, with no degraded window at all: the index families tolerate
+    bounded dup residue between fold and heal, the registry's manifest
+    exclusion must never show even one double-counted cell. Also: the
+    manifest always names an existing consolidated dir, and a final
+    compact leaves no foreign consolidated dirs behind."""
+    import os
+    import shutil
+
+    import pytest
+
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from ftp_blueprints_spark.operators import similarity as SIM
+    from ftp_blueprints_spark.session import load_table
+
+    N_CHUNKS = 3
+    docs = load_table(spark, sf_oracle, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    base_dir = tmp_path_factory.mktemp("cms_sched_base")
+    base_docs.write.mode("overwrite").parquet(
+        str(base_dir / "documents.parquet")
+    )
+    template = str(base_dir / "reg")
+    S.cms_registry_build(spark, str(base_dir), template)
+
+    chunk_dfs, chunk_cells = {}, {}
+    for c in range(N_CHUNKS):
+        df = docs.filter(F.col("doc_id") % 4 == c + 1)
+        chunk_dfs[c] = df
+        chunk_cells[c] = _cells(S.cms_partial(df))
+    base_cells = _cells(S.cms_registry_sketch(spark, template))
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+
+    class Boom(Exception):
+        pass
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.data())
+    def run(data):
+        reg = os.path.join(str(tmp_path_factory.mktemp("cms_sched")), "reg")
+        shutil.copytree(template, reg)
+        appended: set[int] = set()
+
+        def expected():
+            out = dict(base_cells)
+            for c in appended:
+                for k, v in chunk_cells[c].items():
+                    out[k] = out.get(k, 0) + v
+            return out
+
+        def check():
+            assert _cells(S.cms_registry_sketch(spark, reg)) == expected()
+            m = S._cms_manifest(reg)
+            if m["tag"] is not None:  # pointer never dangles
+                assert os.path.isdir(os.path.join(reg, f"consolidated.{m['tag']}"))
+
+        for _ in range(data.draw(st.integers(min_value=2, max_value=6))):
+            op = data.draw(
+                st.sampled_from(
+                    ["append", "append", "compact", "crash", "rebuild"]
+                )
+            )
+            if op == "append":
+                c = data.draw(st.integers(0, N_CHUNKS - 1))
+                S.cms_append(spark, reg, chunk_dfs[c], batch_id=c)
+                appended.add(c)  # replays land idempotently or excluded
+            elif op == "rebuild":
+                S.cms_registry_build(spark, str(base_dir), reg)
+            elif op == "compact":
+                S.cms_compact(spark, reg)
+            else:  # crash-compact at the commit point or mid-sweep
+                point = data.draw(st.sampled_from(["commit", "sweep"]))
+                if point == "commit":
+
+                    def boom_rename(src, dst):
+                        if os.path.basename(dst) == S._CMS_MANIFEST and str(
+                            src
+                        ).startswith(reg):
+                            raise Boom(src)
+                        return real_rename(src, dst)
+
+                    os.rename = boom_rename
+                else:
+                    state = {"n": 0}
+
+                    def boom_rmtree(path, *a, **kw):
+                        if str(path).startswith(reg):
+                            state["n"] += 1
+                            if state["n"] == 1:
+                                raise Boom(path)
+                        return real_rmtree(path, *a, **kw)
+
+                    shutil.rmtree = boom_rmtree
+                try:
+                    S.cms_compact(spark, reg)
+                except Boom:
+                    pass
+                finally:
+                    os.rename, shutil.rmtree = real_rename, real_rmtree
+            check()
+
+        # final compact converges: exact serving, no foreign dirs
+        S.cms_compact(spark, reg)
+        check()
+        m = S._cms_manifest(reg)
+        cons = [d for d in os.listdir(reg) if d.startswith("consolidated.")]
+        assert cons == ([f"consolidated.{m['tag']}"] if m["tag"] else [])
+
+    run()
