@@ -79,20 +79,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries rotate to the front of the NEXT round's window via the same math —
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
-# Round 11 (r10 VERDICT task 2): the first-hash set stays empty (the
-# r10 window carried no oracle upgrades; new registrations rank -1 on
-# their own).  New registrations this round are capped at 2
-# (mm_phash_neardup_wide, sim_ivfpq_incremental) so the 50-slot window
-# takes all 16 r7-stale rows plus ~32 of the 49 r8-stale rows (nothing
-# older than r8 evidence should remain after round 11).
-# Round 12 registration queue (built + locally oracle-proven +
-# scale-probed in r11, decorators deferred only for this round's
-# window math):
-#   - sim_lsh_incremental (operators/similarity.py,
-#     _lsh_incremental_oracle)
-#   - sk_cms_incremental (operators/sketches.py,
-#     _cms_incremental_oracle — same SQL as sk_cms_heavy_hitters:
-#     the driver check proves sketch merge-exactness)
+# Round 12 (r11 VERDICT tasks 1+2): the first-hash set stays empty (no
+# oracle upgrades this round).  The r11 registration queue goes live —
+# sim_lsh_incremental and sk_cms_incremental get their decorators (both
+# were built + locally oracle-proven + scale-probed in r11; the driver
+# check proves LSH append exactness and CMS merge-exactness).  New
+# registrations capped at those 2, so the 50-slot window takes both
+# rank -1 rows plus all 17 r8-stale rows plus 31 of the 50 r9-stale
+# rows (nothing older than r9 evidence should remain after round 12).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

@@ -2065,11 +2065,12 @@ def _lsh_drift_report(base_stats: DataFrame, new_stats: DataFrame) -> DataFrame:
     return j.withColumn("drift_num", drift.cast("bigint"))
 
 
-# NOTE: deliberately NOT registered this round — the round-11 window
-# math caps new registrations at 2 (see __spark_entry__.py); the
-# decorator goes on in round 12. The oracle above is already proven
-# equal to the Spark plan by tests/test_similarity.py's local
-# compare_query run, so registration is evidence-only.
+# Registered in round 12 (it was built + locally oracle-proven in r11;
+# the decorator was deferred only for the r11 window cap — see
+# __spark_entry__.py). The oracle above was proven equal to the Spark
+# plan by tests/test_similarity.py's local compare_query run before the
+# first driver check, so registration is evidence-only.
+@query("sim_lsh_incremental", _lsh_incremental_oracle())
 def sim_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH index maintenance — the sim_ivf_incremental
     story for the third index family: hash a NEW embedding snapshot
