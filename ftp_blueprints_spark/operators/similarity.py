@@ -1161,10 +1161,8 @@ def _drift_report(
     base_stats: DataFrame,
     new_stats: DataFrame,
     val: str = "cos_sum_mu",
-    key: str = "cid",
-    drift_col: str = "drift_num_mu",
 ) -> DataFrame:
-    """Full-outer per-``key`` diff of two assignment-stats frames, plus
+    """Full-outer per-cid diff of two assignment-stats frames, plus
     the exact-integer drift numerator: mean_new - mean_base has the
     sign of new_<val> * n_base - base_<val> * n_new (cross-multiplied
     to stay in BIGINT — no integer division of possibly-negative sums,
@@ -1185,27 +1183,29 @@ def _drift_report(
     are quadratic per band and use _lsh_drift_report's overflow-free
     split-division density surface instead; r11 review)."""
     b = base_stats.select(
-        key,
+        "cid",
         F.col("n").alias("n_base"),
         F.col(val).alias(f"base_{val}"),
     )
     s = new_stats.select(
-        key,
+        "cid",
         F.col("n").alias("n_new"),
         F.col(val).alias(f"new_{val}"),
     )
-    j = b.alias("b").join(s.alias("s"), key, "full_outer")
+    j = b.alias("b").join(s.alias("s"), "cid", "full_outer")
     n_base = F.coalesce("n_base", F.lit(0)).cast("bigint")
     n_new = F.coalesce("n_new", F.lit(0)).cast("bigint")
     base_sum = F.coalesce(f"base_{val}", F.lit(0)).cast("bigint")
     new_sum = F.coalesce(f"new_{val}", F.lit(0)).cast("bigint")
     return j.select(
-        F.col(key).cast("bigint").alias(key),
+        F.col("cid").cast("bigint").alias("cid"),
         n_base.alias("n_base"),
         n_new.alias("n_new"),
         base_sum.alias(f"base_{val}"),
         new_sum.alias(f"new_{val}"),
-        (new_sum * n_base - base_sum * n_new).cast("bigint").alias(drift_col),
+        (new_sum * n_base - base_sum * n_new)
+        .cast("bigint")
+        .alias("drift_num_mu"),
     )
 
 

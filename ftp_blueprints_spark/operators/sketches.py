@@ -492,14 +492,29 @@ def cms_registry_build(spark: SparkSession, sf_dir: str, registry_dir: str) -> s
     checks the manifest's ``base`` flag as well as the bid dir: after a
     compact absorbs and sweeps bid -1, a restart must NOT re-sketch the
     whole corpus (the exact corpus-width work the registry exists to
-    avoid; r11 review)."""
+    avoid; r11 review). Refuses a registry that has absorbed batches
+    but never a base (hwm set, base False): bid -1 would land at or
+    below the watermark, be excluded from serving, and be swept by the
+    next compact — the corpus partial silently lost (r12 fence)."""
     import os
 
     os.makedirs(registry_dir, exist_ok=True)
-    if _cms_manifest(registry_dir)["base"] or os.path.isdir(
+    m = _cms_manifest(registry_dir)
+    if m["base"] or os.path.isdir(
         os.path.join(registry_dir, "parts", "bid=-1")
     ):
         return registry_dir
+    if m["hwm"] is not None:
+        from .similarity import CompactionFenceError
+
+        raise CompactionFenceError(
+            f"CMS registry {registry_dir} has absorbed batches up to "
+            f"hwm={m['hwm']} but no base partial: building now would "
+            "introduce bid -1 at or below the watermark, where serving "
+            "excludes it and the next compact sweeps it — the corpus "
+            "partial would be silently lost. Build into a fresh "
+            "registry dir instead."
+        )
     docs = load_table(spark, sf_dir, "documents")
     cms_append(spark, registry_dir, docs, batch_id=-1)
     return registry_dir
@@ -523,7 +538,10 @@ def cms_append(
     construction, not by healing. The single-writer rules that remain:
     don't run compact against an append of an IN-FLIGHT bid (the index
     families' quiesce contract), and never introduce a NEW bid at or
-    below the manifest hwm (streams can't — batch ids are monotonic)."""
+    below the manifest hwm (a stream CONTINUING from its checkpoint
+    can't — batch ids are monotonic per checkpoint — but a stream
+    restarted with a FRESH checkpoint on a maintained registry would;
+    run_incremental_cms_stream refuses that start)."""
     import os
 
     if docs.isEmpty():
@@ -538,9 +556,16 @@ def cms_append(
         .partitionBy("bid")
         .parquet(out)
     )
-    return spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}")).select(
-        "d", "bucket", "cell"
-    )
+    # Guard the thing actually WRITTEN, not just the input row count: a
+    # non-empty batch whose texts all tokenize to nothing (e.g. every
+    # text NULL — lower_tokens(NULL) explodes to zero rows) produces a
+    # zero-row partial, the dynamic overwrite creates no bid dir, and
+    # an unguarded read-back would fail the stream with PATH_NOT_FOUND
+    # on a batch that is semantically a no-op.
+    landed = os.path.join(out, f"bid={int(batch_id)}")
+    if not os.path.isdir(landed):
+        return spark.createDataFrame([], "d int, bucket bigint, cell bigint")
+    return spark.read.parquet(landed).select("d", "bucket", "cell")
 
 
 def _cms_frames(spark: SparkSession, registry_dir: str, m: dict) -> list:
@@ -619,16 +644,25 @@ def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
        below the new hwm (replay residue included), stale manifest
        tmps. A crash mid-sweep leaves only re-sweepable leftovers.
 
-    Returns False when there is nothing to fold or sweep. Single
-    writer, like the index compacts; in-flight READER frames from
-    before the commit fail loudly rather than serve stale cells (see
+    Returns False when there is nothing to fold or sweep. Writer
+    concurrency is FENCED, not assumed away (r12, mirroring the index
+    families' _check_epoch/_post_write_fence): the manifest is
+    re-read immediately before the publish rename (compare-and-swap —
+    refuse when it changed since the fold read it) and again before
+    the destructive sweep (post-write withdrawal — refuse when another
+    writer's publish superseded ours). A racing second compact, or a
+    compact racing cms_registry_build's base append, therefore fails
+    loudly with CompactionFenceError and leaves only re-sweepable
+    garbage, instead of silently garbage-collecting the winning
+    writer's consolidated dir. In-flight READER frames from before the
+    commit fail loudly rather than serve stale cells (see
     cms_registry_sketch). Tags are monotonic per registry
     (similarity._next_tag)."""
     import os
     import re
     import shutil
 
-    from .similarity import _next_tag
+    from .similarity import CompactionFenceError, _next_tag
 
     m = _cms_manifest(registry_dir)
     parts_dir = os.path.join(registry_dir, "parts")
@@ -679,15 +713,34 @@ def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
             os.path.join(registry_dir, f"consolidated.{tag}")
         )
         new_hwm = max(live) if m["hwm"] is None else max(m["hwm"], max(live))
-        _cms_publish_manifest(
-            registry_dir,
-            {
-                "tag": tag,
-                "hwm": new_hwm,
-                "base": m["base"] or -1 in live,
-            },
+        # compare-and-swap: the fold and the new consolidated dir are
+        # only coherent against the snapshot the live listing came
+        # from — if another writer advanced the manifest meanwhile,
+        # publishing would watermark bids we never folded (or orphan
+        # the other writer's consolidated dir). Refuse; our dir stays
+        # unreferenced garbage for the next compact to sweep.
+        cur = _cms_manifest(registry_dir)
+        if cur != m:
+            raise CompactionFenceError(
+                f"CMS compact fenced on {registry_dir}: manifest "
+                f"changed from {m} to {cur} since the fold read it "
+                "(concurrent writer); this compact's output is "
+                "unreferenced and will be swept"
+            )
+        published = {"tag": tag, "hwm": new_hwm, "base": m["base"] or -1 in live}
+        _cms_publish_manifest(registry_dir, published)
+        m = published
+    # post-write withdrawal before the DESTRUCTIVE sweep: if another
+    # writer's publish superseded the snapshot we are about to sweep
+    # under, deleting "non-current" dirs would garbage-collect the
+    # winner's consolidated dir — fail loudly instead.
+    cur = _cms_manifest(registry_dir)
+    if cur != m:
+        raise CompactionFenceError(
+            f"CMS compact fenced on {registry_dir}: manifest changed "
+            f"from {m} to {cur} before the sweep (concurrent writer "
+            "won the publish); leaving the sweep to the winner"
         )
-        m = _cms_manifest(registry_dir)
     # sweep under the NEW (durably committed) snapshot: stale
     # consolidated dirs, absorbed bid partials, dead manifest tmps
     for d in os.listdir(registry_dir):
@@ -718,22 +771,41 @@ def run_incremental_cms_stream(
     document batches stream through a foreachBatch cms_append, each
     landing its constant-size partial under bid=batch_id. No frozen
     state to snapshot at open (the grid is code constants) and no
-    fence to carry (replays are exactly-once through the manifest
-    watermark); restart resumes from the committed batch like the
-    index twins."""
+    fence to carry for REPLAYS (those are exactly-once through the
+    manifest watermark); restart resumes from the committed batch like
+    the index twins.
+
+    One start is refused (r12, ADVICE): a FRESH checkpoint against a
+    registry whose manifest has already absorbed batches (hwm set).
+    Batch ids are monotonic only per checkpoint, so the new stream
+    would reassign ids from 0 — its partials land under absorbed bids,
+    are excluded from serving by the watermark, and are swept by the
+    next compact: silent, unhealable data loss, the exact failure the
+    "never introduce a NEW bid at or below hwm" contract forbids.
+    Continue from the existing checkpoint, or compact + start a fresh
+    REGISTRY for a genuinely new stream."""
     import os
+
+    ckpt = checkpoint_dir or os.path.join(registry_dir, "_part_ckpt")
+    m = _cms_manifest(registry_dir)
+    if m["hwm"] is not None and not os.path.isdir(ckpt):
+        from .similarity import CompactionFenceError
+
+        raise CompactionFenceError(
+            f"fresh checkpoint {ckpt} against maintained CMS registry "
+            f"{registry_dir} (hwm={m['hwm']}): the stream would assign "
+            "batch ids from 0, at or below the absorption watermark, "
+            "and every partial it lands would be silently excluded "
+            "from serving and swept. Reuse the original checkpoint "
+            "directory, or build a fresh registry for a new stream."
+        )
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         cms_append(spark, registry_dir, batch_df, batch_id)
 
     from .similarity import _run_append_stream
 
-    return _run_append_stream(
-        source,
-        append,
-        checkpoint_dir or os.path.join(registry_dir, "_part_ckpt"),
-        timeout_s,
-    )
+    return _run_append_stream(source, append, ckpt, timeout_s)
 
 
 def _cms_incremental_oracle() -> str:

@@ -315,3 +315,81 @@ def test_maintained_index_random_schedule_property(
         assert leftovers == []
 
     run()
+
+
+READERS = {
+    "ivf": S.ivf_lists_with_appends,
+    "ivfpq": S.ivfpq_codes_with_appends,
+    "annlsh": S.ann_lsh_sigs_with_appends,
+}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_stale_serve_frame_fails_loudly_after_compact(
+    spark, tmp_path, family
+):
+    """Pins the serve-frame reader contract for every maintained index
+    family (r11 VERDICT task 5, the CMS registry's stale-reader test
+    applied to its three older siblings): a with-appends frame acquired
+    BEFORE a compact is bound to the pre-fold base and append files;
+    after the compact's two-rename publish replaces the base and clears
+    the appends, the stale frame's first action must fail LOUDLY with a
+    missing-file error — never silently serve a stale or partial index.
+    A frame re-acquired after the compact serves the exact folded rows."""
+    fam = FAMILIES[family]
+    base_dir = tmp_path / "corpus"
+    base_dir.mkdir()
+    dim = fam["dim"]
+    vecs = []
+    for k in range(S.IVF_K):
+        e = np.zeros(dim)
+        e[k % dim] = 1.0
+        e[(k + 3) % dim] = 0.25 + 0.05 * (k // dim)
+        vecs.append(e / np.linalg.norm(e))
+    for j in range(8):
+        v = np.ones(dim)
+        v[j % dim] += 0.5 + 0.1 * j
+        vecs.append(v / np.linalg.norm(v))
+    _write_crafted_embeddings(base_dir / "embeddings.parquet", vecs)
+    idx = str(tmp_path / "idx")
+    fam["build"](spark, str(base_dir), index_dir=idx)
+
+    cents = (
+        None
+        if family == "annlsh"
+        else spark.read.parquet(
+            os.path.join(idx, "centroids")
+        ).localCheckpoint(eager=True)
+    )
+    books_q = S._load_books_q(spark, idx) if family == "ivfpq" else None
+    chunk = spark.createDataFrame(
+        [
+            (2000 + i, [float(x) for x in np.roll(vecs[i], 1)])
+            for i in range(4)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    if family == "ivf":
+        S.ivf_append(spark, idx, chunk, batch_id=0, cents=cents)
+    elif family == "ivfpq":
+        S.ivfpq_append(
+            spark, idx, chunk, batch_id=0, cents=cents, books_q=books_q
+        )
+    else:
+        S.ann_lsh_append(spark, idx, chunk, batch_id=0)
+
+    expected = sorted(_served_pairs(spark, idx, family))
+    stale = READERS[family](spark, idx)  # plan bound pre-compact
+    assert fam["compact"](spark, idx) is True
+
+    with pytest.raises(Exception) as ei:
+        stale.collect()
+    msg = str(ei.value)
+    assert (
+        "FileNotFound" in msg
+        or "does not exist" in msg
+        or "PATH_NOT_FOUND" in msg
+    ), f"stale read failed but not loudly-missing: {msg[:300]}"
+    assert not isinstance(ei.value, AssertionError)
+    # a fresh frame serves the folded index exactly
+    assert sorted(_served_pairs(spark, idx, family)) == expected

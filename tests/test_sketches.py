@@ -6,6 +6,7 @@ sketch instead of exact counts at 100 TB — per-shard sketches add up).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from ftp_blueprints_spark.functions import text as T
 from ftp_blueprints_spark.operators import sketches as S
@@ -455,3 +456,250 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
         assert cons == ([f"consolidated.{m['tag']}"] if m["tag"] else [])
 
     run()
+
+
+def test_cms_append_all_null_texts_is_a_noop(spark, sf_oracle, tmp_path):
+    """r12 ADVICE: the failure mode of an "empty" batch is an empty
+    PARTIAL, not an empty input — a non-empty batch whose texts all
+    tokenize to nothing (every text NULL: lower_tokens(NULL) explodes
+    to zero rows) writes no bid dir under dynamic overwrite, and an
+    unguarded read-back would fail the stream with PATH_NOT_FOUND on a
+    semantically no-op batch. The guard must watch the thing WRITTEN."""
+    import os
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    before = _cells(S.cms_registry_sketch(spark, reg))
+
+    nulls = docs.limit(3).withColumn("text", F.lit(None).cast("string"))
+    assert nulls.count() == 3  # non-empty INPUT...
+    out = S.cms_append(spark, reg, nulls, batch_id=7)
+    assert out.count() == 0  # ...empty PARTIAL, returned not raised
+    assert not os.path.isdir(os.path.join(reg, "parts", "bid=7"))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == before
+
+
+def test_cms_stream_fresh_checkpoint_refused(spark, sf_oracle, tmp_path):
+    """r12 ADVICE (medium): a stream restarted with a FRESH checkpoint
+    on an already-compacted registry reassigns batch ids from 0 — its
+    partials land under absorbed bids, are excluded from serving by
+    the watermark, and are swept by the next compact: silent,
+    unhealable loss. run_incremental_cms_stream must refuse to start
+    (loudly, before any batch lands) instead."""
+    import os
+
+    from ftp_blueprints_spark.operators.similarity import CompactionFenceError
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    assert S.cms_compact(spark, reg) is True  # hwm now set
+
+    fresh_ckpt = str(tmp_path / "fresh_ckpt")  # never created
+    before = _cells(S.cms_registry_sketch(spark, reg))
+    with pytest.raises(CompactionFenceError, match="fresh checkpoint"):
+        S.run_incremental_cms_stream(
+            spark, reg, docs, timeout_s=5, checkpoint_dir=fresh_ckpt
+        )
+    # refused BEFORE any batch landed and before the checkpoint existed
+    assert not os.path.isdir(fresh_ckpt)
+    parts = os.path.join(reg, "parts")
+    assert not os.path.isdir(parts) or not any(
+        d.startswith("bid=") for d in os.listdir(parts)
+    )
+    assert _cells(S.cms_registry_sketch(spark, reg)) == before
+
+
+def test_cms_compact_cas_fence_refuses_concurrent_publish(
+    spark, sf_oracle, tmp_path, monkeypatch
+):
+    """r12 fence (r11 VERDICT task 4): a second writer publishing the
+    manifest between this compact's fold-input listing and its own
+    publish must make THIS compact fail loudly at the compare-and-swap,
+    leaving the winner's snapshot untouched and this compact's
+    consolidated dir as sweepable garbage — never last-publish-wins
+    silently orphaning the winner's work. The race is injected through
+    the deterministic _next_tag hook (called between the listing and
+    the fold write)."""
+    import os
+
+    from ftp_blueprints_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    served_before = _cells(S.cms_registry_sketch(spark, reg))
+
+    real_next_tag = SIM._next_tag
+
+    def racer_wins(d):
+        # the concurrent writer: folds the same live set and publishes
+        # first (a real consolidated dir + a real manifest swap)
+        racer_tag = real_next_tag(reg)
+        S.cms_registry_sketch(spark, reg).write.mode("overwrite").parquet(
+            os.path.join(reg, f"consolidated.{racer_tag}")
+        )
+        S._cms_publish_manifest(
+            reg, {"tag": racer_tag, "hwm": -1, "base": True}
+        )
+        return real_next_tag(d)
+
+    monkeypatch.setattr(SIM, "_next_tag", racer_wins)
+    with pytest.raises(SIM.CompactionFenceError, match="changed"):
+        S.cms_compact(spark, reg)
+    monkeypatch.undo()
+
+    # the winner's snapshot is intact and serving is unchanged
+    m = S._cms_manifest(reg)
+    assert m["hwm"] == -1 and m["base"] is True
+    assert os.path.isdir(os.path.join(reg, f"consolidated.{m['tag']}"))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == served_before
+    # the loser's fold output is unreferenced garbage...
+    orphans = [
+        d
+        for d in os.listdir(reg)
+        if d.startswith("consolidated.") and d != f"consolidated.{m['tag']}"
+    ]
+    assert orphans
+    # ...and the next clean compact sweeps it without changing serving
+    assert S.cms_compact(spark, reg) is True
+    assert _cells(S.cms_registry_sketch(spark, reg)) == served_before
+    assert [
+        d for d in os.listdir(reg) if d.startswith("consolidated.")
+    ] == [f"consolidated.{S._cms_manifest(reg)['tag']}"]
+
+
+def test_cms_compact_sweep_withdraws_when_publish_superseded(
+    spark, sf_oracle, tmp_path, monkeypatch
+):
+    """The post-write half of the r12 fence: when a second writer's
+    publish lands immediately AFTER this compact's rename (the window
+    the compare-and-swap cannot see), the destructive sweep must
+    withdraw loudly — otherwise it would garbage-collect the winning
+    writer's just-published consolidated dir as "non-current"."""
+    import json
+    import os
+
+    from ftp_blueprints_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    served_before = _cells(S.cms_registry_sketch(spark, reg))
+
+    real_rename = os.rename
+    state = {"fired": False, "racer_tag": None}
+
+    def rename_then_racer(src, dst):
+        real_rename(src, dst)
+        if (
+            os.path.basename(dst) == S._CMS_MANIFEST
+            and str(src).startswith(reg)
+            and not state["fired"]
+        ):
+            # the racer wins the publish race right after ours lands
+            state["fired"] = True
+            racer_tag = SIM._next_tag(reg)
+            S.cms_registry_sketch(spark, reg).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(reg, f"consolidated.{racer_tag}"))
+            with open(os.path.join(reg, S._CMS_MANIFEST), "w") as fh:
+                json.dump({"tag": racer_tag, "hwm": -1, "base": True}, fh)
+            state["racer_tag"] = racer_tag
+
+    monkeypatch.setattr(os, "rename", rename_then_racer)
+    with pytest.raises(SIM.CompactionFenceError, match="before the sweep"):
+        S.cms_compact(spark, reg)
+    monkeypatch.undo()
+
+    # the racer's snapshot survives the withdrawal intact
+    m = S._cms_manifest(reg)
+    assert m["tag"] == state["racer_tag"]
+    assert os.path.isdir(os.path.join(reg, f"consolidated.{m['tag']}"))
+    assert _cells(S.cms_registry_sketch(spark, reg)) == served_before
+    # recovery: the next clean compact sweeps every orphan
+    S.cms_compact(spark, reg)
+    assert _cells(S.cms_registry_sketch(spark, reg)) == served_before
+    assert [
+        d for d in os.listdir(reg) if d.startswith("consolidated.")
+    ] == [f"consolidated.{S._cms_manifest(reg)['tag']}"]
+
+
+def test_cms_build_refused_below_watermark(spark, sf_oracle, tmp_path):
+    """r12 fence: a registry that has absorbed appended batches but
+    never a base partial must refuse cms_registry_build — bid -1 would
+    land at or below the hwm, be excluded from serving, and be swept:
+    the corpus partial silently lost."""
+    from ftp_blueprints_spark.operators.similarity import CompactionFenceError
+
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    import os
+
+    os.makedirs(reg)
+    S.cms_append(
+        spark, reg, docs.filter(F.col("doc_id") % 2 == 1), batch_id=0
+    )
+    assert S.cms_compact(spark, reg) is True  # hwm=0, base stays False
+    m = S._cms_manifest(reg)
+    assert m["hwm"] == 0 and m["base"] is False
+
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    with pytest.raises(CompactionFenceError, match="no base partial"):
+        S.cms_registry_build(spark, str(half0_dir), reg)
+
+
+def test_cms_stale_reader_frame_fails_loudly_after_compact(
+    spark, sf_oracle, tmp_path
+):
+    """Pins cms_registry_sketch's reader contract (r11 VERDICT task 5):
+    a frame acquired BEFORE a compact is bound to the swept snapshot's
+    files, so its first action after the commit must fail LOUDLY with a
+    missing-path error — never silently serve stale or partial cells.
+    A frame re-acquired after the compact serves the identical sketch."""
+    docs = load_table(spark, sf_oracle, "documents")
+    reg = str(tmp_path / "cms")
+    half0_dir = tmp_path / "half0"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half0_dir / "documents.parquet")
+    )
+    S.cms_registry_build(spark, str(half0_dir), reg)
+    S.cms_append(
+        spark, reg, docs.filter(F.col("doc_id") % 2 == 1), batch_id=1
+    )
+    before = _cells(S.cms_registry_sketch(spark, reg))
+
+    stale = S.cms_registry_sketch(spark, reg)  # plan bound pre-compact
+    assert S.cms_compact(spark, reg) is True  # sweeps the bid dirs
+
+    with pytest.raises(Exception) as ei:
+        stale.collect()
+    msg = str(ei.value)
+    assert (
+        "FileNotFound" in msg
+        or "does not exist" in msg
+        or "PATH_NOT_FOUND" in msg
+    ), f"stale read failed but not loudly-missing: {msg[:300]}"
+    assert not isinstance(ei.value, AssertionError)
+    # a fresh frame serves the identical post-compact sketch
+    assert _cells(S.cms_registry_sketch(spark, reg)) == before
