@@ -1522,7 +1522,11 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     has a streaming twin (run_incremental_exact_stream) whose
     foreachBatch-updated index is proven equal to this batch
     classification under multi-micro-batch execution in
-    tests/test_streaming.py."""
+    tests/test_streaming.py, and whose replay/crash idempotency is
+    pinned by a randomized schedule property in
+    tests/test_index_schedule.py (see the twin's docstring for why
+    this index needs no append/compact/epoch fence — it never
+    folds)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select("doc_id", F.sha2(norm_text("text"), 256).alias("h"))
     pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -1530,6 +1534,32 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INCR_IDX_SCHEMA = "h string, ref bigint, origin string, bid long"
+
+
+def seed_exact_index(corpus_norm: DataFrame, index_dir: str) -> None:
+    """Seed (or re-seed) the maintained exact-dedup index with the
+    standing corpus's (hash, keeper) rows under the RESERVED bid -1.
+    Dynamic overwrite: the seed frame only contains bid=-1, so ONLY
+    that partition is replaced — a restart (same checkpoint, index
+    already holding bid>=0 batch partitions) must not wipe what the
+    stream has learned, or recovered runs misclassify earlier-batch
+    twins as kept (restart-proven in tests/test_streaming.py;
+    re-seed-under-random-schedules proven in
+    tests/test_index_schedule.py)."""
+    (
+        corpus_norm.groupBy("h")
+        .agg(F.min("doc_id").alias("ref"))
+        .select(
+            "h",
+            "ref",
+            F.lit("corpus").alias("origin"),
+            F.lit(-1).cast("long").alias("bid"),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid")
+        .parquet(index_dir)
+    )
 
 
 def _incremental_microbatch(
@@ -1623,26 +1653,33 @@ def run_incremental_exact_stream(
 
     Equivalence contract (proven in tests/test_streaming.py): when
     micro-batches arrive in doc_id order, the drained classification
-    equals incremental_classify(norm, no-pairs) row for row."""
-    # dynamic overwrite: the seed data only contains bid=-1, so ONLY
-    # that partition is replaced — a restart (same checkpoint, index
-    # already holding bid>=0 batch partitions) must not wipe what the
-    # stream has learned, or recovered runs misclassify earlier-batch
-    # twins as kept (restart-proven in tests/test_streaming.py)
-    (
-        corpus_norm.groupBy("h")
-        .agg(F.min("doc_id").alias("ref"))
-        .select(
-            "h",
-            "ref",
-            F.lit("corpus").alias("origin"),
-            F.lit(-1).cast("long").alias("bid"),
-        )
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bid")
-        .parquet(index_dir)
-    )
+    equals incremental_classify(norm, no-pairs) row for row.
+
+    Lifecycle adjudication (r11 VERDICT task 6 — why this maintained
+    index carries NO append/compact/epoch fence while its four younger
+    siblings do): the fence machinery exists to make destructive FOLDS
+    safe — a compact rewrites rows under new identities, so a replay
+    racing it needs an epoch to refuse against, key dedup to heal
+    residue, and rename-aside crash discipline. This index never
+    folds. Every commit is a bid-keyed dynamic partition overwrite
+    whose content is a deterministic function of (batch content,
+    bid-watermarked index reads), so an at-least-once replay rewrites
+    bit-identical partitions — idempotent by construction, proven by
+    the randomized replay/crash schedule in
+    tests/test_index_schedule.py (crashes injected between the two
+    partition commits) and the stream-level replay/restart examples in
+    tests/test_streaming.py. A compact would also be semantically
+    UNSAFE here, not just unnecessary: classification reads are
+    watermarked on bid (bid < batch_id excludes a replaying batch's
+    own earlier append), so folding bids away either drops the
+    watermark column (a replay would then see its own hashes and
+    classify its docs as self-duplicates) or keeps bid as data beside
+    replayed partition residue (duplicate h rows fanning out the
+    classify join). Partition-count growth is bounded operationally
+    instead: one bid per micro-batch, each a constant-ish first-seen
+    set — consolidation at 100 TB is per-bid file compaction (a
+    rewrite of identical content), never a cross-bid fold."""
+    seed_exact_index(corpus_norm, index_dir)
 
     def classify(batch_df: DataFrame, batch_id: int) -> None:
         _incremental_microbatch(batch_df, batch_id, index_dir, out_dir)

@@ -569,8 +569,13 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's oracle evidence is pinned to; a 100-TB deployment calls
     the wide variant — registered and oracle-checked in its own right
     as mm_phash_neardup_wide (r11; probes e=0.094 at 10x / 0.338 at
-    100x, 11.7 s where this plan takes 327 s)."""
-    media = phash_media(to_media_table(load_table(spark, sf_dir, "documents")))
+    100x, 11.7 s where this plan takes 327 s). Callers reaching this
+    legacy name past the saturation threshold are steered
+    programmatically: a PhashSaturationWarning fires (r12) when
+    phash_width_for(corpus) exceeds the widest fixed band."""
+    docs = load_table(spark, sf_dir, "documents")
+    _warn_if_phash_saturating(docs.count())
+    media = phash_media(to_media_table(docs))
     offsets = [sum(PHASH_BAND_BITS[:j]) for j in range(PHASH_BANDS)]
     bands = F.array(
         *[
@@ -618,6 +623,35 @@ def phash_width_for(n: int) -> int:
     LENGTH(BIN(n-1)) exactly for every integer n
     (tests/test_width_contract.py)."""
     return max(10, max(n - 1, 1).bit_length())
+
+
+class PhashSaturationWarning(UserWarning):
+    """mm_phash_neardup called past its fixed-width design point."""
+
+
+def _warn_if_phash_saturating(n: int) -> None:
+    """Programmatic steering for the legacy fixed-width query (r11
+    VERDICT task 7): mm_phash_neardup keeps the 48-bit oracle contract
+    its driver evidence is pinned to, but its banded join saturates as
+    the corpus outgrows the fixed band capacity (candidate pairs
+    ~ n^2 / 2^w; measured 327 s at 500k media where the adaptive plan
+    takes 11.7 s). Warn — once per process — as soon as the
+    corpus-sized width exceeds the WIDEST fixed band, i.e. the point
+    where phash_neardup_pairs_wide would size every band wider than
+    this layout can represent."""
+    if phash_width_for(n) > max(PHASH_BAND_BITS):
+        import warnings
+
+        warnings.warn(
+            f"mm_phash_neardup's fixed {PHASH_BITS}-bit band layout is "
+            f"undersized for this corpus ({n} media: adaptive per-band "
+            f"width {phash_width_for(n)} > widest fixed band "
+            f"{max(PHASH_BAND_BITS)}); banded candidate pairs grow "
+            "~ n^2/2^w from here — use mm_phash_neardup_wide / "
+            "phash_neardup_pairs_wide at this scale",
+            PhashSaturationWarning,
+            stacklevel=3,
+        )
 
 
 def phash_media_wide(media: DataFrame, width: int) -> DataFrame:

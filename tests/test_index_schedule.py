@@ -393,3 +393,189 @@ def test_stale_serve_frame_fails_loudly_after_compact(
     assert not isinstance(ei.value, AssertionError)
     # a fresh frame serves the folded index exactly
     assert sorted(_served_pairs(spark, idx, family)) == expected
+
+
+def test_exact_dedup_index_random_schedule_property(spark, tmp_path_factory):
+    """Randomized replay/crash schedule for the maintained exact-dedup
+    index (r11 VERDICT task 6) — the property backing the written
+    adjudication in run_incremental_exact_stream's docstring: this
+    family needs NO append/compact/epoch fence because it never folds;
+    every commit is a bid-keyed dynamic partition overwrite whose
+    content is a deterministic function of (batch content,
+    bid-watermarked index reads), so replays rewrite bit-identical
+    partitions. The property drives _incremental_microbatch (the
+    foreachBatch body) directly under the at-least-once model: first
+    deliveries in bid order, a crashed delivery redelivered before the
+    next new bid (exactly Structured Streaming's recovery), arbitrary
+    replays of committed bids (stronger than the real guarantee),
+    corpus re-seeds, and crashes injected before either of the two
+    partition commits (out landed / index not — the partial-commit
+    window foreachBatch recovery must heal). Invariants after every
+    completed op: the index holds exactly the seed plus each
+    index-committed bid's first-seen (h, min-id) rows — one row per h,
+    no residue, no healing needed; every landed out partition holds
+    exactly the schedule-independent expected classification; no
+    duplicate doc_id rows ever."""
+    from collections import Counter
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from ftp_blueprints_spark.operators import dedup as D
+
+    corpus_rows = [(1, "A"), (3, "B"), (5, "C")]
+    batches = {
+        0: [(2, "A"), (4, "X"), (6, "X")],  # corpus twin; new; in-batch twin
+        1: [(8, "X"), (10, "Y")],  # earlier-batch twin; new
+        2: [(12, "Y"), (14, "B"), (16, "Z")],  # batch twin; corpus twin; new
+    }
+    n_batches = len(batches)
+
+    # schedule-independent expected state, derived from the documented
+    # classification rule (first deliveries are in bid order, so the
+    # index a batch reads always holds every lower bid)
+    model_idx = {h: (min(d for d, hh in corpus_rows if hh == h), "corpus", -1)
+                 for _, h in corpus_rows}
+    expected_idx_rows = {}  # bid -> {(h, ref, origin, bid)}
+    expected_out_rows = {}  # bid -> {(doc_id, status, ref, bid)}
+    for k in sorted(batches):
+        rows = batches[k]
+        mb_first = {}
+        for d, h in rows:
+            mb_first[h] = min(mb_first.get(h, d), d)
+        out = set()
+        for d, h in rows:
+            hit = model_idx.get(h)
+            if hit is not None:
+                status = "dup_corpus" if hit[1] == "corpus" else "dup_batch"
+                ref = hit[0]
+            elif d > mb_first[h]:
+                status, ref = "dup_batch", mb_first[h]
+            else:
+                status, ref = "kept", d
+            out.add((d, status, ref, k))
+        expected_out_rows[k] = out
+        new = {
+            (h, mb_first[h], "batch", k)
+            for h in mb_first
+            if h not in model_idx
+        }
+        expected_idx_rows[k] = new
+        for h, ref, origin, bid in new:
+            model_idx[h] = (ref, origin, bid)
+    seed_rows = {
+        (h, ref, "corpus", -1)
+        for h, (ref, _, _) in model_idx.items()
+        if model_idx[h][1] == "corpus"
+    }
+
+    real_parquet = DataFrameWriter.parquet
+
+    class Boom(Exception):
+        pass
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.data())
+    def run(data):
+        base = str(tmp_path_factory.mktemp("dd_sched"))
+        index_dir = os.path.join(base, "idx")
+        out_dir = os.path.join(base, "out")
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, h string")
+        D.seed_exact_index(corpus, index_dir)
+        landed_out: set[int] = set()
+        landed_idx: set[int] = set()
+        committed: set[int] = set()
+        pending: int | None = None  # crashed bid awaiting redelivery
+        next_new = 0
+
+        def deliver(k, crash_at=None):
+            nonlocal pending
+            df = spark.createDataFrame(batches[k], "doc_id long, h string")
+            if crash_at is None:
+                D._incremental_microbatch(df, k, index_dir, out_dir)
+                landed_out.add(k)
+                landed_idx.add(k)
+                committed.add(k)
+                pending = None
+                return
+            calls = {"n": 0}
+
+            def boom(self, path, *a, **kw):
+                calls["n"] += 1
+                if calls["n"] == crash_at:
+                    raise Boom(path)
+                return real_parquet(self, path, *a, **kw)
+
+            DataFrameWriter.parquet = boom
+            try:
+                with pytest.raises(Boom):
+                    D._incremental_microbatch(df, k, index_dir, out_dir)
+            finally:
+                DataFrameWriter.parquet = real_parquet
+            if crash_at == 2:
+                landed_out.add(k)  # partial commit: out only
+            if k not in committed:
+                pending = k
+
+        def check():
+            idx = {
+                (r.h, r.ref, r.origin, r.bid)
+                for r in spark.read.schema(D._INCR_IDX_SCHEMA)
+                .parquet(index_dir)
+                .collect()
+            }
+            expect_idx = set(seed_rows)
+            for k in landed_idx:
+                expect_idx |= expected_idx_rows[k]
+            assert idx == expect_idx  # one row per h, no residue
+            assert len({h for h, *_ in idx}) == len(idx)
+            if landed_out:
+                out = [
+                    (r.doc_id, r.status, r.dedup_ref, r.bid)
+                    for r in spark.read.parquet(out_dir).collect()
+                ]
+                expect_out = set()
+                for k in landed_out:
+                    expect_out |= expected_out_rows[k]
+                assert set(out) == expect_out
+                dup = Counter((d, b) for d, _, _, b in out)
+                assert all(n == 1 for n in dup.values())  # no dup doc rows
+
+        for _ in range(data.draw(st.integers(min_value=3, max_value=7))):
+            choices = ["reseed"]
+            if pending is not None or next_new < n_batches:
+                choices += ["deliver", "deliver", "crash"]
+            if committed:
+                choices += ["replay", "crash_replay"]
+            op = data.draw(st.sampled_from(choices))
+            if op == "deliver":
+                k = pending if pending is not None else next_new
+                if pending is None:
+                    next_new += 1
+                deliver(k)
+            elif op == "crash":
+                k = pending if pending is not None else next_new
+                if pending is None:
+                    next_new += 1
+                deliver(k, crash_at=data.draw(st.integers(1, 2)))
+            elif op == "replay":
+                deliver(data.draw(st.sampled_from(sorted(committed))))
+            elif op == "crash_replay":
+                deliver(
+                    data.draw(st.sampled_from(sorted(committed))),
+                    crash_at=data.draw(st.integers(1, 2)),
+                )
+            else:
+                D.seed_exact_index(corpus, index_dir)
+            check()
+
+        # recovery converges: redeliver any crashed bid, then everything
+        # delivered is served exactly
+        if pending is not None:
+            deliver(pending)
+        check()
+
+    run()

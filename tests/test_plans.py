@@ -368,3 +368,35 @@ def test_phash_wide_registered_query_bucketed(spark, sf_oracle):
     plan = _plan(spark, "mm_phash_neardup_wide", sf_oracle)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_legacy_query_warns_past_saturation(spark, sf_oracle, tmp_path):
+    """The legacy mm_phash_neardup QUERY steers callers at runtime (r11
+    VERDICT task 7): silent at oracle scale (500 docs — driver evidence
+    stays warning-free), PhashSaturationWarning once the corpus passes
+    the fixed layout's widest band (>1024 docs). The check runs at
+    plan-construction time from a cheap metadata count, so this test
+    never executes the fingerprint UDF."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from ftp_blueprints_spark.operators.multimodal import (
+        PhashSaturationWarning,
+    )
+    from ftp_blueprints_spark.plans.registry import QUERIES
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PhashSaturationWarning)
+        QUERIES["mm_phash_neardup"](spark, sf_oracle)  # 500 docs: silent
+
+    big = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synth").alias("source"),
+        F.lit(8).cast("bigint").alias("n_chars"),
+    )
+    big.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    with pytest.warns(PhashSaturationWarning, match="mm_phash_neardup_wide"):
+        QUERIES["mm_phash_neardup"](spark, str(tmp_path))

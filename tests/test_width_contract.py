@@ -73,3 +73,26 @@ def test_next_tag_monotone_over_any_crash_residue(tmp_path_factory, suffixes):
     assert len(tag) == 20 and tag.isdigit()
     numeric = [int(s) for s in suffixes if isinstance(s, int) or str(s).isdigit()]
     assert all(int(tag) > x for x in numeric)
+
+
+def test_phash_saturation_warning_threshold():
+    """r11 VERDICT task 7 (the deprecation-steering story): the legacy
+    fixed-width guard must stay silent exactly while the adaptive
+    sizing fits inside the widest fixed band (width_for(n) <= 10, i.e.
+    n <= 1024) and fire PhashSaturationWarning for every corpus past
+    it — the point where mm_phash_neardup_wide would size every band
+    wider than the 48-bit layout can represent."""
+    import warnings
+
+    from ftp_blueprints_spark.operators.multimodal import (
+        PhashSaturationWarning,
+        _warn_if_phash_saturating,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # silence is the assertion
+        for n in (1, 500, 1024):
+            _warn_if_phash_saturating(n)
+    for n in (1025, 10**6, 10**8):
+        with pytest.warns(PhashSaturationWarning, match="undersized"):
+            _warn_if_phash_saturating(n)
