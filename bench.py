@@ -126,6 +126,11 @@ HEADLINE = [
     # codebooks + per-cid quantization-error drift)
     "mm_phash_neardup_wide",
     "sim_ivfpq_incremental",
+    # r12 additions (built + probed in r11, registered r12): frozen-
+    # plane LSH snapshot hashing + per-band collision-density drift;
+    # the merged-partials CMS heavy-hitter report (merge-exactness)
+    "sim_lsh_incremental",
+    "sk_cms_incremental",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -264,6 +269,10 @@ BUDGETS = {
     "mm_phash_neardup_wide": 5.7,  # fresh-JVM warm 2.84 (r11)
     # half-corpus Lloyd train + codebook slice + two frozen-book encodes
     "sim_ivfpq_incremental": 8.7,  # fresh-JVM warm 3.7-4.4 (r11)
+    # two Arrow hyperplane matmuls + constant-size per-band density agg
+    "sim_lsh_incremental": 4.2,  # fresh-JVM warm 1.1-1.5 (r12)
+    # two half-corpus partials + constant-size cell merge + tf report
+    "sk_cms_incremental": 2.4,  # fresh-JVM warm 0.8-0.9 (r12)
 }
 
 
