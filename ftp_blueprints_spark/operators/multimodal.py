@@ -572,7 +572,11 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100x, 11.7 s where this plan takes 327 s). Callers reaching this
     legacy name past the saturation threshold are steered
     programmatically: a PhashSaturationWarning fires (r12) when
-    phash_width_for(corpus) exceeds the widest fixed band."""
+    phash_width_for(corpus) exceeds the widest fixed band. The corpus
+    count behind it is this query's one eager job — a zero-column
+    parquet count, measured noise-level at bench scale (and the
+    registered surface already has eager-helper precedent: the IVFPQ
+    queries collect their constant-size codebook literal)."""
     docs = load_table(spark, sf_dir, "documents")
     _warn_if_phash_saturating(docs.count())
     media = phash_media(to_media_table(docs))

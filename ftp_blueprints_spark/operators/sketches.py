@@ -644,20 +644,33 @@ def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
        below the new hwm (replay residue included), stale manifest
        tmps. A crash mid-sweep leaves only re-sweepable leftovers.
 
-    Returns False when there is nothing to fold or sweep. Writer
-    concurrency is FENCED, not assumed away (r12, mirroring the index
-    families' _check_epoch/_post_write_fence): the manifest is
-    re-read immediately before the publish rename (compare-and-swap —
-    refuse when it changed since the fold read it) and again before
-    the destructive sweep (post-write withdrawal — refuse when another
-    writer's publish superseded ours). A racing second compact, or a
-    compact racing cms_registry_build's base append, therefore fails
-    loudly with CompactionFenceError and leaves only re-sweepable
-    garbage, instead of silently garbage-collecting the winning
-    writer's consolidated dir. In-flight READER frames from before the
-    commit fail loudly rather than serve stale cells (see
-    cms_registry_sketch). Tags are monotonic per registry
-    (similarity._next_tag)."""
+    Returns False when there is nothing to fold or sweep.
+
+    Writer concurrency (r12, mirroring the index families'
+    _check_epoch/_post_write_fence — with the same honest limits):
+    the manifest is re-read immediately before the publish rename
+    (compare-and-swap — refuse when it changed since the fold read it)
+    and again before the destructive sweep (post-write withdrawal —
+    refuse when another writer's publish superseded ours). A racing
+    second MANIFEST writer therefore fails loudly with
+    CompactionFenceError in every interleaving the checks can observe,
+    leaving only re-sweepable garbage. Two windows remain open by
+    design and the single-writer deployment contract covers them, as
+    it does for the index compacts: (1) the fence only sees MANIFEST
+    writers — an append (including cms_registry_build's bid=-1 base
+    partial) that lands between the live listing and the publish is
+    protected by the fold pinning (it stays live, never double-
+    counted) but a base partial landing there would be watermarked
+    below hwm and swept, which is why in-flight appends vs compact
+    remain under the quiesce contract and a build STARTED after
+    absorption fails loudly in cms_registry_build instead; (2) the
+    check-then-act gaps between the CAS re-read and the rename, and
+    between the withdrawal re-read and each rmtree, are narrowed, not
+    closed — closing them needs mutual exclusion the filesystem
+    cannot give a multi-machine deployment, so schedule compacts from
+    one place. In-flight READER frames from before the commit fail
+    loudly rather than serve stale cells (see cms_registry_sketch).
+    Tags are monotonic per registry (similarity._next_tag)."""
     import os
     import re
     import shutil
@@ -775,30 +788,43 @@ def run_incremental_cms_stream(
     manifest watermark); restart resumes from the committed batch like
     the index twins.
 
-    One start is refused (r12, ADVICE): a FRESH checkpoint against a
-    registry whose manifest has already absorbed batches (hwm set).
-    Batch ids are monotonic only per checkpoint, so the new stream
-    would reassign ids from 0 — its partials land under absorbed bids,
-    are excluded from serving by the watermark, and are swept by the
-    next compact: silent, unhealable data loss, the exact failure the
-    "never introduce a NEW bid at or below hwm" contract forbids.
-    Continue from the existing checkpoint, or compact + start a fresh
-    REGISTRY for a genuinely new stream."""
+    One start is refused (r12, ADVICE + review): a FRESH checkpoint
+    against a registry that already carries stream batches — either
+    ABSORBED (manifest hwm >= 0: the new stream would reassign ids
+    from 0, land partials at or below the watermark, and have them
+    silently excluded from serving and swept — unhealable loss) or
+    still LIVE (parts/bid>=0 dirs: the new stream's bid-keyed dynamic
+    overwrites would silently REPLACE the old stream's partials with
+    different content). A base-only registry (bid -1 live, or
+    hwm == -1 after the build's partial was absorbed) starts cleanly:
+    a fresh stream's ids begin at 0, strictly above anything present.
+    Continue from the existing checkpoint, or build a fresh REGISTRY
+    for a genuinely new stream."""
     import os
+    import re as _re
 
     ckpt = checkpoint_dir or os.path.join(registry_dir, "_part_ckpt")
-    m = _cms_manifest(registry_dir)
-    if m["hwm"] is not None and not os.path.isdir(ckpt):
-        from .similarity import CompactionFenceError
-
-        raise CompactionFenceError(
-            f"fresh checkpoint {ckpt} against maintained CMS registry "
-            f"{registry_dir} (hwm={m['hwm']}): the stream would assign "
-            "batch ids from 0, at or below the absorption watermark, "
-            "and every partial it lands would be silently excluded "
-            "from serving and swept. Reuse the original checkpoint "
-            "directory, or build a fresh registry for a new stream."
+    if not os.path.isdir(ckpt):
+        m = _cms_manifest(registry_dir)
+        absorbed_stream = m["hwm"] is not None and m["hwm"] >= 0
+        parts_dir = os.path.join(registry_dir, "parts")
+        live_stream = os.path.isdir(parts_dir) and any(
+            (mm := _re.fullmatch(r"bid=(-?\d+)", d)) and int(mm.group(1)) >= 0
+            for d in os.listdir(parts_dir)
         )
+        if absorbed_stream or live_stream:
+            from .similarity import CompactionFenceError
+
+            raise CompactionFenceError(
+                f"fresh checkpoint {ckpt} against maintained CMS "
+                f"registry {registry_dir} (hwm={m['hwm']}, live stream "
+                f"bids present: {live_stream}): the stream would assign "
+                "batch ids from 0, colliding with batches this registry "
+                "already carries — absorbed partials would be silently "
+                "excluded and swept, live ones silently overwritten. "
+                "Reuse the original checkpoint directory, or build a "
+                "fresh registry for a new stream."
+            )
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         cms_append(spark, registry_dir, batch_df, batch_id)

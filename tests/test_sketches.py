@@ -485,38 +485,91 @@ def test_cms_append_all_null_texts_is_a_noop(spark, sf_oracle, tmp_path):
 
 
 def test_cms_stream_fresh_checkpoint_refused(spark, sf_oracle, tmp_path):
-    """r12 ADVICE (medium): a stream restarted with a FRESH checkpoint
-    on an already-compacted registry reassigns batch ids from 0 — its
-    partials land under absorbed bids, are excluded from serving by
-    the watermark, and are swept by the next compact: silent,
-    unhealable loss. run_incremental_cms_stream must refuse to start
-    (loudly, before any batch lands) instead."""
+    """r12 ADVICE (medium) + review: a stream started with a FRESH
+    checkpoint must be refused loudly, before any batch lands, when
+    the registry already carries stream batches in EITHER state —
+    absorbed (hwm >= 0: the new stream's ids restart at 0, below the
+    watermark, so every partial it lands is silently excluded and
+    swept) or still live (parts/bid>=0: the new stream's dynamic
+    overwrites silently replace the old stream's partials). A
+    base-only compacted registry (hwm == -1) must NOT be refused —
+    bids start at 0, strictly above everything present — or the
+    documented build -> compact -> stream lifecycle is unreachable."""
     import os
 
     from ftp_blueprints_spark.operators.similarity import CompactionFenceError
 
     docs = load_table(spark, sf_oracle, "documents")
-    reg = str(tmp_path / "cms")
     half0_dir = tmp_path / "half0"
     docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
         str(half0_dir / "documents.parquet")
     )
-    S.cms_registry_build(spark, str(half0_dir), reg)
-    assert S.cms_compact(spark, reg) is True  # hwm now set
 
-    fresh_ckpt = str(tmp_path / "fresh_ckpt")  # never created
-    before = _cells(S.cms_registry_sketch(spark, reg))
+    # ABSORBED case: build + appended batch + compact -> hwm = 1
+    reg_a = str(tmp_path / "cms_absorbed")
+    S.cms_registry_build(spark, str(half0_dir), reg_a)
+    S.cms_append(
+        spark, reg_a, docs.filter(F.col("doc_id") % 2 == 1), batch_id=1
+    )
+    assert S.cms_compact(spark, reg_a) is True
+    assert S._cms_manifest(reg_a)["hwm"] == 1
+    fresh_ckpt = str(tmp_path / "fresh_ckpt_a")  # never created
+    before = _cells(S.cms_registry_sketch(spark, reg_a))
     with pytest.raises(CompactionFenceError, match="fresh checkpoint"):
         S.run_incremental_cms_stream(
-            spark, reg, docs, timeout_s=5, checkpoint_dir=fresh_ckpt
+            spark, reg_a, docs, timeout_s=5, checkpoint_dir=fresh_ckpt
         )
     # refused BEFORE any batch landed and before the checkpoint existed
     assert not os.path.isdir(fresh_ckpt)
-    parts = os.path.join(reg, "parts")
+    parts = os.path.join(reg_a, "parts")
     assert not os.path.isdir(parts) or not any(
         d.startswith("bid=") for d in os.listdir(parts)
     )
-    assert _cells(S.cms_registry_sketch(spark, reg)) == before
+    assert _cells(S.cms_registry_sketch(spark, reg_a)) == before
+
+    # LIVE case: an uncompacted registry with a standing stream batch
+    # (hwm still None) — a fresh stream would overwrite bid=0
+    reg_l = str(tmp_path / "cms_live")
+    S.cms_registry_build(spark, str(half0_dir), reg_l)
+    S.cms_append(
+        spark, reg_l, docs.filter(F.col("doc_id") % 2 == 1), batch_id=0
+    )
+    with pytest.raises(CompactionFenceError, match="fresh checkpoint"):
+        S.run_incremental_cms_stream(
+            spark,
+            reg_l,
+            docs,
+            timeout_s=5,
+            checkpoint_dir=str(tmp_path / "fresh_ckpt_l"),
+        )
+
+    # BASE-ONLY case: build + compact (hwm = -1) must start cleanly —
+    # drive a real one-file stream through and require its batch served
+    reg_b = str(tmp_path / "cms_base")
+    S.cms_registry_build(spark, str(half0_dir), reg_b)
+    assert S.cms_compact(spark, reg_b) is True
+    assert S._cms_manifest(reg_b)["hwm"] == -1
+    base_cells = _cells(S.cms_registry_sketch(spark, reg_b))
+    src_dir = tmp_path / "stream_src"
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src_dir))
+    source = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    S.run_incremental_cms_stream(
+        spark,
+        reg_b,
+        source,
+        timeout_s=120,
+        checkpoint_dir=str(tmp_path / "fresh_ckpt_b"),
+    )
+    assert os.path.isdir(os.path.join(reg_b, "parts", "bid=0"))
+    whole = _cells(S.cms_sketch(_tf(docs)))
+    assert _cells(S.cms_registry_sketch(spark, reg_b)) == whole
+    assert base_cells != whole  # the streamed half actually contributed
 
 
 def test_cms_compact_cas_fence_refuses_concurrent_publish(
