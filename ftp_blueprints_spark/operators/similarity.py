@@ -1677,6 +1677,8 @@ def run_incremental_ivf_stream(
     epoch at open and every micro-batch passes it to ivf_append, which
     raises CompactionFenceError (failing the stream loudly) if a
     compact started folding meanwhile."""
+    ckpt = checkpoint_dir or os.path.join(index_dir, "_append_ckpt")
+    _refuse_fresh_checkpoint(index_dir, "appends", ckpt)
     cents = spark.read.parquet(
         os.path.join(index_dir, "centroids")
     ).localCheckpoint(eager=True)
@@ -1688,12 +1690,38 @@ def run_incremental_ivf_stream(
             expect_epoch=epoch0,
         )
 
-    return _run_append_stream(
-        source,
-        append,
-        checkpoint_dir or os.path.join(index_dir, "_append_ckpt"),
-        timeout_s,
-    )
+    return _run_append_stream(source, append, ckpt, timeout_s)
+
+
+def _refuse_fresh_checkpoint(index_dir: str, appends: str, checkpoint: str) -> None:
+    """Refuse to OPEN an append stream with a fresh checkpoint while
+    live append bids exist (r12 — the CMS registry's fresh-checkpoint
+    hazard generalized to the index families): batch ids are monotonic
+    only per checkpoint, so a stream restarted with a new checkpoint
+    dir reassigns ids from 0 and its (bid=0, part)-keyed dynamic
+    overwrites PARTIALLY REPLACE the old stream's bid=0 partitions
+    with different vectors — prior appends silently vanish from
+    serving. The epoch fence cannot see this (a fresh stream snapshots
+    the CURRENT epoch and passes), and compact's append-only contract
+    cannot either (rows are removed, not changed). Legal starts stay
+    legal: a resumed checkpoint skips the check entirely; a first
+    start after build (no appends yet) or after a compact (appends
+    folded into the base under their dedup keys, dir cleared) has no
+    bid to collide with — even in the post-crash degraded window,
+    where appends live renamed-aside in ``appends.folding.*`` and a
+    new stream's bid=0 lands in a fresh dir the fold simply unions."""
+    if os.path.isdir(checkpoint):
+        return
+    ap = os.path.join(index_dir, appends)
+    if os.path.isdir(ap) and any(d.startswith("bid=") for d in os.listdir(ap)):
+        raise CompactionFenceError(
+            f"fresh checkpoint {checkpoint} against index {index_dir} "
+            f"with live append bids under {appends}/: the stream would "
+            "assign batch ids from 0 and dynamically overwrite the "
+            "prior stream's partitions, silently dropping its appended "
+            "rows. Reuse the original checkpoint directory, or compact "
+            "the index first (folded rows are keyed by id, not bid)."
+        )
 
 
 def _run_append_stream(source: DataFrame, append_fn, checkpoint: str, timeout_s: int):
@@ -2228,6 +2256,8 @@ def run_incremental_lsh_stream(
     compact racing the stream fails the next append loudly
     (CompactionFenceError) instead of silently double-serving replayed
     rows."""
+    ckpt = checkpoint_dir or os.path.join(index_dir, "_sig_append_ckpt")
+    _refuse_fresh_checkpoint(index_dir, "appends", ckpt)
     epoch0 = compaction_epoch(index_dir)
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
@@ -2235,12 +2265,7 @@ def run_incremental_lsh_stream(
             spark, index_dir, batch_df, batch_id, expect_epoch=epoch0
         )
 
-    return _run_append_stream(
-        source,
-        append,
-        checkpoint_dir or os.path.join(index_dir, "_sig_append_ckpt"),
-        timeout_s,
-    )
+    return _run_append_stream(source, append, ckpt, timeout_s)
 
 
 # --- product quantization (PQ) ANN -----------------------------------------
@@ -3078,6 +3103,8 @@ def run_incremental_ivfpq_stream(
     is snapshotted at open and a compact racing the stream fails the
     next append loudly (CompactionFenceError) instead of silently
     double-serving replayed rows."""
+    ckpt = checkpoint_dir or os.path.join(index_dir, "_code_append_ckpt")
+    _refuse_fresh_checkpoint(index_dir, "code_appends", ckpt)
     cents = spark.read.parquet(
         os.path.join(index_dir, "centroids")
     ).localCheckpoint(eager=True)
@@ -3090,12 +3117,7 @@ def run_incremental_ivfpq_stream(
             cents=cents, books_q=books_q, expect_epoch=epoch0,
         )
 
-    return _run_append_stream(
-        source,
-        append,
-        checkpoint_dir or os.path.join(index_dir, "_code_append_ckpt"),
-        timeout_s,
-    )
+    return _run_append_stream(source, append, ckpt, timeout_s)
 
 
 @query(

@@ -499,7 +499,14 @@ def test_exact_dedup_index_random_schedule_property(spark, tmp_path_factory):
                 landed_out.add(k)
                 landed_idx.add(k)
                 committed.add(k)
-                pending = None
+                # only a redelivery of THE crashed bid clears it — a
+                # replay of an older committed bid must not (the first
+                # harness draft cleared unconditionally, and hypothesis
+                # promptly generated the illegal schedule deliver(2)
+                # with bid 1 still uncommitted, which Structured
+                # Streaming's sequential batch commit cannot produce)
+                if k == pending:
+                    pending = None
                 return
             calls = {"n": 0}
 
@@ -530,7 +537,11 @@ def test_exact_dedup_index_random_schedule_property(spark, tmp_path_factory):
             expect_idx = set(seed_rows)
             for k in landed_idx:
                 expect_idx |= expected_idx_rows[k]
-            assert idx == expect_idx  # one row per h, no residue
+            assert idx == expect_idx, (
+                index_dir,
+                sorted(os.listdir(index_dir)),
+                sorted(landed_idx),
+            )  # one row per h, no residue
             assert len({h for h, *_ in idx}) == len(idx)
             if landed_out:
                 out = [
@@ -579,3 +590,87 @@ def test_exact_dedup_index_random_schedule_property(spark, tmp_path_factory):
         check()
 
     run()
+
+
+TWINS = {
+    "ivf": S.run_incremental_ivf_stream,
+    "ivfpq": S.run_incremental_ivfpq_stream,
+    "annlsh": S.run_incremental_lsh_stream,
+}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_fresh_checkpoint_refused_on_live_appends(spark, tmp_path, family):
+    """r12 (the CMS registry's fresh-checkpoint hazard generalized to
+    the index families): a stream twin opened with a FRESH checkpoint
+    while live append bids exist must refuse loudly BEFORE any batch
+    lands — its ids would restart at 0 and the bid-keyed dynamic
+    overwrites would partially replace the prior stream's bid=0
+    partitions, silently dropping appended vectors; neither the epoch
+    fence (a fresh stream snapshots the current epoch) nor compact's
+    append-only contract (rows are removed, not changed) can see it.
+    Legal starts must stay legal: no appends yet, resumed checkpoint,
+    or appends folded away by a compact."""
+    fam = FAMILIES[family]
+    base_dir = tmp_path / "corpus"
+    base_dir.mkdir()
+    dim = fam["dim"]
+    vecs = []
+    for k in range(S.IVF_K):
+        e = np.zeros(dim)
+        e[k % dim] = 1.0
+        e[(k + 3) % dim] = 0.25 + 0.05 * (k // dim)
+        vecs.append(e / np.linalg.norm(e))
+    for j in range(8):
+        v = np.ones(dim)
+        v[j % dim] += 0.5 + 0.1 * j
+        vecs.append(v / np.linalg.norm(v))
+    _write_crafted_embeddings(base_dir / "embeddings.parquet", vecs)
+    idx = str(tmp_path / "idx")
+    fam["build"](spark, str(base_dir), index_dir=idx)
+
+    missing_ckpt = str(tmp_path / "fresh_ckpt")  # never created
+    # legal: first start, no appends yet
+    S._refuse_fresh_checkpoint(idx, fam["appends"], missing_ckpt)
+
+    cents = (
+        None
+        if family == "annlsh"
+        else spark.read.parquet(
+            os.path.join(idx, "centroids")
+        ).localCheckpoint(eager=True)
+    )
+    books_q = S._load_books_q(spark, idx) if family == "ivfpq" else None
+    chunk = spark.createDataFrame(
+        [
+            (3000 + i, [float(x) for x in np.roll(vecs[i], 1)])
+            for i in range(4)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    if family == "ivf":
+        S.ivf_append(spark, idx, chunk, batch_id=0, cents=cents)
+    elif family == "ivfpq":
+        S.ivfpq_append(
+            spark, idx, chunk, batch_id=0, cents=cents, books_q=books_q
+        )
+    else:
+        S.ann_lsh_append(spark, idx, chunk, batch_id=0)
+    served = sorted(_served_pairs(spark, idx, family))
+
+    # the refusal, through the real twin entry point: raises at open,
+    # before the checkpoint exists or any batch lands
+    with pytest.raises(S.CompactionFenceError, match="fresh checkpoint"):
+        TWINS[family](spark, idx, chunk, checkpoint_dir=missing_ckpt)
+    assert not os.path.isdir(missing_ckpt)
+    assert sorted(_served_pairs(spark, idx, family)) == served
+
+    # legal again: a resumed checkpoint skips the check...
+    os.makedirs(missing_ckpt)
+    S._refuse_fresh_checkpoint(idx, fam["appends"], missing_ckpt)
+    # ...and a compact folds the bids away, so a genuinely new stream
+    # (new checkpoint) may start
+    assert fam["compact"](spark, idx) is True
+    S._refuse_fresh_checkpoint(
+        idx, fam["appends"], str(tmp_path / "fresh_ckpt2")
+    )

@@ -345,7 +345,15 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
     bounded dup residue between fold and heal, the registry's manifest
     exclusion must never show even one double-counted cell. Also: the
     manifest always names an existing consolidated dir, and a final
-    compact leaves no foreign consolidated dirs behind."""
+    compact leaves no foreign consolidated dirs behind.
+
+    r12 adds the RACED-compact op (the CAS fence under random schedule
+    positions): a real second compact runs to completion inside the
+    loser's fold window (injected through _next_tag), and the loser
+    must end LOUDLY — CompactionFenceError at the compare-and-swap, or
+    a missing-file error where the winner's sweep already removed the
+    loser's lazily-bound fold inputs — never a silent publish; serving
+    must remain exact immediately after, from the winner's snapshot."""
     import os
     import shutil
 
@@ -406,7 +414,7 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
         for _ in range(data.draw(st.integers(min_value=2, max_value=6))):
             op = data.draw(
                 st.sampled_from(
-                    ["append", "append", "compact", "crash", "rebuild"]
+                    ["append", "append", "compact", "crash", "rebuild", "race"]
                 )
             )
             if op == "append":
@@ -417,6 +425,37 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
                 S.cms_registry_build(spark, str(base_dir), reg)
             elif op == "compact":
                 S.cms_compact(spark, reg)
+            elif op == "race":
+                # a real second compact wins inside the loser's fold
+                # window; the loser must end loudly, serving stays
+                # exact from the winner's snapshot
+                state = {"raced": False}
+
+                def racy_tag(d, _state=state):
+                    SIM._next_tag = real_next_tag
+                    _state["raced"] = True
+                    S.cms_compact(spark, reg)  # the winner
+                    return real_next_tag(d)
+
+                real_next_tag = SIM._next_tag
+                SIM._next_tag = racy_tag
+                try:
+                    S.cms_compact(spark, reg)  # the loser
+                    # only legal when there was nothing to fold (the
+                    # hook never fired): sweep-only compacts don't tag
+                    assert not state["raced"]
+                except SIM.CompactionFenceError:
+                    assert state["raced"]
+                except Exception as e:  # winner swept the fold inputs
+                    assert state["raced"]
+                    msg = str(e)
+                    assert (
+                        "FileNotFound" in msg
+                        or "does not exist" in msg
+                        or "PATH_NOT_FOUND" in msg
+                    ), f"raced compact failed but not loudly: {msg[:200]}"
+                finally:
+                    SIM._next_tag = real_next_tag
             else:  # crash-compact at the commit point or mid-sweep
                 point = data.draw(st.sampled_from(["commit", "sweep"]))
                 if point == "commit":
