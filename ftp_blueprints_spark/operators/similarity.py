@@ -1693,6 +1693,29 @@ def run_incremental_ivf_stream(
     return _run_append_stream(source, append, ckpt, timeout_s)
 
 
+def _checkpoint_resumed(checkpoint: str) -> bool:
+    """True iff the checkpoint carries real streaming progress — at
+    least one batch entry in its offsets/ log. Bare directory
+    existence is NOT the test (r12 review): deploy tooling routinely
+    pre-creates empty checkpoint dirs with mkdir -p, and Structured
+    Streaming assigns batch ids from 0 whenever the offsets log is
+    empty, so an existing-but-empty dir is exactly as dangerous as a
+    missing one. Entries must look like batch numbers (digits, plus
+    the log's N.compact consolidation files) — a lone writer tmp file
+    means no batch ever started, i.e. still fresh. The shared resumed
+    test of all four stream-twin fences (the CMS registry's guard
+    imports it), so a future change to the proxy lands in one place."""
+    off = os.path.join(checkpoint, "offsets")
+    try:
+        entries = os.listdir(off)
+    except OSError:
+        return False
+    return any(
+        e.isdigit() or (e.endswith(".compact") and e[: -len(".compact")].isdigit())
+        for e in entries
+    )
+
+
 def _refuse_fresh_checkpoint(index_dir: str, appends: str, checkpoint: str) -> None:
     """Refuse to OPEN an append stream with a fresh checkpoint while
     live append bids exist (r12 — the CMS registry's fresh-checkpoint
@@ -1704,13 +1727,15 @@ def _refuse_fresh_checkpoint(index_dir: str, appends: str, checkpoint: str) -> N
     serving. The epoch fence cannot see this (a fresh stream snapshots
     the CURRENT epoch and passes), and compact's append-only contract
     cannot either (rows are removed, not changed). Legal starts stay
-    legal: a resumed checkpoint skips the check entirely; a first
-    start after build (no appends yet) or after a compact (appends
-    folded into the base under their dedup keys, dir cleared) has no
-    bid to collide with — even in the post-crash degraded window,
-    where appends live renamed-aside in ``appends.folding.*`` and a
-    new stream's bid=0 lands in a fresh dir the fold simply unions."""
-    if os.path.isdir(checkpoint):
+    legal: a resumed checkpoint (committed offsets present — not mere
+    directory existence, see _checkpoint_resumed) skips the check
+    entirely; a first start after build (no appends yet) or after a
+    compact (appends folded into the base under their dedup keys, dir
+    cleared) has no bid to collide with — even in the post-crash
+    degraded window, where appends live renamed-aside in
+    ``appends.folding.*`` and a new stream's bid=0 lands in a fresh
+    dir the fold simply unions."""
+    if _checkpoint_resumed(checkpoint):
         return
     ap = os.path.join(index_dir, appends)
     if os.path.isdir(ap) and any(d.startswith("bid=") for d in os.listdir(ap)):

@@ -803,8 +803,14 @@ def run_incremental_cms_stream(
     import os
     import re as _re
 
+    from .similarity import _checkpoint_resumed
+
     ckpt = checkpoint_dir or os.path.join(registry_dir, "_part_ckpt")
-    if not os.path.isdir(ckpt):
+    # committed offsets, not bare directory existence, mark a resumed
+    # stream — an empty pre-created dir still assigns ids from 0
+    # (r12 review; _checkpoint_resumed is the shared proxy of all four
+    # stream-twin fences)
+    if not _checkpoint_resumed(ckpt):
         m = _cms_manifest(registry_dir)
         absorbed_stream = m["hwm"] is not None and m["hwm"] >= 0
         parts_dir = os.path.join(registry_dir, "parts")

@@ -665,8 +665,15 @@ def test_fresh_checkpoint_refused_on_live_appends(spark, tmp_path, family):
     assert not os.path.isdir(missing_ckpt)
     assert sorted(_served_pairs(spark, idx, family)) == served
 
-    # legal again: a resumed checkpoint skips the check...
+    # an existing-but-EMPTY checkpoint dir is still fresh (r12 review:
+    # deploy tooling pre-creates dirs; ids still assign from 0)
     os.makedirs(missing_ckpt)
+    with pytest.raises(S.CompactionFenceError, match="fresh checkpoint"):
+        S._refuse_fresh_checkpoint(idx, fam["appends"], missing_ckpt)
+    # committed offsets mark it resumed — the check is skipped
+    os.makedirs(os.path.join(missing_ckpt, "offsets"))
+    with open(os.path.join(missing_ckpt, "offsets", "0"), "w") as fh:
+        fh.write("{}")
     S._refuse_fresh_checkpoint(idx, fam["appends"], missing_ckpt)
     # ...and a compact folds the bids away, so a genuinely new stream
     # (new checkpoint) may start

@@ -439,11 +439,10 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
 
                 real_next_tag = SIM._next_tag
                 SIM._next_tag = racy_tag
+                loser_published = False
                 try:
                     S.cms_compact(spark, reg)  # the loser
-                    # only legal when there was nothing to fold (the
-                    # hook never fired): sweep-only compacts don't tag
-                    assert not state["raced"]
+                    loser_published = True
                 except SIM.CompactionFenceError:
                     assert state["raced"]
                 except Exception as e:  # winner swept the fold inputs
@@ -456,6 +455,14 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
                     ), f"raced compact failed but not loudly: {msg[:200]}"
                 finally:
                     SIM._next_tag = real_next_tag
+                # completing is only legal when there was nothing to
+                # fold (sweep-only compacts never reach _next_tag, so
+                # the hook never fired); a loser that published AFTER
+                # the winner ran is the silent-clobber bug the fence
+                # exists to prevent
+                assert not (loser_published and state["raced"]), (
+                    "loser compact published silently despite the race"
+                )
             else:  # crash-compact at the commit point or mid-sweep
                 point = data.draw(st.sampled_from(["commit", "sweep"]))
                 if point == "commit":
@@ -565,6 +572,13 @@ def test_cms_stream_fresh_checkpoint_refused(spark, sf_oracle, tmp_path):
         d.startswith("bid=") for d in os.listdir(parts)
     )
     assert _cells(S.cms_registry_sketch(spark, reg_a)) == before
+    # an existing-but-EMPTY checkpoint dir is equally fresh (r12
+    # review: ids still assign from 0) — still refused
+    os.makedirs(fresh_ckpt)
+    with pytest.raises(CompactionFenceError, match="fresh checkpoint"):
+        S.run_incremental_cms_stream(
+            spark, reg_a, docs, timeout_s=5, checkpoint_dir=fresh_ckpt
+        )
 
     # LIVE case: an uncompacted registry with a standing stream batch
     # (hwm still None) — a fresh stream would overwrite bid=0
