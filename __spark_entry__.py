@@ -87,6 +87,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations capped at those 2, so the 50-slot window takes both
 # rank -1 rows plus all 17 r8-stale rows plus 31 of the 50 r9-stale
 # rows (nothing older than r9 evidence should remain after round 12).
+# Round 13 registration queue (built + locally oracle-proven +
+# scale-probed in r12, decorator deferred for this round's window
+# math):
+#   - sim_ivf_retrain (operators/similarity.py, _ivf_retrain_oracle —
+#     the oracle replays the monolithic train, so the driver check
+#     proves retrain-from-served-state equals train-from-scratch)
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

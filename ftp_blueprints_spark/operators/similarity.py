@@ -1287,6 +1287,162 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_report(base_stats, new_stats)
 
 
+def _ivf_retrain_oracle() -> str:
+    cos_c1 = (
+        "list_dot_product(ax.v, c1.c) / "
+        "(sqrt(list_dot_product(ax.v, ax.v)) * "
+        "sqrt(list_dot_product(c1.c, c1.c)))"
+    )
+    cos_ks2 = (
+        "list_dot_product(ax.v, s.c) / "
+        "(sqrt(list_dot_product(ax.v, ax.v)) * "
+        "sqrt(list_dot_product(s.c, s.c)))"
+    )
+    cos_c2 = (
+        "list_dot_product(ax.v, c2.c) / "
+        "(sqrt(list_dot_product(ax.v, ax.v)) * "
+        "sqrt(list_dot_product(c2.c, c2.c)))"
+    )
+    return f"""
+WITH {_portable_c1_cte(where="WHERE vec_id % 2 = 0")},
+ax AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+axq AS (SELECT vec_id,
+               list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+        FROM ax),
+old AS (SELECT vec_id, cid AS old_cid FROM (
+    SELECT ax.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY ax.vec_id
+             ORDER BY ROUND({cos_c1}, 6) DESC, c1.cid) AS rn
+    FROM ax CROSS JOIN c1) WHERE rn = 1),
+ks2 AS (SELECT vec_id AS cid, v AS c FROM ax ORDER BY vec_id LIMIT {IVF_K}),
+b1 AS (SELECT vec_id, cid FROM (
+    SELECT ax.vec_id, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY ax.vec_id
+             ORDER BY ROUND({cos_ks2}, 6) DESC, s.cid) AS rn
+    FROM ax CROSS JOIN ks2 s) WHERE rn = 1),
+cellsb AS (SELECT b1.cid, t.i AS pos, SUM(axq.vq[t.i + 1]) AS s
+           FROM b1 JOIN axq USING (vec_id)
+           CROSS JOIN (SELECT UNNEST(range(0, {DIM})) AS i) t
+           GROUP BY b1.cid, t.i),
+nb AS (SELECT cid, COUNT(*) AS n FROM b1 GROUP BY cid),
+c2 AS (SELECT c.cid,
+              list(CAST(c.s AS DOUBLE) / CAST(n.n * 1000000 AS DOUBLE)
+                   ORDER BY c.pos) AS c
+       FROM cellsb c JOIN nb n USING (cid) GROUP BY c.cid),
+a2 AS (SELECT vec_id, cid FROM (
+    SELECT ax.vec_id, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY ax.vec_id
+             ORDER BY ROUND({cos_c2}, 6) DESC, c2.cid) AS rn
+    FROM ax CROSS JOIN c2) WHERE rn = 1),
+stats AS (SELECT a2.cid, COUNT(*) AS n_members,
+                 CAST(SUM(CAST(FLOOR(ROUND({cos_c2}, 6) * 1000000) AS BIGINT))
+                      AS BIGINT) AS cos_sum_micros,
+                 CAST(SUM(CAST(a2.cid <> old.old_cid AS INTEGER)) AS BIGINT)
+                   AS n_moved
+          FROM a2 JOIN ax USING (vec_id) JOIN c2 USING (cid)
+               JOIN old USING (vec_id)
+          GROUP BY a2.cid),
+cells2 AS (SELECT a2.cid, t.i AS pos, SUM(axq.vq[t.i + 1]) AS s
+           FROM a2 JOIN axq USING (vec_id)
+           CROSS JOIN (SELECT UNNEST(range(0, {DIM})) AS i) t
+           GROUP BY a2.cid, t.i),
+sums2 AS (SELECT cid, array_to_string(list(s ORDER BY pos), ',') AS centroid_sums
+          FROM cells2 GROUP BY cid)
+SELECT stats.cid, stats.n_members, stats.cos_sum_micros, stats.n_moved,
+       sums2.centroid_sums
+FROM stats JOIN sums2 USING (cid)
+"""
+
+
+# NOTE: deliberately NOT registered this round — the r12 window math
+# caps new registrations at 2 (sim_lsh_incremental, sk_cms_incremental,
+# both registered at round open); the decorator goes on in round 13.
+# The oracle above is pre-proven equal to the Spark plan by
+# tests/test_similarity.py's local compare_query run, per the
+# build-now-register-next-round pattern.
+def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN closing the maintained-IVF loop — the action a
+    positive drift report (sim_ivf_incremental) calls for: refit the
+    centroids on the index's SERVED state (standing lists ∪ appended
+    snapshot — exactly ivf_lists_with_appends' union, the raw corpus
+    never re-read) with the same deterministic kernel the build uses,
+    re-assign every vector, and report the refreshed space. Because
+    portable_centroids depends only on the (vec_id, embedding) set,
+    retrain-from-served-state is provably equal to train-from-scratch
+    on the union corpus — the oracle replays the monolithic train, so
+    the driver check proves RETRAIN-EXACTNESS, the vector-side analog
+    of sk_cms_incremental's merge-exactness.
+
+    Output per NEW cid: the sim_kmeans surface (member count, integer
+    micro-unit cosine sum, comma-joined centroid component sums) plus
+    ``n_moved`` — members whose pre-retrain label (assignment into the
+    STANDING centroids, i.e. their lists/appends cid) differs from
+    their new label. Labels are seed vec_ids in both spaces, so
+    n_moved measures exactly what an operator asks after a drift
+    alarm: how much of the space actually shifted. n_moved also keeps
+    the standing-centroid assignment load-bearing in the plan (without
+    it Catalyst's column pruning would collapse the served-union
+    construction to a bare corpus scan and the query would prove
+    nothing about the incremental path).
+
+    This IS ivf_retrain's arithmetic — the machinery test asserts the
+    persisted path (ivf_build on the standing half + ivf_append of the
+    snapshot + ivf_retrain) serves an index byte-equivalent to a fresh
+    build on the union, with these stats as its recorded yardstick.
+
+    Scale shape: two Lloyd trains + three zero-shuffle literal-argmax
+    assignments + K-row broadcast joins; every exchange carries K-
+    cardinality rows except the (cid, pos) cell sums (K x dim). The
+    served union is localCheckpointed once — it feeds the train, the
+    re-assignment, and the moved-label join, and each would otherwise
+    re-execute the standing train + two assignments."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    snapshot = emb.filter(F.col("vec_id") % 2 == 1)
+    c1 = portable_centroids(standing).localCheckpoint(eager=True)
+    served = (
+        ivf_assign(standing, c1, round_digits=6)
+        .unionByName(ivf_assign(snapshot, c1, round_digits=6))
+        .withColumnRenamed("cid", "old_cid")
+        .localCheckpoint(eager=True)
+    )
+    vecs = served.select("vec_id", "embedding")
+    c2 = portable_centroids(vecs).localCheckpoint(eager=True)
+    a2 = ivf_assign(vecs, c2, round_digits=6).join(
+        served.select("vec_id", "old_cid"), "vec_id"
+    )
+    cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
+    stats = (
+        a2.join(F.broadcast(c2), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.floor(cos_c * 1_000_000)).cast("bigint").alias(
+                "cos_sum_micros"
+            ),
+            F.sum((F.col("old_cid") != F.col("cid")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved"),
+        )
+    )
+    sums2 = (
+        _km_cells(a2.select("cid", "embedding"))
+        .groupBy("cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"].cast("string"),
+                ),
+                ",",
+            ).alias("centroid_sums")
+        )
+    )
+    return stats.join(sums2, "cid").select(
+        "cid", "n_members", "cos_sum_micros", "n_moved", "centroid_sums"
+    )
+
+
 _EPOCH_FILE = "compact.epoch"
 
 
@@ -1785,6 +1941,152 @@ def ivf_lists_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:
         "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
     )
     return lists.unionByName(appends)
+
+
+_RETRAIN_READY = "_retrain_ready"
+
+
+def ivf_retrain(spark: SparkSession, index_dir: str) -> bool:
+    """Retrain the maintained IVF index from its own SERVED state —
+    the action a positive drift report (ivf_append /
+    sim_ivf_incremental) calls for, completing the lifecycle loop
+    build → append → drift → RETRAIN. Centroids are refit with the
+    build's deterministic kernel (portable_centroids) on
+    lists ∪ appends — the raw corpus is never re-read — every vector
+    is re-assigned, the per-cid ``stats`` yardstick is recomputed
+    against the NEW centroids (subsequent drift reports diff against
+    the refreshed space), and the appends are consumed by the fold.
+    The result is byte-equivalent to ivf_build on the union corpus
+    (the kernel depends only on the vector set) — asserted by the
+    machinery test, and cross-engine by sim_ivf_retrain's oracle.
+
+    Publish discipline — a WHOLE-DIR snapshot swap, unlike compact's
+    single-subdir ladder, because retrain replaces centroids + lists +
+    stats together and a partial swap would serve NEW centroids
+    against OLD cids:
+
+    1. recovery preamble: a missing index dir with a READY retraining
+       snapshot next to it rolls FORWARD (completes the dead swap);
+       without one it rolls BACK to the newest backup (the
+       _compact_index restore rule). A ready-but-unpublished snapshot
+       found while the index EXISTS is swept as garbage, never
+       published late — appends may have landed since its fold read
+       the served state, and publishing it would silently discard
+       them;
+    2. the epoch is bumped BEFORE the served state is read, so a
+       fenced append racing the retrain refuses (entry check or
+       post-write withdrawal) instead of landing rows the swap would
+       silently discard; unfenced appends stay under the quiesce
+       contract, as for compact;
+    3. the new snapshot is written FULLY beside the index
+       (<index>.retraining.<tag>: centroids, cid-partitioned lists,
+       stats, the bumped epoch marker, the shape marker) and stamped
+       ready LAST (fsync'd _retrain_ready);
+    4. two renames publish it: index → <index>.old.<tag>, then
+       retraining → index. A crash between them leaves the dir
+       missing and every reader failing loudly until the preamble
+       rolls forward — the same bounded mid-swap window the compact
+       ladder documents;
+    5. sweep backups and stale retraining dirs (re-sweepable).
+
+    Returns False when there is nothing to do (no live appends):
+    retraining an unchanged index would reproduce the identical
+    snapshot. Single maintenance writer, like compact. Stream twins
+    must be drained before a retrain and restarted AFRESH after one —
+    their default checkpoint lived inside the swapped-away dir, and
+    their source offsets describe batches the retrain already folded
+    (re-delivered rows re-append bit-identically: same vec_ids, cids
+    assigned against the published centroids, healed by key dedup at
+    the next compact)."""
+    import json
+    import shutil
+
+    parent = os.path.dirname(os.path.abspath(index_dir))
+    name = os.path.basename(os.path.abspath(index_dir))
+
+    def _entries(prefix: str) -> list[str]:
+        return sorted(d for d in os.listdir(parent) if d.startswith(prefix))
+
+    # 1. recovery preamble
+    if not os.path.isdir(index_dir):
+        ready = [
+            d
+            for d in _entries(f"{name}.retraining.")
+            if os.path.isfile(os.path.join(parent, d, _RETRAIN_READY))
+        ]
+        if ready:  # newest tag: lexicographic max IS numeric max
+            os.rename(os.path.join(parent, ready[-1]), index_dir)
+        else:
+            backups = _entries(f"{name}.old.")
+            if not backups:
+                raise FileNotFoundError(f"no index at {index_dir}")
+            os.rename(os.path.join(parent, backups[-1]), index_dir)
+    for d in _entries(f"{name}.retraining."):
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    for d in _entries(f"{name}.old."):
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+    ap = os.path.join(index_dir, "appends")
+    if not (
+        os.path.isdir(ap) and any(d.startswith("bid=") for d in os.listdir(ap))
+    ):
+        return False
+
+    # 2. fence FIRST: anything appended after this point refuses (or
+    # withdraws) rather than being silently discarded by the swap
+    _bump_epoch(index_dir)
+    epoch = compaction_epoch(index_dir)
+
+    served = ivf_lists_with_appends(spark, index_dir).select(
+        "vec_id", "embedding"
+    )
+    cents2 = portable_centroids(served).localCheckpoint(eager=True)
+    assigned = ivf_assign(served, cents2, round_digits=6)
+
+    # 3. full snapshot beside the index, ready-stamped last. The tag
+    # scans the PARENT (where .old./.retraining. siblings live), so
+    # monotonicity-vs-existing-tags holds for the dirs this publish
+    # actually races with
+    tag = _next_tag(parent)
+    tmp = os.path.join(parent, f"{name}.retraining.{tag}")
+    cents2.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(tmp, "lists")
+    )
+    landed = spark.read.parquet(os.path.join(tmp, "lists")).select(
+        "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
+    )
+    _assign_cos_stats(landed, cents2).write.mode("overwrite").parquet(
+        os.path.join(tmp, "stats")
+    )
+    with open(os.path.join(tmp, _EPOCH_FILE), "w") as fh:
+        fh.write(str(epoch))
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(tmp, _INDEX_MARKER), "w") as fh:
+        json.dump({"shape": list(_index_shape("ivf"))}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(tmp, _RETRAIN_READY), "w") as fh:
+        fh.write(tag)
+        fh.flush()
+        os.fsync(fh.fileno())
+
+    # 4. the two-rename publish
+    os.rename(index_dir, os.path.join(parent, f"{name}.old.{tag}"))
+    os.rename(tmp, index_dir)
+    # the published snapshot is no longer "retraining": drop the ready
+    # marker so a later crash's preamble can never mistake the LIVE dir
+    # for a roll-forward candidate
+    try:
+        os.remove(os.path.join(index_dir, _RETRAIN_READY))
+    except OSError:
+        pass
+
+    # 5. sweep
+    for d in _entries(f"{name}.old."):
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return True
 
 
 ANN_BANDS = 32

@@ -1458,3 +1458,177 @@ def test_lsh_drift_report_exact_at_overflow_magnitudes(spark):
     )
     with pytest.raises(Exception, match="(?i)overflow"):
         S._lsh_drift_report(mk1(ps), hot).collect()
+
+
+def test_ivf_retrain_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-13 registration (the sim_lsh_incremental
+    build-now-register-later pattern): sim_ivf_retrain's
+    retrain-from-served-state plan vs the oracle's MONOLITHIC
+    train-from-scratch under the driver's own comparison — the driver
+    check will prove retrain-exactness by hashing both paths."""
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sim_ivf_retrain, S._ivf_retrain_oracle(), sf_oracle
+    )
+
+
+def test_ivf_retrain_machinery_equals_fresh_build(spark, sf_oracle, tmp_path):
+    """The lifecycle loop closes: ivf_build(standing half) +
+    ivf_append(snapshot half) + ivf_retrain must yield an index
+    byte-equivalent to a FRESH ivf_build on the union corpus —
+    centroids, cid-partitioned lists, and the recomputed stats
+    yardstick all equal — with the appends consumed, the epoch
+    advanced (a pre-retrain fenced append refuses), the recorded
+    stats equal to the oracle-checked sim_ivf_retrain columns, no
+    backup/retraining siblings left behind, and a second retrain
+    (nothing appended since) a clean no-op."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ivf_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    epoch0 = S.compaction_epoch(idx)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_append(spark, idx, snap, batch_id=0)
+
+    assert S.ivf_retrain(spark, idx) is True
+    assert S.compaction_epoch(idx) == epoch0 + 1
+    assert not os.path.isdir(os.path.join(idx, "appends"))  # consumed
+    with pytest.raises(S.CompactionFenceError):
+        S.ivf_append(spark, idx, snap, batch_id=1, expect_epoch=epoch0)
+
+    full_dir = tmp_path / "full"
+    emb.write.mode("overwrite").parquet(str(full_dir / "embeddings.parquet"))
+    ref = S.ivf_build(spark, str(full_dir), index_dir=str(tmp_path / "ref"))
+
+    def cents_key(d):
+        return {
+            (r["cid"], tuple(r["c_emb"]))
+            for r in spark.read.parquet(os.path.join(d, "centroids")).collect()
+        }
+
+    def lists_key(d):
+        return {
+            (r["vec_id"], int(r["cid"]), tuple(r["embedding"]))
+            for r in spark.read.parquet(os.path.join(d, "lists")).collect()
+        }
+
+    def stats_key(d):
+        return {
+            (int(r["cid"]), r["n"], r["cos_sum_mu"])
+            for r in spark.read.parquet(os.path.join(d, "stats")).collect()
+        }
+
+    assert cents_key(idx) == cents_key(ref)
+    assert lists_key(idx) == lists_key(ref)
+    assert stats_key(idx) == stats_key(ref)
+    assert S.index_ready(idx, "ivf")  # shape marker re-stamped
+
+    # the recorded yardstick equals the oracle-checked query's columns
+    q = {
+        (int(r["cid"]), r["n_members"], r["cos_sum_micros"])
+        for r in S.sim_ivf_retrain(spark, sf_oracle).collect()
+    }
+    assert stats_key(idx) == q
+
+    # clean publish: no siblings left beside the index
+    parent, name = os.path.split(idx)
+    assert not [
+        d
+        for d in os.listdir(parent)
+        if d.startswith((f"{name}.old.", f"{name}.retraining."))
+    ]
+    assert S.ivf_retrain(spark, idx) is False  # no appends: no-op
+
+
+def test_ivf_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
+    """Kill the whole-dir snapshot swap at each rename boundary and
+    require the recovery preamble to heal to the exact clean-retrain
+    state: a crash BEFORE the first rename leaves the old index fully
+    served (the ready-but-unpublished snapshot is swept as garbage,
+    never published late) and a re-run retrains from the still-live
+    appends; a crash BETWEEN the two renames leaves the dir missing
+    (readers fail loudly) and the next call rolls FORWARD, completing
+    the dead swap without re-running the fold."""
+    import os
+    import shutil
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    template = S.ivf_build(
+        spark, str(half_dir), index_dir=str(tmp_path / "tpl")
+    )
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_append(spark, template, snap, batch_id=0)
+
+    # the clean-retrain reference state
+    clean = str(tmp_path / "clean")
+    shutil.copytree(template, clean)
+    assert S.ivf_retrain(spark, clean) is True
+
+    def state(d):
+        return {
+            (r["vec_id"], int(r["cid"]))
+            for r in S.ivf_lists_with_appends(spark, d).collect()
+        }
+
+    want = state(clean)
+    real_rename = os.rename
+
+    class Boom(Exception):
+        pass
+
+    for k in (1, 2):  # boundary: before rename k of the publish pair
+        idx = str(tmp_path / f"idx_k{k}")
+        shutil.copytree(template, idx)
+        calls = {"n": 0}
+
+        def boom(src, dst, *, _k=k, _calls=calls, _idx=idx):
+            # count only the publish-pair renames (both touch the live
+            # index path itself), not the epoch/tmp renames
+            if str(src) == _idx or str(dst) == _idx:
+                _calls["n"] += 1
+                if _calls["n"] == _k:
+                    raise Boom(src)
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", boom)
+        with pytest.raises(Boom):
+            S.ivf_retrain(spark, idx)
+        monkeypatch.undo()
+
+        parent, name = os.path.split(idx)
+        if k == 1:
+            # old index fully intact and served; snapshot is garbage
+            assert os.path.isdir(idx)
+            assert os.path.isdir(os.path.join(idx, "appends"))
+            assert [
+                d for d in os.listdir(parent)
+                if d.startswith(f"{name}.retraining.")
+            ]
+        else:
+            # mid-swap window: dir missing, readers would fail loudly
+            assert not os.path.isdir(idx)
+
+        assert S.ivf_retrain(spark, idx) is (k == 1)
+        # k=1 re-runs the fold (True); k=2 rolls forward in the
+        # preamble and then sees no appends (False) — either way the
+        # healed index equals the clean retrain exactly
+        assert state(idx) == want
+        assert not [
+            d
+            for d in os.listdir(parent)
+            if d.startswith((f"{name}.old.", f"{name}.retraining."))
+        ]
