@@ -1946,7 +1946,9 @@ def ivf_lists_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:
 _RETRAIN_READY = "_retrain_ready"
 
 
-def ivf_retrain(spark: SparkSession, index_dir: str) -> bool:
+def ivf_retrain(
+    spark: SparkSession, index_dir: str, force: bool = False
+) -> bool:
     """Retrain the maintained IVF index from its own SERVED state —
     the action a positive drift report (ivf_append /
     sim_ivf_incremental) calls for, completing the lifecycle loop
@@ -1966,13 +1968,19 @@ def ivf_retrain(spark: SparkSession, index_dir: str) -> bool:
     against OLD cids:
 
     1. recovery preamble: a missing index dir with a READY retraining
-       snapshot next to it rolls FORWARD (completes the dead swap);
-       without one it rolls BACK to the newest backup (the
-       _compact_index restore rule). A ready-but-unpublished snapshot
-       found while the index EXISTS is swept as garbage, never
-       published late — appends may have landed since its fold read
-       the served state, and publishing it would silently discard
-       them;
+       snapshot next to it rolls FORWARD (completes the dead swap,
+       stripping the ready marker); without one it rolls BACK to the
+       newest backup (the _compact_index restore rule). A
+       ready-but-unpublished snapshot found while the index EXISTS is
+       swept as garbage ONLY when its swap never started (no matching
+       .old backup) — appends may have landed since its fold, and
+       publishing late would silently discard them; if the matching
+       backup exists, the live dir was recreated AFTER a mid-swap
+       crash (a default-path build rebuilds on missing) and the
+       preamble refuses loudly, preserving both. Crashed-COMPACT fold
+       leftovers (appends.folding.*) also refuse: they hold committed
+       rows the served union would silently omit — ivf_compact owns
+       that recovery;
     2. the epoch is bumped BEFORE the served state is read, so a
        fenced append racing the retrain refuses (entry check or
        post-write withdrawal) instead of landing rows the swap would
@@ -1990,8 +1998,16 @@ def ivf_retrain(spark: SparkSession, index_dir: str) -> bool:
     5. sweep backups and stale retraining dirs (re-sweepable).
 
     Returns False when there is nothing to do (no live appends):
-    retraining an unchanged index would reproduce the identical
-    snapshot. Single maintenance writer, like compact. Stream twins
+    retraining an index whose lists still equal its training corpus
+    would reproduce the identical snapshot. NOTE the one state that
+    check cannot see: a COMPACT folds appends into the lists without
+    refitting the centroids, so a compacted index can carry stale
+    centroids with no live appends to witness it — pass ``force=True``
+    there (the drift yardstick is also the build-time one until a
+    retrain refreshes it, so the operational ordering is drift alarm →
+    retrain, with compact reserved for bounding serve width when a
+    refit is NOT wanted). Single maintenance writer, like compact.
+    Stream twins
     must be drained before a retrain and restarted AFRESH after one —
     their default checkpoint lived inside the swapped-away dir, and
     their source offsets describe batches the retrain already folded
@@ -2008,34 +2024,77 @@ def ivf_retrain(spark: SparkSession, index_dir: str) -> bool:
         return sorted(d for d in os.listdir(parent) if d.startswith(prefix))
 
     # 1. recovery preamble
+    ready = [
+        d
+        for d in _entries(f"{name}.retraining.")
+        if os.path.isfile(os.path.join(parent, d, _RETRAIN_READY))
+    ]
     if not os.path.isdir(index_dir):
-        ready = [
-            d
-            for d in _entries(f"{name}.retraining.")
-            if os.path.isfile(os.path.join(parent, d, _RETRAIN_READY))
-        ]
         if ready:  # newest tag: lexicographic max IS numeric max
             os.rename(os.path.join(parent, ready[-1]), index_dir)
+            # published now: the live dir must never look like a
+            # roll-forward candidate (same as the normal publish path)
+            try:
+                os.remove(os.path.join(index_dir, _RETRAIN_READY))
+            except OSError:
+                pass
         else:
             backups = _entries(f"{name}.old.")
             if not backups:
                 raise FileNotFoundError(f"no index at {index_dir}")
             os.rename(os.path.join(parent, backups[-1]), index_dir)
+    else:
+        # A ready snapshot whose swap STARTED (a matching .old.<tag>
+        # backup exists — only rename1 creates those) while the index
+        # dir EXISTS means the live dir appeared AFTER a mid-swap
+        # crash: e.g. a default-path ivf_build saw the missing dir and
+        # silently rebuilt a base-only index there. Sweeping now would
+        # permanently discard the appended rows the snapshot folded —
+        # preserve both and make the operator choose (r12 review).
+        for d in ready:
+            tag = d.rsplit(".", 1)[-1]
+            if os.path.isdir(os.path.join(parent, f"{name}.old.{tag}")):
+                raise CompactionFenceError(
+                    f"index {index_dir} exists but a mid-swap crash "
+                    f"left ready snapshot {d} and backup "
+                    f"{name}.old.{tag} beside it — the live dir was "
+                    "recreated after the crash (a default-path build "
+                    "rebuilds on missing) and does NOT contain the "
+                    "snapshot's appended rows. Both are preserved; "
+                    "resolve manually (publish the snapshot or remove "
+                    "it explicitly) before retraining."
+                )
     for d in _entries(f"{name}.retraining."):
         shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     for d in _entries(f"{name}.old."):
         shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
+    # A crashed COMPACT's fold leftovers hold committed appended rows
+    # renamed aside (appends.folding.<tag>); the served union below
+    # reads only lists ∪ appends, so retraining over them would fold a
+    # snapshot that silently omits those rows and then sweep them with
+    # the old dir. Refuse: ivf_compact owns that recovery (r12 review).
+    folding = [
+        d for d in os.listdir(index_dir) if d.startswith("appends.folding.")
+    ]
+    if folding:
+        raise CompactionFenceError(
+            f"index {index_dir} carries crashed-compact fold leftovers "
+            f"({folding}); run ivf_compact to heal them before "
+            "retraining — a retrain from this state would silently "
+            "drop the renamed-aside appended rows."
+        )
+
     ap = os.path.join(index_dir, "appends")
-    if not (
-        os.path.isdir(ap) and any(d.startswith("bid=") for d in os.listdir(ap))
-    ):
+    has_appends = os.path.isdir(ap) and any(
+        d.startswith("bid=") for d in os.listdir(ap)
+    )
+    if not has_appends and not force:
         return False
 
     # 2. fence FIRST: anything appended after this point refuses (or
     # withdraws) rather than being silently discarded by the swap
-    _bump_epoch(index_dir)
-    epoch = compaction_epoch(index_dir)
+    epoch = _bump_epoch(index_dir)
 
     served = ivf_lists_with_appends(spark, index_dir).select(
         "vec_id", "embedding"

@@ -1632,3 +1632,113 @@ def test_ivf_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
             for d in os.listdir(parent)
             if d.startswith((f"{name}.old.", f"{name}.retraining."))
         ]
+
+
+def test_ivf_retrain_refuses_degraded_and_impostor_states(
+    spark, sf_oracle, tmp_path, monkeypatch
+):
+    """The two silent-loss holes the r12 review found in the retrain
+    recovery, pinned loud: (1) crashed-COMPACT fold leftovers
+    (appends.folding.*) hold committed rows the retrain's served union
+    would silently omit and then sweep — retrain must refuse and defer
+    to ivf_compact, after which it proceeds; (2) when a mid-swap crash
+    leaves a ready snapshot + its .old backup and the index dir is
+    then RECREATED (a default-path ivf_build rebuilds on missing), the
+    preamble must refuse and preserve both instead of sweeping the
+    only copies of the appended rows. Also: a roll-forward publish
+    strips the ready marker, keeping the live dir unmistakable for an
+    unpublished snapshot."""
+    import os
+    import shutil
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # (1) crashed-compact leftovers: simulate by renaming appends aside
+    idx1 = S.ivf_build(spark, str(half_dir), index_dir=str(tmp_path / "i1"))
+    S.ivf_append(spark, idx1, snap, batch_id=0)
+    os.rename(
+        os.path.join(idx1, "appends"),
+        os.path.join(idx1, "appends.folding.00000000000000000001"),
+    )
+    with pytest.raises(S.CompactionFenceError, match="fold leftovers"):
+        S.ivf_retrain(spark, idx1)
+    assert S.ivf_compact(spark, idx1) is True  # the owning recovery
+    # compact folded the appends WITHOUT refitting: no live appends, so
+    # the cheap no-op fires — the documented post-compact stale-centroid
+    # state needs force=True to refit
+    assert S.ivf_retrain(spark, idx1) is False
+    assert S.ivf_retrain(spark, idx1, force=True) is True
+    assert S.index_ready(idx1, "ivf")
+    # every appended row survived the refusal + heal + forced refit
+    served = {
+        r["vec_id"]
+        for r in S.ivf_lists_with_appends(spark, idx1).collect()
+    }
+    assert {r["vec_id"] for r in snap.select("vec_id").collect()} <= served
+    # the forced refit equals the retrain-from-appends space: same
+    # vector set, same deterministic kernel
+    cents1 = {
+        (r["cid"], tuple(r["c_emb"]))
+        for r in spark.read.parquet(
+            os.path.join(idx1, "centroids")
+        ).collect()
+    }
+    ref_dir = tmp_path / "full_ref"
+    emb.write.mode("overwrite").parquet(
+        str(ref_dir / "embeddings.parquet")
+    )
+    ref = S.ivf_build(spark, str(ref_dir), index_dir=str(tmp_path / "ref1"))
+    cents_ref = {
+        (r["cid"], tuple(r["c_emb"]))
+        for r in spark.read.parquet(os.path.join(ref, "centroids")).collect()
+    }
+    assert cents1 == cents_ref
+
+    # (2) mid-swap crash, then the index path is recreated
+    idx2 = str(tmp_path / "i2")
+    S.ivf_build(spark, str(half_dir), index_dir=idx2)
+    S.ivf_append(spark, idx2, snap, batch_id=0)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    class Boom(Exception):
+        pass
+
+    def boom(src, dst):
+        if str(src) == idx2 or str(dst) == idx2:
+            calls["n"] += 1
+            if calls["n"] == 2:  # between the two publish renames
+                raise Boom(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(Boom):
+        S.ivf_retrain(spark, idx2)
+    monkeypatch.undo()
+    assert not os.path.isdir(idx2)
+    # the impostor: a base-only rebuild lands at the missing path
+    S.ivf_build(spark, str(half_dir), index_dir=idx2)
+    with pytest.raises(S.CompactionFenceError, match="mid-swap"):
+        S.ivf_retrain(spark, idx2)
+    parent, name = os.path.split(idx2)
+    assert [d for d in os.listdir(parent) if d.startswith(f"{name}.old.")]
+    assert [
+        d for d in os.listdir(parent) if d.startswith(f"{name}.retraining.")
+    ]  # both preserved for the operator
+
+    # (3) roll-forward strips the ready marker: clear the impostor and
+    # let the preamble complete the dead swap
+    shutil.rmtree(idx2)
+    assert S.ivf_retrain(spark, idx2) is False  # roll-forward, no appends
+    assert not os.path.isfile(os.path.join(idx2, S._RETRAIN_READY))
+    full = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {
+        r["vec_id"] for r in S.ivf_lists_with_appends(spark, idx2).collect()
+    } == full
