@@ -79,20 +79,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries rotate to the front of the NEXT round's window via the same math —
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
-# Round 12 (r11 VERDICT tasks 1+2): the first-hash set stays empty (no
-# oracle upgrades this round).  The r11 registration queue goes live —
-# sim_lsh_incremental and sk_cms_incremental get their decorators (both
-# were built + locally oracle-proven + scale-probed in r11; the driver
-# check proves LSH append exactness and CMS merge-exactness).  New
-# registrations capped at those 2, so the 50-slot window takes both
-# rank -1 rows plus all 17 r8-stale rows plus 31 of the 50 r9-stale
-# rows (nothing older than r9 evidence should remain after round 12).
-# Round 13 registration queue (built + locally oracle-proven +
-# scale-probed in r12, decorator deferred for this round's window
-# math):
-#   - sim_ivf_retrain (operators/similarity.py, _ivf_retrain_oracle —
-#     the oracle replays the monolithic train, so the driver check
-#     proves retrain-from-served-state equals train-from-scratch)
+# Round 13 (r12 VERDICT tasks 1+2): the first-hash set stays empty (no
+# oracle upgrades this round).  The r12 registration queue goes live —
+# sim_ivf_retrain gets its decorator (built + locally oracle-proven +
+# scale-probed in r12; the oracle replays the monolithic train, so the
+# driver check proves retrain-from-served-state equals
+# train-from-scratch — the maintained-index story is now end-to-end
+# driver-evidenced: build → append → drift → retrain).  New
+# registrations capped at that 1, so the 50-slot window takes the
+# rank -1 row plus all 19 r9-stale rows plus 30 of the 50 r10-stale
+# rows (nothing older than r10 evidence should remain after round 13).
+# Round 14 registration queue: (filled as the round builds —
+# candidates: sim_ivfpq_retrain, ann_lsh_retrain, per VERDICT r12
+# tasks 4-5).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

@@ -131,6 +131,11 @@ HEADLINE = [
     # the merged-partials CMS heavy-hitter report (merge-exactness)
     "sim_lsh_incremental",
     "sk_cms_incremental",
+    # r13 addition (built + probed in r12, registered r13): the retrain
+    # closing the maintained-IVF loop — refit centroids on the served
+    # union (lists ∪ appends, raw corpus never re-read), re-assign, and
+    # report the refreshed space with moved-label counts
+    "sim_ivf_retrain",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -273,6 +278,9 @@ BUDGETS = {
     "sim_lsh_incremental": 4.2,  # fresh-JVM warm 1.1-1.5 (r12)
     # two half-corpus partials + constant-size cell merge + tf report
     "sk_cms_incremental": 2.4,  # fresh-JVM warm 0.8-0.9 (r12)
+    # two Lloyd trains + three frozen-centroid literal assignments over
+    # the localCheckpointed served union
+    "sim_ivf_retrain": 8.0,  # fresh-JVM warm 1.1-3.8 (r12 pre-proofs)
 }
 
 

@@ -17,6 +17,7 @@ before the UDF (select only bytes+id into it).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -578,7 +579,11 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered surface already has eager-helper precedent: the IVFPQ
     queries collect their constant-size codebook literal)."""
     docs = load_table(spark, sf_dir, "documents")
-    _warn_if_phash_saturating(docs.count())
+    if not _PHASH_WARN_FIRED:
+        key = os.path.abspath(sf_dir)
+        if key not in _PHASH_COUNT_CACHE:
+            _PHASH_COUNT_CACHE[key] = docs.count()
+        _warn_if_phash_saturating(_PHASH_COUNT_CACHE[key])
     media = phash_media(to_media_table(docs))
     offsets = [sum(PHASH_BAND_BITS[:j]) for j in range(PHASH_BANDS)]
     bands = F.array(
@@ -633,6 +638,20 @@ class PhashSaturationWarning(UserWarning):
     """mm_phash_neardup called past its fixed-width design point."""
 
 
+# Once-per-process enforcement for the saturation warning: Python's
+# default "default" filter dedups per unique MESSAGE TEXT, and the
+# message embeds the corpus size, so without this flag two differently
+# sized corpora (or an "always" filter) would warn repeatedly (r12
+# advice). Tests reset it explicitly.
+_PHASH_WARN_FIRED = False
+
+# The corpus count behind the warning is an eager Spark job on a
+# driver-evaluated surface; cache it per parquet dir so repeat
+# invocations (bench warm runs, repeated driver checks) pay it once
+# per process (r12 advice).
+_PHASH_COUNT_CACHE: dict[str, int] = {}
+
+
 def _warn_if_phash_saturating(n: int) -> None:
     """Programmatic steering for the legacy fixed-width query (r11
     VERDICT task 7): mm_phash_neardup keeps the 48-bit oracle contract
@@ -643,9 +662,13 @@ def _warn_if_phash_saturating(n: int) -> None:
     corpus-sized width exceeds the WIDEST fixed band, i.e. the point
     where phash_neardup_pairs_wide would size every band wider than
     this layout can represent."""
+    global _PHASH_WARN_FIRED
+    if _PHASH_WARN_FIRED:
+        return
     if phash_width_for(n) > max(PHASH_BAND_BITS):
         import warnings
 
+        _PHASH_WARN_FIRED = True
         warnings.warn(
             f"mm_phash_neardup's fixed {PHASH_BITS}-bit band layout is "
             f"undersized for this corpus ({n} media: adaptive per-band "

@@ -1354,12 +1354,12 @@ FROM stats JOIN sums2 USING (cid)
 """
 
 
-# NOTE: deliberately NOT registered this round — the r12 window math
-# caps new registrations at 2 (sim_lsh_incremental, sk_cms_incremental,
-# both registered at round open); the decorator goes on in round 13.
-# The oracle above is pre-proven equal to the Spark plan by
-# tests/test_similarity.py's local compare_query run, per the
-# build-now-register-next-round pattern.
+# Registered in round 13 per the build-now-register-next-round pattern
+# (built + locally oracle-proven + scale-probed in r12; the r12 window
+# math capped new registrations at sim_lsh_incremental +
+# sk_cms_incremental).  The oracle replays the monolithic train, so the
+# driver check proves retrain-from-served-state == train-from-scratch.
+@query("sim_ivf_retrain", _ivf_retrain_oracle())
 def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RETRAIN closing the maintained-IVF loop — the action a
     positive drift report (sim_ivf_incremental) calls for: refit the
@@ -1982,10 +1982,18 @@ def ivf_retrain(
        rows the served union would silently omit — ivf_compact owns
        that recovery;
     2. the epoch is bumped BEFORE the served state is read, so a
-       fenced append racing the retrain refuses (entry check or
-       post-write withdrawal) instead of landing rows the swap would
-       silently discard; unfenced appends stay under the quiesce
-       contract, as for compact;
+       fenced append whose stream was opened BEFORE the bump refuses
+       (entry check or post-write withdrawal) instead of landing rows
+       the swap would silently discard. The fold itself is PINNED to
+       the bid set listed at fold time (partition-pruned ``bid isin``),
+       so the centroid train and the lists write — two separate lazy
+       jobs — always see the same corpus, and a bid landed by a stream
+       (re)opened AFTER the bump (which snapshots the bumped epoch and
+       passes the fence) is caught by a re-list immediately before the
+       ready stamp, raising CompactionFenceError rather than being
+       discarded. Residual window: a bid landing between that re-list
+       and rename1 — plus any UNfenced writer — stays under the
+       drain/single-writer quiesce contract, as for compact;
     3. the new snapshot is written FULLY beside the index
        (<index>.retraining.<tag>: centroids, cid-partitioned lists,
        stats, the bumped epoch marker, the shape marker) and stamped
@@ -2086,19 +2094,47 @@ def ivf_retrain(
         )
 
     ap = os.path.join(index_dir, "appends")
-    has_appends = os.path.isdir(ap) and any(
-        d.startswith("bid=") for d in os.listdir(ap)
-    )
-    if not has_appends and not force:
+
+    def _bids() -> list[int]:
+        if not os.path.isdir(ap):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(ap)
+            if d.startswith("bid=")
+        )
+
+    fold_bids = _bids()
+    if not fold_bids and not force:
         return False
 
-    # 2. fence FIRST: anything appended after this point refuses (or
-    # withdraws) rather than being silently discarded by the swap
+    # 2. fence FIRST: a fenced append whose stream was opened before
+    # this bump refuses (entry check or post-write withdrawal) instead
+    # of landing rows the swap would silently discard
     epoch = _bump_epoch(index_dir)
 
-    served = ivf_lists_with_appends(spark, index_dir).select(
+    # The fold is PINNED to the bid set listed above: both Spark jobs
+    # below (the centroid train and the lists write) lazily re-read the
+    # served union, and without the pin a bid landing between them
+    # would train centroids on a different corpus than the published
+    # lists — breaking the byte-equivalence contract (r12 advice).
+    # Pinning by partition value (bid isin -> partition pruning) keeps
+    # the two reads consistent WITHOUT materializing the corpus the way
+    # a localCheckpoint would — the 100-TB-safe choice; bid partitions
+    # are immutable-once-committed (replays rewrite bit-identical
+    # content), so a pinned read is a consistent snapshot.
+    lists = spark.read.parquet(os.path.join(index_dir, "lists")).select(
         "vec_id", "embedding"
     )
+    if fold_bids:
+        pinned = (
+            spark.read.parquet(ap)
+            .filter(F.col("bid").isin([int(b) for b in fold_bids]))
+            .select("vec_id", "embedding")
+        )
+        served = lists.unionByName(pinned)
+    else:
+        served = lists
     cents2 = portable_centroids(served).localCheckpoint(eager=True)
     assigned = ivf_assign(served, cents2, round_digits=6)
 
@@ -2126,6 +2162,26 @@ def ivf_retrain(
         json.dump({"shape": list(_index_shape("ivf"))}, fh)
         fh.flush()
         os.fsync(fh.fileno())
+
+    # Late-bid check BEFORE the ready stamp: a fenced stream (re)opened
+    # AFTER the epoch bump snapshots the bumped epoch, passes the
+    # fence, and can land a new bid the pinned fold above never saw —
+    # publishing would silently discard it. Refuse loudly instead, and
+    # only ready-stamp a snapshot that passed the check, so no
+    # roll-forward candidate ever embeds a stale fold. Residual
+    # check-then-act window: a bid landing between this re-list and
+    # rename1 below still needs the drain/single-writer contract.
+    late = sorted(set(_bids()) - set(fold_bids))
+    if late:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise CompactionFenceError(
+            f"index {index_dir} received appended bids {late} after "
+            "the retrain's fold read (a stream opened after the epoch "
+            "bump passes the fence) — publishing this snapshot would "
+            "silently discard them. Drain writers and re-run "
+            "ivf_retrain; the fold will include the new bids."
+        )
+
     with open(os.path.join(tmp, _RETRAIN_READY), "w") as fh:
         fh.write(tag)
         fh.flush()

@@ -381,11 +381,17 @@ def test_phash_legacy_query_warns_past_saturation(spark, sf_oracle, tmp_path):
 
     import pyspark.sql.functions as F
 
+    from ftp_blueprints_spark.operators import multimodal as mm
     from ftp_blueprints_spark.operators.multimodal import (
         PhashSaturationWarning,
     )
     from ftp_blueprints_spark.plans.registry import QUERIES
 
+    # the warning is once-per-process and its corpus count is cached
+    # per sf_dir (r12 advice); reset both so this test is order-
+    # independent within the suite
+    mm._PHASH_WARN_FIRED = False
+    mm._PHASH_COUNT_CACHE.clear()
     with warnings.catch_warnings():
         warnings.simplefilter("error", PhashSaturationWarning)
         QUERIES["mm_phash_neardup"](spark, sf_oracle)  # 500 docs: silent

@@ -1742,3 +1742,64 @@ def test_ivf_retrain_refuses_degraded_and_impostor_states(
     assert {
         r["vec_id"] for r in S.ivf_lists_with_appends(spark, idx2).collect()
     } == full
+
+
+def test_ivf_retrain_refuses_late_bid(spark, sf_oracle, tmp_path, monkeypatch):
+    """The bump→publish hazard (r12 advice): a fenced stream (re)opened
+    AFTER the epoch bump snapshots the bumped epoch, passes the fence,
+    and lands a bid the pinned fold never saw — publishing would
+    silently discard it. The pre-ready re-list must refuse loudly,
+    leave the live index fully intact (old lists + ALL appended bids
+    still served), sweep its own snapshot, and a drained re-run must
+    fold everything including the late bid."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ivf_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_append(spark, idx, snap, batch_id=0)
+
+    # Land the late bid at the _next_tag call — after the fold's bid
+    # listing AND the epoch bump, before the snapshot write + re-list.
+    # A real post-bump stream write would carry rows; the refusal
+    # keys on the bid DIRECTORY appearing, so a bare partition dir is
+    # the honest minimal injection.
+    real_next_tag = S._next_tag
+
+    def late_append_then_tag(parent):
+        os.makedirs(os.path.join(idx, "appends", "bid=7"), exist_ok=True)
+        return real_next_tag(parent)
+
+    monkeypatch.setattr(S, "_next_tag", late_append_then_tag)
+    with pytest.raises(S.CompactionFenceError, match="after the retrain"):
+        S.ivf_retrain(spark, idx)
+    monkeypatch.undo()
+
+    # live index untouched: both bids still present, union still serves
+    ap = os.path.join(idx, "appends")
+    assert {d for d in os.listdir(ap) if d.startswith("bid=")} == {
+        "bid=0",
+        "bid=7",
+    }
+    # its own snapshot swept, nothing ready-stamped for roll-forward
+    parent, name = os.path.split(idx)
+    assert not [
+        d
+        for d in os.listdir(parent)
+        if d.startswith((f"{name}.retraining.", f"{name}.old."))
+    ]
+
+    # drained re-run folds everything (empty bid=7 contributes no rows)
+    assert S.ivf_retrain(spark, idx) is True
+    assert not os.path.isdir(ap)  # consumed
+    full = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(idx, "lists")).collect()
+    } == full

@@ -84,15 +84,25 @@ def test_phash_saturation_warning_threshold():
     wider than the 48-bit layout can represent."""
     import warnings
 
+    from ftp_blueprints_spark.operators import multimodal as mm
     from ftp_blueprints_spark.operators.multimodal import (
         PhashSaturationWarning,
         _warn_if_phash_saturating,
     )
 
+    mm._PHASH_WARN_FIRED = False
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # silence is the assertion
         for n in (1, 500, 1024):
             _warn_if_phash_saturating(n)
     for n in (1025, 10**6, 10**8):
+        # the warning is once-per-process (r12 advice); reset the flag
+        # so each threshold case is checked independently
+        mm._PHASH_WARN_FIRED = False
         with pytest.warns(PhashSaturationWarning, match="undersized"):
             _warn_if_phash_saturating(n)
+    # and the enforcement itself: a second call past the threshold is
+    # silent without a reset, even under an "always"/"error" filter
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PhashSaturationWarning)
+        _warn_if_phash_saturating(10**8)
