@@ -89,9 +89,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations capped at that 1, so the 50-slot window takes the
 # rank -1 row plus all 19 r9-stale rows plus 30 of the 50 r10-stale
 # rows (nothing older than r10 evidence should remain after round 13).
-# Round 14 registration queue: (filled as the round builds —
-# candidates: sim_ivfpq_retrain, ann_lsh_retrain, per VERDICT r12
-# tasks 4-5).
+# Round 14 registration queue (built + locally oracle-proven in r13,
+# decorator deferred for this round's window math):
+#   - sim_ivfpq_retrain (operators/similarity.py,
+#     _ivfpq_retrain_oracle — the oracle replays the monolithic IVFPQ
+#     train on the union, so the driver check proves
+#     retrain-with-the-exact-corpus equals train-from-scratch;
+#     pre-proven by test_ivfpq_retrain_matches_oracle_locally, tied to
+#     the persisted ivfpq_retrain path by
+#     test_ivfpq_retrain_stats_equal_query_surface).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

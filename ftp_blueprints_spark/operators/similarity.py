@@ -1946,6 +1946,196 @@ def ivf_lists_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:
 _RETRAIN_READY = "_retrain_ready"
 
 
+def _retrain_swap(
+    spark: SparkSession,
+    index_dir: str,
+    appends_name: str,
+    kind: str,
+    write_snapshot,
+    force: bool,
+    op_name: str,
+    compact_name: str,
+    shape_fn=None,
+) -> bool:
+    """The whole-dir snapshot-swap retrain engine shared by
+    ivf_retrain and ivfpq_retrain — one crash discipline, two
+    families. ``write_snapshot(tmp, fold_bids, epoch)`` materializes
+    the family's full artifact set under ``tmp``; the engine owns
+    everything else, in order:
+
+    1. recovery preamble: roll FORWARD a ready-but-dead swap when the
+       index dir is missing, else roll BACK to the newest backup;
+       refuse the impostor state (ready snapshot + matching backup +
+       live dir = a default-path rebuild raced a mid-swap crash) and
+       crashed-COMPACT fold leftovers (the compact owns them); sweep
+       stale retraining/backup siblings;
+    2. pin the fold to the bid set listed NOW, bump the epoch, and
+       no-op (False) when there is nothing to fold and not ``force``;
+    3. write the snapshot fully beside the index, stamp the epoch +
+       shape marker, re-list the appends and refuse if a bid landed
+       after the fold (ready only ever stamps a snapshot that passed),
+       then ready-stamp LAST (fsync'd);
+    4. two renames publish it; sweep backups on success.
+
+    See ivf_retrain's docstring for the rationale of each step — the
+    engine is its imperative part verbatim, parametrized on the
+    appends dirname, the shape kind, and the family's artifact
+    writer. ``shape_fn`` (optional, called AFTER write_snapshot so it
+    can reflect choices the writer made, e.g. an adaptive hash width)
+    overrides the marker's shape; default is the kind's constants."""
+    import json
+    import shutil
+
+    parent = os.path.dirname(os.path.abspath(index_dir))
+    name = os.path.basename(os.path.abspath(index_dir))
+
+    def _entries(prefix: str) -> list[str]:
+        return sorted(d for d in os.listdir(parent) if d.startswith(prefix))
+
+    # 1. recovery preamble
+    ready = [
+        d
+        for d in _entries(f"{name}.retraining.")
+        if os.path.isfile(os.path.join(parent, d, _RETRAIN_READY))
+    ]
+    if not os.path.isdir(index_dir):
+        if ready:  # newest tag: lexicographic max IS numeric max
+            os.rename(os.path.join(parent, ready[-1]), index_dir)
+            # published now: the live dir must never look like a
+            # roll-forward candidate (same as the normal publish path)
+            try:
+                os.remove(os.path.join(index_dir, _RETRAIN_READY))
+            except OSError:
+                pass
+        else:
+            backups = _entries(f"{name}.old.")
+            if not backups:
+                raise FileNotFoundError(f"no index at {index_dir}")
+            os.rename(os.path.join(parent, backups[-1]), index_dir)
+    else:
+        # A ready snapshot whose swap STARTED (a matching .old.<tag>
+        # backup exists — only rename1 creates those) while the index
+        # dir EXISTS means the live dir appeared AFTER a mid-swap
+        # crash: e.g. a default-path build saw the missing dir and
+        # silently rebuilt a base-only index there. Sweeping now would
+        # permanently discard the appended rows the snapshot folded —
+        # preserve both and make the operator choose (r12 review).
+        for d in ready:
+            tag = d.rsplit(".", 1)[-1]
+            if os.path.isdir(os.path.join(parent, f"{name}.old.{tag}")):
+                raise CompactionFenceError(
+                    f"index {index_dir} exists but a mid-swap crash "
+                    f"left ready snapshot {d} and backup "
+                    f"{name}.old.{tag} beside it — the live dir was "
+                    "recreated after the crash (a default-path build "
+                    "rebuilds on missing) and does NOT contain the "
+                    "snapshot's appended rows. Both are preserved; "
+                    "resolve manually (publish the snapshot or remove "
+                    "it explicitly) before retraining."
+                )
+    for d in _entries(f"{name}.retraining."):
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    for d in _entries(f"{name}.old."):
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+    # A crashed COMPACT's fold leftovers hold committed appended rows
+    # renamed aside; the served union reads only base ∪ appends, so
+    # retraining over them would fold a snapshot that silently omits
+    # those rows and then sweep them with the old dir. Refuse: the
+    # compact owns that recovery (r12 review).
+    folding = [
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith(f"{appends_name}.folding.")
+    ]
+    if folding:
+        raise CompactionFenceError(
+            f"index {index_dir} carries crashed-compact fold leftovers "
+            f"({folding}); run {compact_name} to heal them before "
+            "retraining — a retrain from this state would silently "
+            "drop the renamed-aside appended rows."
+        )
+
+    ap = os.path.join(index_dir, appends_name)
+
+    def _bids() -> list[int]:
+        if not os.path.isdir(ap):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(ap)
+            if d.startswith("bid=")
+        )
+
+    fold_bids = _bids()
+    if not fold_bids and not force:
+        return False
+
+    # 2. fence FIRST: a fenced append whose stream was opened before
+    # this bump refuses (entry check or post-write withdrawal) instead
+    # of landing rows the swap would silently discard
+    epoch = _bump_epoch(index_dir)
+
+    # 3. full snapshot beside the index, ready-stamped last. The tag
+    # scans the PARENT (where .old./.retraining. siblings live), so
+    # monotonicity-vs-existing-tags holds for the dirs this publish
+    # actually races with
+    tag = _next_tag(parent)
+    tmp = os.path.join(parent, f"{name}.retraining.{tag}")
+    write_snapshot(tmp, fold_bids, epoch)
+    with open(os.path.join(tmp, _EPOCH_FILE), "w") as fh:
+        fh.write(str(epoch))
+        fh.flush()
+        os.fsync(fh.fileno())
+    shape = list(shape_fn()) if shape_fn is not None else list(
+        _index_shape(kind)
+    )
+    with open(os.path.join(tmp, _INDEX_MARKER), "w") as fh:
+        json.dump({"shape": shape}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+
+    # Late-bid check BEFORE the ready stamp: a fenced stream (re)opened
+    # AFTER the epoch bump snapshots the bumped epoch, passes the
+    # fence, and can land a new bid the pinned fold above never saw —
+    # publishing would silently discard it. Refuse loudly instead, and
+    # only ready-stamp a snapshot that passed the check, so no
+    # roll-forward candidate ever embeds a stale fold. Residual
+    # check-then-act window: a bid landing between this re-list and
+    # rename1 below still needs the drain/single-writer contract.
+    late = sorted(set(_bids()) - set(fold_bids))
+    if late:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise CompactionFenceError(
+            f"index {index_dir} received appended bids {late} after "
+            "the retrain's fold read (a stream opened after the epoch "
+            "bump passes the fence) — publishing this snapshot would "
+            f"silently discard them. Drain writers and re-run "
+            f"{op_name}; the fold will include the new bids."
+        )
+
+    with open(os.path.join(tmp, _RETRAIN_READY), "w") as fh:
+        fh.write(tag)
+        fh.flush()
+        os.fsync(fh.fileno())
+
+    # 4. the two-rename publish
+    os.rename(index_dir, os.path.join(parent, f"{name}.old.{tag}"))
+    os.rename(tmp, index_dir)
+    # the published snapshot is no longer "retraining": drop the ready
+    # marker so a later crash's preamble can never mistake the LIVE dir
+    # for a roll-forward candidate
+    try:
+        os.remove(os.path.join(index_dir, _RETRAIN_READY))
+    except OSError:
+        pass
+
+    # 5. sweep
+    for d in _entries(f"{name}.old."):
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return True
+
+
 def ivf_retrain(
     spark: SparkSession, index_dir: str, force: bool = False
 ) -> bool:
@@ -1958,9 +2148,13 @@ def ivf_retrain(
     is re-assigned, the per-cid ``stats`` yardstick is recomputed
     against the NEW centroids (subsequent drift reports diff against
     the refreshed space), and the appends are consumed by the fold.
-    The result is byte-equivalent to ivf_build on the union corpus
-    (the kernel depends only on the vector set) — asserted by the
-    machinery test, and cross-engine by sim_ivf_retrain's oracle.
+    The result is byte-equivalent to ivf_build on the DISTINCT union
+    corpus (the kernel depends only on the vector set; replay-after-
+    fold residue — bit-identical duplicate rows, the documented
+    quiesce-contract window — is deduped before training, compact's
+    healing discipline, so residue can never double-weight the refit)
+    — asserted by the machinery test, and cross-engine by
+    sim_ivf_retrain's oracle.
 
     Publish discipline — a WHOLE-DIR snapshot swap, unlike compact's
     single-subdir ladder, because retrain replaces centroids + lists +
@@ -2021,187 +2215,79 @@ def ivf_retrain(
     their source offsets describe batches the retrain already folded
     (re-delivered rows re-append bit-identically: same vec_ids, cids
     assigned against the published centroids, healed by key dedup at
-    the next compact)."""
-    import json
-    import shutil
-
-    parent = os.path.dirname(os.path.abspath(index_dir))
-    name = os.path.basename(os.path.abspath(index_dir))
-
-    def _entries(prefix: str) -> list[str]:
-        return sorted(d for d in os.listdir(parent) if d.startswith(prefix))
-
-    # 1. recovery preamble
-    ready = [
-        d
-        for d in _entries(f"{name}.retraining.")
-        if os.path.isfile(os.path.join(parent, d, _RETRAIN_READY))
-    ]
-    if not os.path.isdir(index_dir):
-        if ready:  # newest tag: lexicographic max IS numeric max
-            os.rename(os.path.join(parent, ready[-1]), index_dir)
-            # published now: the live dir must never look like a
-            # roll-forward candidate (same as the normal publish path)
-            try:
-                os.remove(os.path.join(index_dir, _RETRAIN_READY))
-            except OSError:
-                pass
+    the next compact). Operations runbook: MAINTENANCE.md."""
+    def write_snapshot(tmp: str, fold_bids: list[int], epoch: int) -> None:
+        # The fold is PINNED to the engine's bid listing: both Spark
+        # jobs below (the centroid train and the lists write) lazily
+        # re-read the served union, and without the pin a bid landing
+        # between them would train centroids on a different corpus
+        # than the published lists — breaking the byte-equivalence
+        # contract (r12 advice). Pinning by partition value (bid isin
+        # -> partition pruning) keeps the two reads consistent WITHOUT
+        # materializing the corpus the way a localCheckpoint would —
+        # the 100-TB-safe choice; bid partitions are immutable-once-
+        # committed (replays rewrite bit-identical content), so a
+        # pinned read is a consistent snapshot.
+        lists = spark.read.parquet(os.path.join(index_dir, "lists")).select(
+            "vec_id", "embedding"
+        )
+        if fold_bids:
+            pinned = (
+                spark.read.parquet(os.path.join(index_dir, "appends"))
+                .filter(F.col("bid").isin([int(b) for b in fold_bids]))
+                .select("vec_id", "embedding")
+            )
+            served = lists.unionByName(pinned)
         else:
-            backups = _entries(f"{name}.old.")
-            if not backups:
-                raise FileNotFoundError(f"no index at {index_dir}")
-            os.rename(os.path.join(parent, backups[-1]), index_dir)
-    else:
-        # A ready snapshot whose swap STARTED (a matching .old.<tag>
-        # backup exists — only rename1 creates those) while the index
-        # dir EXISTS means the live dir appeared AFTER a mid-swap
-        # crash: e.g. a default-path ivf_build saw the missing dir and
-        # silently rebuilt a base-only index there. Sweeping now would
-        # permanently discard the appended rows the snapshot folded —
-        # preserve both and make the operator choose (r12 review).
-        for d in ready:
-            tag = d.rsplit(".", 1)[-1]
-            if os.path.isdir(os.path.join(parent, f"{name}.old.{tag}")):
-                raise CompactionFenceError(
-                    f"index {index_dir} exists but a mid-swap crash "
-                    f"left ready snapshot {d} and backup "
-                    f"{name}.old.{tag} beside it — the live dir was "
-                    "recreated after the crash (a default-path build "
-                    "rebuilds on missing) and does NOT contain the "
-                    "snapshot's appended rows. Both are preserved; "
-                    "resolve manually (publish the snapshot or remove "
-                    "it explicitly) before retraining."
-                )
-    for d in _entries(f"{name}.retraining."):
-        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-    for d in _entries(f"{name}.old."):
-        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-
-    # A crashed COMPACT's fold leftovers hold committed appended rows
-    # renamed aside (appends.folding.<tag>); the served union below
-    # reads only lists ∪ appends, so retraining over them would fold a
-    # snapshot that silently omits those rows and then sweep them with
-    # the old dir. Refuse: ivf_compact owns that recovery (r12 review).
-    folding = [
-        d for d in os.listdir(index_dir) if d.startswith("appends.folding.")
-    ]
-    if folding:
-        raise CompactionFenceError(
-            f"index {index_dir} carries crashed-compact fold leftovers "
-            f"({folding}); run ivf_compact to heal them before "
-            "retraining — a retrain from this state would silently "
-            "drop the renamed-aside appended rows."
+            served = lists
+        # Compact's healing discipline carried into the fold: a
+        # replayed already-folded bid leaves bit-identical residue
+        # rows beside their folded copies (the documented
+        # quiesce-contract window) — training on the raw MULTISET
+        # would double-weight those vectors and the retrain would no
+        # longer equal a build on the (distinct) union corpus. Exact
+        # duplicates dedup away; a CONFLICTING duplicate (same vec_id,
+        # different embedding — an append-only contract violation)
+        # refuses loudly, exactly as _compact_index asserts.
+        served = served.dropDuplicates(["vec_id", "embedding"])
+        conflicts = (
+            served.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if conflicts:
+            raise CompactionFenceError(
+                f"index {index_dir} serves conflicting rows for at "
+                "least one vec_id (same id, different embedding) — an "
+                "append-only contract violation retrain cannot "
+                "arbitrate. Heal the index (ivf_compact asserts the "
+                "same invariant) before retraining."
+            )
+        cents2 = portable_centroids(served).localCheckpoint(eager=True)
+        assigned = ivf_assign(served, cents2, round_digits=6)
+        cents2.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(tmp, "lists")
+        )
+        landed = spark.read.parquet(os.path.join(tmp, "lists")).select(
+            "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
+        )
+        _assign_cos_stats(landed, cents2).write.mode("overwrite").parquet(
+            os.path.join(tmp, "stats")
         )
 
-    ap = os.path.join(index_dir, "appends")
-
-    def _bids() -> list[int]:
-        if not os.path.isdir(ap):
-            return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(ap)
-            if d.startswith("bid=")
-        )
-
-    fold_bids = _bids()
-    if not fold_bids and not force:
-        return False
-
-    # 2. fence FIRST: a fenced append whose stream was opened before
-    # this bump refuses (entry check or post-write withdrawal) instead
-    # of landing rows the swap would silently discard
-    epoch = _bump_epoch(index_dir)
-
-    # The fold is PINNED to the bid set listed above: both Spark jobs
-    # below (the centroid train and the lists write) lazily re-read the
-    # served union, and without the pin a bid landing between them
-    # would train centroids on a different corpus than the published
-    # lists — breaking the byte-equivalence contract (r12 advice).
-    # Pinning by partition value (bid isin -> partition pruning) keeps
-    # the two reads consistent WITHOUT materializing the corpus the way
-    # a localCheckpoint would — the 100-TB-safe choice; bid partitions
-    # are immutable-once-committed (replays rewrite bit-identical
-    # content), so a pinned read is a consistent snapshot.
-    lists = spark.read.parquet(os.path.join(index_dir, "lists")).select(
-        "vec_id", "embedding"
+    return _retrain_swap(
+        spark,
+        index_dir,
+        appends_name="appends",
+        kind="ivf",
+        write_snapshot=write_snapshot,
+        force=force,
+        op_name="ivf_retrain",
+        compact_name="ivf_compact",
     )
-    if fold_bids:
-        pinned = (
-            spark.read.parquet(ap)
-            .filter(F.col("bid").isin([int(b) for b in fold_bids]))
-            .select("vec_id", "embedding")
-        )
-        served = lists.unionByName(pinned)
-    else:
-        served = lists
-    cents2 = portable_centroids(served).localCheckpoint(eager=True)
-    assigned = ivf_assign(served, cents2, round_digits=6)
-
-    # 3. full snapshot beside the index, ready-stamped last. The tag
-    # scans the PARENT (where .old./.retraining. siblings live), so
-    # monotonicity-vs-existing-tags holds for the dirs this publish
-    # actually races with
-    tag = _next_tag(parent)
-    tmp = os.path.join(parent, f"{name}.retraining.{tag}")
-    cents2.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(tmp, "lists")
-    )
-    landed = spark.read.parquet(os.path.join(tmp, "lists")).select(
-        "vec_id", "embedding", F.col("cid").cast("bigint").alias("cid")
-    )
-    _assign_cos_stats(landed, cents2).write.mode("overwrite").parquet(
-        os.path.join(tmp, "stats")
-    )
-    with open(os.path.join(tmp, _EPOCH_FILE), "w") as fh:
-        fh.write(str(epoch))
-        fh.flush()
-        os.fsync(fh.fileno())
-    with open(os.path.join(tmp, _INDEX_MARKER), "w") as fh:
-        json.dump({"shape": list(_index_shape("ivf"))}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-
-    # Late-bid check BEFORE the ready stamp: a fenced stream (re)opened
-    # AFTER the epoch bump snapshots the bumped epoch, passes the
-    # fence, and can land a new bid the pinned fold above never saw —
-    # publishing would silently discard it. Refuse loudly instead, and
-    # only ready-stamp a snapshot that passed the check, so no
-    # roll-forward candidate ever embeds a stale fold. Residual
-    # check-then-act window: a bid landing between this re-list and
-    # rename1 below still needs the drain/single-writer contract.
-    late = sorted(set(_bids()) - set(fold_bids))
-    if late:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise CompactionFenceError(
-            f"index {index_dir} received appended bids {late} after "
-            "the retrain's fold read (a stream opened after the epoch "
-            "bump passes the fence) — publishing this snapshot would "
-            "silently discard them. Drain writers and re-run "
-            "ivf_retrain; the fold will include the new bids."
-        )
-
-    with open(os.path.join(tmp, _RETRAIN_READY), "w") as fh:
-        fh.write(tag)
-        fh.flush()
-        os.fsync(fh.fileno())
-
-    # 4. the two-rename publish
-    os.rename(index_dir, os.path.join(parent, f"{name}.old.{tag}"))
-    os.rename(tmp, index_dir)
-    # the published snapshot is no longer "retraining": drop the ready
-    # marker so a later crash's preamble can never mistake the LIVE dir
-    # for a roll-forward candidate
-    try:
-        os.remove(os.path.join(index_dir, _RETRAIN_READY))
-    except OSError:
-        pass
-
-    # 5. sweep
-    for d in _entries(f"{name}.old."):
-        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-    return True
 
 
 ANN_BANDS = 32
@@ -2586,6 +2672,38 @@ def sim_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_drift_report(base, new)
 
 
+def lsh_rows_for(n: int) -> int:
+    """Rows (sig bits) per band sized to the corpus — the LSH sibling
+    of phash_width_for: 2^rows >= n keeps the expected per-(band, sig)
+    bucket load O(1), so banded candidate pairs stay ~linear in n
+    instead of n^2 / 2^rows. Floor of ANN_ROWS reproduces the build
+    constant at small corpora. Recall survives the growth because the
+    index is an OR-construction over ANN_BANDS bands: a near-dup pair
+    with per-plane agreement p matches a band with p^rows, and
+    1 - (1 - p^rows)^bands stays ~1 for p near 1 even at rows ~
+    log2(n) — the dd_minhash adaptive-bands doctrine applied to the
+    hyperplane family. INTEGER bit_length, not float ceil(log2), for
+    the same 2^k + 1 ulp reason phash_width_for documents."""
+    return max(ANN_ROWS, max(n - 1, 1).bit_length())
+
+
+def _lsh_index_width(index_dir: str) -> tuple[int, int]:
+    """(bands, rows) the persisted LSH index was hashed at, read from
+    its shape marker — the published truth every append and re-hash
+    must follow. Before width-adaptive retrains existed this was
+    always (ANN_BANDS, ANN_ROWS); reading the marker instead of the
+    constants is what lets appends keep hashing correctly AFTER an
+    ann_lsh_retrain widened the index (a constants-width append into a
+    widened index would land sigs no serve-time bucket join could ever
+    match). Fails loudly on a missing/foreign marker — hashing at a
+    guessed width would corrupt the index silently."""
+    import json
+
+    with open(os.path.join(index_dir, _INDEX_MARKER)) as fh:
+        shape = json.load(fh)["shape"]
+    return int(shape[0]), int(shape[1])
+
+
 def ann_lsh_append(
     spark: SparkSession,
     index_dir: str,
@@ -2620,8 +2738,12 @@ def ann_lsh_append(
     if new_emb.isEmpty():
         empty = spark.createDataFrame([], "band bigint, n bigint, pair_sum bigint")
         return _lsh_drift_report(base_stats, empty)
+    # hash at the INDEX's published width, not the build constants —
+    # after a width-adaptive ann_lsh_retrain the two differ, and a
+    # constants-width sig could never match a widened bucket
+    bands, rows = _lsh_index_width(index_dir)
     sigs = (
-        band_signatures(new_emb, ANN_BANDS, ANN_ROWS, quantize=True)
+        band_signatures(new_emb, bands, rows, quantize=True)
         .select("vec_id", "band", "sig")
         .withColumn("bid", F.lit(int(batch_id)).cast("bigint"))
     )
@@ -2665,7 +2787,8 @@ def ann_lsh_compact(spark: SparkSession, index_dir: str) -> bool:
     band, and the deterministic fixed-seed planes make any replay of
     the same vec_id bit-identical per band. The training ``stats`` are
     untouched: they are the frozen collision-density yardstick.
-    Returns False when nothing to fold."""
+    Returns False when nothing to fold. Operations runbook:
+    MAINTENANCE.md."""
     return _compact_index(
         spark,
         index_dir,
@@ -2676,6 +2799,125 @@ def ann_lsh_compact(spark: SparkSession, index_dir: str) -> bool:
             "vec_id", F.col("band").cast("int").alias("band"), "sig"
         ),
         part_col="band",
+    )
+
+
+def ann_lsh_retrain(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    rows: int | None = None,
+    force: bool = False,
+) -> bool:
+    """Re-hash the maintained LSH-ANN index at a refreshed width — the
+    action its own drift report calls for (ann_lsh_append's POSITIVE
+    density drift = buckets collide denser than the training corpus =
+    candidate pairs growing superlinearly), completing the hashed
+    family's lifecycle loop build → append → drift → RE-HASH.
+
+    WHY THE EXACT CORPUS IS A PARAMETER (the storage-vs-contract
+    decision): the sig table deliberately carries ~10 bytes per
+    (vector, band) and NO embeddings — carrying them would multiply
+    index storage by the vector size times ANN_BANDS and turn every
+    append into a vector copy, purely to save the rare re-hash a
+    corpus read. So, as for ivfpq_retrain, the honest contract is an
+    explicit ``corpus`` argument — the (vec_id, embedding) rows the
+    index serves, re-read ONCE per re-hash — with an id-set integrity
+    check (via the band=0 partition only: bands partition the table
+    and every vector owns exactly one row per band, so the check is a
+    partition-pruned read, never a distinct over n x bands rows) that
+    refuses a wrong corpus loudly. Appends stay cheap forever; the
+    re-hash is the rare heavyweight event.
+
+    The width refreshes adaptively: rows per band = lsh_rows_for(|corpus|)
+    (~log2 n — restores O(1) expected bucket loads; recall survives
+    via the 32-band OR-construction, see lsh_rows_for) unless ``rows``
+    pins it explicitly. The shape MARKER records the published width
+    (bands, rows, seed, dim, layout), which is what ann_lsh_append and
+    the stream twin hash against (_lsh_index_width) — so appends keep
+    matching the widened buckets, and index_ready's constants check
+    correctly reports a width-retrained index as NOT the default-cache
+    shape (the default temp-dir cache must never serve it as if it
+    were). The per-band ``stats`` yardstick is recomputed from the
+    landed read-back at the new width — subsequent drift reports diff
+    against the refreshed density surface.
+
+    Unlike the other two retrains there is no training state: the
+    planes are a fixed-seed function and the refit is just hashing, so
+    the operator is a thin snapshot-swap wrapper over band_signatures
+    on the corpus. Equivalence: with rows pinned to ANN_ROWS the
+    published sigs are byte-equivalent to ann_lsh_build on the same
+    corpus (same kernel, same quantized planes) — the machinery test's
+    anchor. Crash discipline, fencing, bid pinning, the late-bid
+    refusal, and the quiesce/restart-AFRESH stream rule are the shared
+    _retrain_swap engine, as for the other families. Returns False
+    when there is nothing to fold and not ``force`` (width-only
+    refresh of an appendless index wants force=True). Operations
+    runbook: MAINTENANCE.md."""
+    chosen: dict[str, int] = {}
+
+    def write_snapshot(tmp: str, fold_bids: list[int], epoch: int) -> None:
+        base_ids = (
+            spark.read.parquet(os.path.join(index_dir, "sigs"))
+            .filter(F.col("band") == 0)
+            .select("vec_id")
+        )
+        if fold_bids:
+            ap_ids = (
+                spark.read.parquet(os.path.join(index_dir, "appends"))
+                .filter(
+                    F.col("bid").isin([int(b) for b in fold_bids])
+                    & (F.col("band") == 0)
+                )
+                .select("vec_id")
+            )
+            served_ids = base_ids.unionByName(ap_ids)
+        else:
+            served_ids = base_ids
+        corpus_ids = corpus.select("vec_id")
+        n_extra = corpus_ids.subtract(served_ids).count()
+        n_missing = served_ids.subtract(corpus_ids).count()
+        if n_extra or n_missing:
+            raise ValueError(
+                f"ann_lsh_retrain corpus does not match the served "
+                f"index at {index_dir}: {n_extra} corpus ids the index "
+                f"never indexed, {n_missing} indexed ids the corpus "
+                "lacks. The corpus argument must be exactly the "
+                "(vec_id, embedding) rows the index serves — "
+                "re-hashing anything else would silently drop or "
+                "invent vectors."
+            )
+        width = int(rows) if rows is not None else lsh_rows_for(
+            corpus.count()
+        )
+        chosen["rows"] = width
+        sigs = band_signatures(
+            corpus, ANN_BANDS, width, quantize=True
+        ).select("vec_id", "band", "sig")
+        sigs.write.mode("overwrite").partitionBy("band").parquet(
+            os.path.join(tmp, "sigs")
+        )
+        landed = spark.read.parquet(os.path.join(tmp, "sigs"))
+        _band_pair_stats(landed).write.mode("overwrite").parquet(
+            os.path.join(tmp, "stats")
+        )
+
+    return _retrain_swap(
+        spark,
+        index_dir,
+        appends_name="appends",
+        kind="annlsh",
+        write_snapshot=write_snapshot,
+        force=force,
+        op_name="ann_lsh_retrain",
+        compact_name="ann_lsh_compact",
+        shape_fn=lambda: (
+            ANN_BANDS,
+            chosen["rows"],
+            PLANE_SEED,
+            DIM,
+            2,
+        ),
     )
 
 
@@ -3260,38 +3502,52 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) 
         return out
     emb = load_table(spark, sf_dir, "embeddings")
     cents, coded, books_q = ivfpq_fit(emb)
-    M, KS, d_sub = books_q.shape
 
     def write(tmp: str) -> None:
-        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-        # cid partitioning: the serve-phase probe join prunes to
-        # nprobe/K of the code FILES (the lists layout's discipline),
-        # and ivfpq_compact folds cid-partitioned appends into the
-        # same shape
-        coded.write.mode("overwrite").partitionBy("cid").parquet(
-            os.path.join(tmp, "codes")
-        )
-        # per-cid training quantization-error stats: the frozen
-        # yardstick ivfpq_append diffs code-space drift against.
-        # Computed from the codes JUST WRITTEN (read-back = the
-        # durable truth; re-executing `coded` would re-run the full
-        # encode pass — the ivf_build discipline).
-        landed = spark.read.parquet(os.path.join(tmp, "codes")).select(
-            "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
-        )
-        _qerr_stats(landed).write.mode("overwrite").parquet(
-            os.path.join(tmp, "stats")
-        )
-        book_rows = [
-            (m, k, [int(v) for v in books_q[m, k]])
-            for m in range(M)
-            for k in range(KS)
-        ]
-        spark.createDataFrame(
-            book_rows, "m int, k int, sub array<bigint>"
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
+        _ivfpq_write_artifacts(spark, tmp, cents, coded, books_q)
 
     return _publish_index(out, "ivfpq", write)
+
+
+def _ivfpq_write_artifacts(
+    spark: SparkSession,
+    tmp: str,
+    cents: DataFrame,
+    coded: DataFrame,
+    books_q: np.ndarray,
+) -> None:
+    """Materialize a fitted IVFPQ index's four artifacts under ``tmp``
+    — shared by ivfpq_build and ivfpq_retrain so the two write paths
+    can never drift (the retrain's byte-equivalence contract IS this
+    sharing plus ivfpq_fit's determinism)."""
+    M, KS, _d_sub = books_q.shape
+    cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    # cid partitioning: the serve-phase probe join prunes to
+    # nprobe/K of the code FILES (the lists layout's discipline),
+    # and ivfpq_compact folds cid-partitioned appends into the
+    # same shape
+    coded.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(tmp, "codes")
+    )
+    # per-cid training quantization-error stats: the frozen
+    # yardstick ivfpq_append diffs code-space drift against.
+    # Computed from the codes JUST WRITTEN (read-back = the
+    # durable truth; re-executing `coded` would re-run the full
+    # encode pass — the ivf_build discipline).
+    landed = spark.read.parquet(os.path.join(tmp, "codes")).select(
+        "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
+    )
+    _qerr_stats(landed).write.mode("overwrite").parquet(
+        os.path.join(tmp, "stats")
+    )
+    book_rows = [
+        (m, k, [int(v) for v in books_q[m, k]])
+        for m in range(M)
+        for k in range(KS)
+    ]
+    spark.createDataFrame(
+        book_rows, "m int, k int, sub array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
 
 
 @query("sim_ivfpq_query", _ivfpq_oracle())
@@ -3515,7 +3771,8 @@ def ivfpq_compact(spark: SparkSession, index_dir: str) -> bool:
     epoch-fence bump, append-only contract assertion, cand_id-dedup
     healing, monotonic two-rename publish). The training ``stats`` and
     ``codebooks`` are untouched: they are the frozen drift yardstick
-    and the frozen quantizer. Returns False when nothing to fold."""
+    and the frozen quantizer. Returns False when nothing to fold.
+    Operations runbook: MAINTENANCE.md."""
     return _compact_index(
         spark,
         index_dir,
@@ -3525,6 +3782,259 @@ def ivfpq_compact(spark: SparkSession, index_dir: str) -> bool:
         project=lambda df: df.select(
             "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
         ),
+    )
+
+
+def ivfpq_retrain(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    force: bool = False,
+) -> bool:
+    """Retrain the maintained IVFPQ index — the action its own drift
+    report calls for (ivfpq_append's POSITIVE ``qerr_sum_mu`` drift =
+    new vectors quantize worse against the frozen codebooks),
+    completing the compressed family's lifecycle loop
+    build → append → drift → RETRAIN.
+
+    WHY THE EXACT CORPUS IS A PARAMETER (the one contract difference
+    from ivf_retrain): an IVF index's lists ARE the exact vector store
+    — cid-partitioned (vec_id, embedding) rows — so ivf_retrain refits
+    from served state alone. The IVFPQ index exists to NOT be that:
+    4-byte codes carry 32 bits of a 64-dim float vector, so no
+    function of codes ∪ code_appends can refit a quantizer (decoding
+    residuals reproduces points already on the old codebook grid —
+    a refit over them is the old codebook selected by itself, zero new
+    information). Exact retraining therefore needs exact vectors from
+    OUTSIDE the index, and the honest contract is an explicit
+    ``corpus`` argument: the (vec_id, embedding) rows the index
+    serves, re-read ONCE per retrain. Appends stay cheap forever
+    (assign + encode, never a corpus re-read); retrain is the rare
+    heavyweight event, as in production ANN systems, where PQ
+    retraining always re-reads training vectors. A WRONG corpus is the
+    deadly input (silently dropping or inventing vectors), so the fold
+    asserts id-set equality between ``corpus`` and the served codes ∪
+    pinned code_appends and refuses loudly on any difference — two
+    id-only distinct-subtracts, corpus-scale but retrain-cadence.
+
+    Everything refits: coarse centroids (portable_centroids on the
+    corpus), residual codebooks (PQ_KS lowest vec_ids vs the NEW
+    centroids), every code re-encoded, and the per-cid ``qerr_sum_mu``
+    yardstick recomputed against the new space — so subsequent drift
+    reports diff against the refreshed quantizer. The result is
+    byte-equivalent to ivfpq_build on the same corpus BY CONSTRUCTION:
+    the artifact writer is shared (_ivfpq_write_artifacts) and
+    ivfpq_fit is deterministic from the vector set — asserted by the
+    machinery test, exactly the ivf_retrain equivalence statement with
+    the build one level down.
+
+    Crash discipline is the shared _retrain_swap engine (ivf_retrain's
+    ladder verbatim): recovery preamble (roll-forward / roll-back /
+    impostor refusal / crashed-compact-leftover refusal), epoch bump
+    before the fold, bid-pinned fold, full snapshot beside the index
+    (one more artifact than IVF: codebooks join the atomic publish),
+    pre-ready late-bid re-list, fsync'd ready stamp, two-rename
+    publish, sweep. Quiesce/single-writer contract and the
+    restart-AFRESH stream-twin rule are as for ivf_retrain (the
+    default checkpoint lives inside the swapped-away dir; re-delivered
+    batches re-encode bit-identically against the OLD books only if
+    the old stream is drained first — after a retrain the frozen
+    state changed, so a stale stream's cached centroids/books would
+    append codes in the WRONG space: drain before, restart after).
+
+    Returns False when there is nothing to do (no live code_appends
+    and not ``force`` — pass force=True after a compact, which folds
+    appends without refitting, exactly as for ivf_retrain). Operations
+    runbook: MAINTENANCE.md."""
+
+    def write_snapshot(tmp: str, fold_bids: list[int], epoch: int) -> None:
+        base_ids = spark.read.parquet(
+            os.path.join(index_dir, "codes")
+        ).select(F.col("cand_id").alias("vec_id"))
+        if fold_bids:
+            ap_ids = (
+                spark.read.parquet(os.path.join(index_dir, "code_appends"))
+                .filter(F.col("bid").isin([int(b) for b in fold_bids]))
+                .select(F.col("cand_id").alias("vec_id"))
+            )
+            served_ids = base_ids.unionByName(ap_ids)
+        else:
+            served_ids = base_ids
+        corpus_ids = corpus.select("vec_id")
+        n_extra = corpus_ids.subtract(served_ids).count()
+        n_missing = served_ids.subtract(corpus_ids).count()
+        if n_extra or n_missing:
+            raise ValueError(
+                f"ivfpq_retrain corpus does not match the served index "
+                f"at {index_dir}: {n_extra} corpus ids the index never "
+                f"indexed, {n_missing} indexed ids the corpus lacks. "
+                "The corpus argument must be exactly the (vec_id, "
+                "embedding) rows the index serves — retraining on "
+                "anything else would silently drop or invent vectors."
+            )
+        cents2, coded2, books_q2 = ivfpq_fit(
+            corpus.select("vec_id", "embedding")
+        )
+        _ivfpq_write_artifacts(spark, tmp, cents2, coded2, books_q2)
+
+    return _retrain_swap(
+        spark,
+        index_dir,
+        appends_name="code_appends",
+        kind="ivfpq",
+        write_snapshot=write_snapshot,
+        force=force,
+        op_name="ivfpq_retrain",
+        compact_name="ivfpq_compact",
+    )
+
+
+def _ivfpq_retrain_oracle() -> str:
+    d_sub = DIM // PQ_M
+    cos_c1 = (
+        "list_dot_product(ax.v, c1.c) / "
+        "(sqrt(list_dot_product(ax.v, ax.v)) * "
+        "sqrt(list_dot_product(c1.c, c1.c)))"
+    )
+    cos_ks2 = (
+        "list_dot_product(ax.v, s.c) / "
+        "(sqrt(list_dot_product(ax.v, ax.v)) * "
+        "sqrt(list_dot_product(s.c, s.c)))"
+    )
+    cos_c2 = (
+        "list_dot_product(ax.v, c2.c) / "
+        "(sqrt(list_dot_product(ax.v, ax.v)) * "
+        "sqrt(list_dot_product(c2.c, c2.c)))"
+    )
+    d2 = (
+        f"list_sum(list_transform(range(1, {d_sub + 1}), "
+        f"j -> (r.rq[t.m * {d_sub} + j] - s.rq[t.m * {d_sub} + j])"
+        f" * (r.rq[t.m * {d_sub} + j] - s.rq[t.m * {d_sub} + j])))"
+    )
+    return f"""
+WITH {_portable_c1_cte(where="WHERE vec_id % 2 = 0")},
+ax AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+old AS (SELECT vec_id, cid AS old_cid FROM (
+    SELECT ax.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY ax.vec_id
+             ORDER BY ROUND({cos_c1}, 6) DESC, c1.cid) AS rn
+    FROM ax CROSS JOIN c1) WHERE rn = 1),
+ks2 AS (SELECT vec_id AS cid, v AS c FROM ax ORDER BY vec_id LIMIT {IVF_K}),
+b1 AS (SELECT vec_id, cid FROM (
+    SELECT ax.vec_id, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY ax.vec_id
+             ORDER BY ROUND({cos_ks2}, 6) DESC, s.cid) AS rn
+    FROM ax CROSS JOIN ks2 s) WHERE rn = 1),
+axq2 AS (SELECT vec_id,
+                list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+         FROM ax),
+cellsb AS (SELECT b1.cid, t.i AS pos, SUM(axq2.vq[t.i + 1]) AS s
+           FROM b1 JOIN axq2 USING (vec_id)
+           CROSS JOIN (SELECT UNNEST(range(0, {DIM})) AS i) t
+           GROUP BY b1.cid, t.i),
+nb AS (SELECT cid, COUNT(*) AS n FROM b1 GROUP BY cid),
+c2 AS (SELECT c.cid,
+              list(CAST(c.s AS DOUBLE) / CAST(n.n * 1000000 AS DOUBLE)
+                   ORDER BY c.pos) AS c
+       FROM cellsb c JOIN nb n USING (cid) GROUP BY c.cid),
+a2 AS (SELECT vec_id, cid FROM (
+    SELECT ax.vec_id, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY ax.vec_id
+             ORDER BY ROUND({cos_c2}, 6) DESC, c2.cid) AS rn
+    FROM ax CROSS JOIN c2) WHERE rn = 1),
+res AS (SELECT a2.vec_id, a2.cid,
+               list_transform(range(1, {DIM + 1}),
+                 j -> CAST(FLOOR((ax.v[j] - c2.c[j]) * 1000000) AS BIGINT))
+                 AS rq
+        FROM a2 JOIN ax USING (vec_id) JOIN c2 USING (cid)),
+bseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, rq
+           FROM res ORDER BY vec_id LIMIT {PQ_KS}),
+mind AS (SELECT vec_id, cid, d2 FROM (
+    SELECT r.vec_id, r.cid, t.m, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id, t.m
+             ORDER BY {d2} ASC, s.k ASC) AS rn
+    FROM res r CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) t
+    CROSS JOIN bseeds s) WHERE rn = 1),
+qv AS (SELECT vec_id, cid, CAST(SUM(d2) AS BIGINT) // 1000000 AS qmu
+       FROM mind GROUP BY vec_id, cid)
+SELECT CAST(qv.cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(qv.qmu) AS BIGINT) AS qerr_sum_mu,
+       CAST(SUM(CAST(qv.cid <> old.old_cid AS INTEGER)) AS BIGINT) AS n_moved
+FROM qv JOIN old USING (vec_id)
+GROUP BY qv.cid
+"""
+
+
+# ROUND-14 REGISTRATION QUEUE (build-now-register-next-round): built +
+# locally oracle-proven in r13; the decorator goes on in round 14 under
+# that round's window math.  The oracle replays the monolithic IVFPQ
+# train on the union, so the driver check will prove that
+# retrain-with-the-exact-corpus equals train-from-scratch — the
+# compressed-family analog of sim_ivf_retrain's retrain-exactness.
+def sim_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN closing the maintained-IVFPQ loop — the action a
+    positive qerr drift report (sim_ivfpq_incremental) calls for:
+    refit the coarse centroids AND the residual codebooks on the full
+    corpus (standing half ∪ snapshot half — the exact corpus
+    ivfpq_retrain's contract requires, since 4-byte codes cannot
+    train a quantizer), re-encode every vector, and report the
+    refreshed code space.
+
+    Output per NEW cid: member count, the refreshed integer
+    quantization-error sum (the yardstick subsequent drift reports
+    diff against), and ``n_moved`` — members whose pre-retrain coarse
+    label (assignment into the STANDING centroids, i.e. their
+    codes/code_appends cid) differs from their new label. n_moved
+    keeps the standing-space assignment load-bearing in the plan, the
+    same column-pruning insurance sim_ivf_retrain carries.
+
+    This IS ivfpq_retrain's arithmetic — the machinery test asserts
+    the persisted path (ivfpq_build on the standing half +
+    ivfpq_append of the snapshot + ivfpq_retrain on the union) serves
+    an index whose stats table equals these (cid, n, qerr_sum_mu)
+    rows, with the codes byte-equivalent to a fresh build on the
+    union.
+
+    Scale shape: two Lloyd trains + three zero-shuffle literal-argmax
+    assignments + two narrow Arrow encode passes; every exchange
+    carries K-cardinality rows except the (cid, pos) cell sums. The
+    served union is localCheckpointed once (it feeds the old-label
+    assignment, the new train, and the re-encode)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    snapshot = emb.filter(F.col("vec_id") % 2 == 1)
+    c1 = portable_centroids(standing).localCheckpoint(eager=True)
+    served = (
+        ivf_assign(standing, c1, round_digits=6)
+        .unionByName(ivf_assign(snapshot, c1, round_digits=6))
+        .withColumnRenamed("cid", "old_cid")
+        .localCheckpoint(eager=True)
+    )
+    vecs = served.select("vec_id", "embedding")
+    c2 = portable_centroids(vecs).localCheckpoint(eager=True)
+    books_q2 = quantize_books(
+        pq_codebooks(
+            _residuals(vecs.orderBy("vec_id").limit(PQ_KS), c2),
+            emb_col="residual",
+        )
+    )
+    coded2 = pq_encode_qerr(
+        _residuals(vecs, c2), books_q2, emb_col="residual"
+    )
+    return (
+        coded2.select("vec_id", F.col("cid").cast("bigint").alias("cid"), "qerr")
+        .join(served.select("vec_id", "old_cid"), "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.expr("qerr DIV 1000000")).cast("bigint").alias(
+                "qerr_sum_mu"
+            ),
+            F.sum((F.col("old_cid") != F.col("cid")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved"),
+        )
     )
 
 

@@ -1803,3 +1803,299 @@ def test_ivf_retrain_refuses_late_bid(spark, sf_oracle, tmp_path, monkeypatch):
         r["vec_id"]
         for r in spark.read.parquet(os.path.join(idx, "lists")).collect()
     } == full
+
+
+def test_ivfpq_retrain_machinery_equals_fresh_build(spark, sf_oracle, tmp_path):
+    """The compressed family's lifecycle loop closes (r12 VERDICT
+    task 4): ivfpq_build(standing half) + ivfpq_append(snapshot half)
+    + ivfpq_retrain(full corpus) must yield an index byte-equivalent
+    to a FRESH ivfpq_build on the union — centroids, cid-partitioned
+    codes, the recomputed qerr stats yardstick, AND the refit
+    codebooks (the artifact IVF doesn't have) all equal — with the
+    code_appends consumed, the epoch advanced (a pre-retrain fenced
+    append refuses), a WRONG corpus refused loudly before any write,
+    and a second retrain (nothing appended since) a clean no-op."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ivfpq_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    epoch0 = S.compaction_epoch(idx)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivfpq_append(spark, idx, snap, batch_id=0)
+
+    # the deadly input: a corpus that is NOT the served id set refuses
+    # before any artifact is written, and the live index is untouched
+    with pytest.raises(ValueError, match="does not match the served"):
+        S.ivfpq_retrain(spark, idx, emb.filter(F.col("vec_id") > 10))
+    assert os.path.isdir(os.path.join(idx, "code_appends"))
+
+    assert S.ivfpq_retrain(spark, idx, emb) is True
+    assert not os.path.isdir(os.path.join(idx, "code_appends"))  # consumed
+    assert S.compaction_epoch(idx) > epoch0
+    with pytest.raises(S.CompactionFenceError):
+        S.ivfpq_append(spark, idx, snap, batch_id=1, expect_epoch=epoch0)
+
+    full_dir = tmp_path / "full"
+    emb.write.mode("overwrite").parquet(str(full_dir / "embeddings.parquet"))
+    ref = S.ivfpq_build(spark, str(full_dir), index_dir=str(tmp_path / "ref"))
+
+    def cents_key(d):
+        return {
+            (r["cid"], tuple(r["c_emb"]))
+            for r in spark.read.parquet(os.path.join(d, "centroids")).collect()
+        }
+
+    def codes_key(d):
+        return {
+            (r["cand_id"], int(r["cid"]), tuple(r["codes"]), r["qerr"])
+            for r in spark.read.parquet(os.path.join(d, "codes")).collect()
+        }
+
+    def stats_key(d):
+        return {
+            (int(r["cid"]), r["n"], r["qerr_sum_mu"])
+            for r in spark.read.parquet(os.path.join(d, "stats")).collect()
+        }
+
+    def books_key(d):
+        return {
+            (r["m"], r["k"], tuple(r["sub"]))
+            for r in spark.read.parquet(os.path.join(d, "codebooks")).collect()
+        }
+
+    assert cents_key(idx) == cents_key(ref)
+    assert codes_key(idx) == codes_key(ref)
+    assert stats_key(idx) == stats_key(ref)
+    assert books_key(idx) == books_key(ref)
+    assert S.index_ready(idx, "ivfpq")  # shape marker re-stamped
+
+    # clean publish: no siblings left beside the index
+    parent, name = os.path.split(idx)
+    assert not [
+        d
+        for d in os.listdir(parent)
+        if d.startswith((f"{name}.old.", f"{name}.retraining."))
+    ]
+    assert S.ivfpq_retrain(spark, idx, emb) is False  # no appends: no-op
+
+
+def test_ivfpq_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
+    """The shared _retrain_swap engine's crash discipline holds for
+    the SECOND family riding it: kill the whole-dir swap between the
+    two publish renames and require the dir to go missing (readers
+    fail loudly, never stale) and the next ivfpq_retrain call to roll
+    FORWARD, publishing the dead swap's snapshot — byte-equivalent to
+    the fresh build on the union — without re-running the fold."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ivfpq_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivfpq_append(spark, idx, snap, batch_id=0)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    class Boom(Exception):
+        pass
+
+    def boom(src, dst):
+        if str(src) == idx or str(dst) == idx:
+            calls["n"] += 1
+            if calls["n"] == 2:  # between the two publish renames
+                raise Boom(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(Boom):
+        S.ivfpq_retrain(spark, idx, emb)
+    monkeypatch.undo()
+    assert not os.path.isdir(idx)  # mid-swap: loud, never stale
+
+    # roll-forward completes the dead swap; nothing left to fold after
+    assert S.ivfpq_retrain(spark, idx, emb) is False
+    assert not os.path.isfile(os.path.join(idx, S._RETRAIN_READY))
+    full_dir = tmp_path / "full"
+    emb.write.mode("overwrite").parquet(str(full_dir / "embeddings.parquet"))
+    ref = S.ivfpq_build(spark, str(full_dir), index_dir=str(tmp_path / "ref"))
+    got = {
+        (r["cand_id"], int(r["cid"]), tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(idx, "codes")).collect()
+    }
+    want = {
+        (r["cand_id"], int(r["cid"]), tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(ref, "codes")).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_retrain_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-14 registration (the
+    build-now-register-later pattern): sim_ivfpq_retrain's
+    retrain-on-the-exact-corpus plan vs the oracle's MONOLITHIC
+    train-from-scratch under the driver's own comparison — the driver
+    check will prove the compressed family's retrain-exactness by
+    hashing both paths."""
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sim_ivfpq_retrain, S._ivfpq_retrain_oracle(), sf_oracle
+    )
+
+
+def test_ivfpq_retrain_stats_equal_query_surface(spark, sf_oracle, tmp_path):
+    """The oracle-checked query IS the persisted retrain's arithmetic:
+    the stats table ivfpq_retrain publishes must equal
+    sim_ivfpq_retrain's (cid, n, qerr_sum_mu) rows — the tie that
+    makes the driver's hash evidence cover the maintained-index code
+    path (sim_ivf_retrain's discipline one level down)."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ivfpq_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    S.ivfpq_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    assert S.ivfpq_retrain(spark, idx, emb) is True
+
+    persisted = {
+        (int(r["cid"]), r["n"], r["qerr_sum_mu"])
+        for r in spark.read.parquet(os.path.join(idx, "stats")).collect()
+    }
+    q = {
+        (int(r["cid"]), r["n_members"], r["qerr_sum_mu"])
+        for r in S.sim_ivfpq_retrain(spark, sf_oracle).collect()
+    }
+    assert persisted == q
+
+
+def test_ann_lsh_retrain_machinery_equals_fresh_build(spark, sf_oracle, tmp_path):
+    """The hashed family's lifecycle loop closes (r12 VERDICT task 5):
+    ann_lsh_build(standing half) + ann_lsh_append(snapshot half) +
+    ann_lsh_retrain(full corpus, rows pinned to the build constant)
+    must publish a sig table byte-equivalent to a FRESH ann_lsh_build
+    on the union — same deterministic planes, same quantized kernel —
+    with the per-band stats yardstick recomputed, appends consumed,
+    the epoch advanced (a pre-retrain fenced append refuses), a WRONG
+    corpus refused before any write, and a second retrain a no-op."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ann_lsh_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    epoch0 = S.compaction_epoch(idx)
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ann_lsh_append(spark, idx, snap, batch_id=0)
+
+    with pytest.raises(ValueError, match="does not match the served"):
+        S.ann_lsh_retrain(spark, idx, emb.filter(F.col("vec_id") > 10))
+    assert os.path.isdir(os.path.join(idx, "appends"))
+
+    assert S.ann_lsh_retrain(spark, idx, emb, rows=S.ANN_ROWS) is True
+    assert not os.path.isdir(os.path.join(idx, "appends"))  # consumed
+    assert S.compaction_epoch(idx) > epoch0
+    with pytest.raises(S.CompactionFenceError):
+        S.ann_lsh_append(spark, idx, snap, batch_id=1, expect_epoch=epoch0)
+
+    full_dir = tmp_path / "full"
+    emb.write.mode("overwrite").parquet(str(full_dir / "embeddings.parquet"))
+    ref = S.ann_lsh_build(spark, str(full_dir), index_dir=str(tmp_path / "ref"))
+
+    def sigs_key(d):
+        return {
+            (r["vec_id"], int(r["band"]), r["sig"])
+            for r in spark.read.parquet(os.path.join(d, "sigs")).collect()
+        }
+
+    def stats_key(d):
+        return {
+            (int(r["band"]), r["n"], r["pair_sum"])
+            for r in spark.read.parquet(os.path.join(d, "stats")).collect()
+        }
+
+    assert sigs_key(idx) == sigs_key(ref)
+    assert stats_key(idx) == stats_key(ref)
+    # rows pinned to the constant: the marker matches the default
+    # shape, so the index stays servable through the constants check
+    assert S.index_ready(idx, "annlsh")
+
+    parent, name = os.path.split(idx)
+    assert not [
+        d
+        for d in os.listdir(parent)
+        if d.startswith((f"{name}.old.", f"{name}.retraining."))
+    ]
+    assert S.ann_lsh_retrain(spark, idx, emb) is False  # no appends: no-op
+
+
+def test_ann_lsh_retrain_adaptive_width_and_append_follows(
+    spark, sf_oracle, tmp_path
+):
+    """The width contract end-to-end: a default (adaptive) re-hash
+    publishes rows = lsh_rows_for(n) per band, records the ACTUAL
+    width in the shape marker (so the constants-pinned default-cache
+    check correctly rejects it), and — the part that keeps the index
+    maintainable — a subsequent ann_lsh_append hashes at the
+    PUBLISHED width (_lsh_index_width), landing sigs bit-identical to
+    the direct band_signatures compute at that width. A constants-
+    width append into a widened index could never match a bucket."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    standing.write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ann_lsh_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    assert S._lsh_index_width(idx) == (S.ANN_BANDS, S.ANN_ROWS)
+
+    # width-only refresh of an appendless index: the force=True path
+    assert S.ann_lsh_retrain(spark, idx, standing, force=True) is True
+    n = standing.count()
+    want = S.lsh_rows_for(n)
+    assert want > S.ANN_ROWS  # the oracle corpus is past 2^ANN_ROWS
+    assert S._lsh_index_width(idx) == (S.ANN_BANDS, want)
+    assert not S.index_ready(idx, "annlsh")  # not the constants shape
+    some_sig = spark.read.parquet(os.path.join(idx, "sigs")).first()["sig"]
+    assert len(some_sig) == want
+
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ann_lsh_append(spark, idx, snap, batch_id=0)
+    landed = (
+        spark.read.parquet(os.path.join(idx, "appends"))
+        .select("vec_id", "band", "sig")
+        .collect()
+    )
+    assert landed and all(len(r["sig"]) == want for r in landed)
+    direct = {
+        (r["vec_id"], int(r["band"]), r["sig"])
+        for r in S.band_signatures(snap, S.ANN_BANDS, want, quantize=True)
+        .select("vec_id", "band", "sig")
+        .collect()
+    }
+    assert {(r["vec_id"], int(r["band"]), r["sig"]) for r in landed} == direct
