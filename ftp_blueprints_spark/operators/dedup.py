@@ -1678,7 +1678,8 @@ def run_incremental_exact_stream(
     classify join). Partition-count growth is bounded operationally
     instead: one bid per micro-batch, each a constant-ish first-seen
     set — consolidation at 100 TB is per-bid file compaction (a
-    rewrite of identical content), never a cross-bid fold."""
+    rewrite of identical content), never a cross-bid fold. Operations
+    runbook: MAINTENANCE.md."""
     seed_exact_index(corpus_norm, index_dir)
 
     def classify(batch_df: DataFrame, batch_id: int) -> None:

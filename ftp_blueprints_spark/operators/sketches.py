@@ -670,7 +670,8 @@ def cms_compact(spark: SparkSession, registry_dir: str) -> bool:
     cannot give a multi-machine deployment, so schedule compacts from
     one place. In-flight READER frames from before the commit fail
     loudly rather than serve stale cells (see cms_registry_sketch).
-    Tags are monotonic per registry (similarity._next_tag)."""
+    Tags are monotonic per registry (similarity._next_tag).
+    Operations runbook: MAINTENANCE.md."""
     import os
     import re
     import shutil

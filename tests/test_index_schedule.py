@@ -681,3 +681,205 @@ def test_fresh_checkpoint_refused_on_live_appends(spark, tmp_path, family):
     S._refuse_fresh_checkpoint(
         idx, fam["appends"], str(tmp_path / "fresh_ckpt2")
     )
+
+
+def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
+    """RETRAIN joins the walk alphabet (r12 VERDICT task 6): starting
+    from a built IVF index, for ANY schedule of {append (re-drawing =
+    at-least-once replay), compact, retrain, crash-retrain at either
+    publish rename}, the serving invariants hold — and a PUBLISHED
+    retrain (clean, or rolled forward after a mid-swap crash) leaves
+    serving EXACTLY equal to the assignment of base ∪ appended ids
+    into the newly published centroids, with appends consumed and
+    replay residue deduped out of the refit (the multiset-vs-set
+    hazard this property was pointed at: training on raw
+    lists ∪ appends would double-weight replayed vectors).
+
+    Crash model (exact-path rename injection, as the example ladder):
+    k=1 dies INSTEAD of rename1 — the live index is untouched, the
+    ready snapshot is swept by the next retrain; k=2 dies between the
+    renames — the index dir is MISSING (readers fail loudly) until the
+    next retrain call rolls the ready snapshot forward. After any
+    publish the walk reloads the frozen centroids before appending
+    again — the restart-AFRESH stream rule applied to the walk's
+    append closure."""
+    base_dir = tmp_path_factory.mktemp("resched_base")
+    dim = FAMILIES["ivf"]["dim"]
+    vecs = []
+    for k in range(S.IVF_K):
+        e = np.zeros(dim)
+        e[k % dim] = 1.0
+        e[(k + 3) % dim] = 0.25 + 0.05 * (k // dim)
+        vecs.append(e / np.linalg.norm(e))
+    for j in range(8):
+        v = np.ones(dim)
+        v[j % dim] += 0.5 + 0.1 * j
+        vecs.append(v / np.linalg.norm(v))
+    _write_crafted_embeddings(base_dir / "embeddings.parquet", vecs)
+    template = str(base_dir / "idx")
+    S.ivf_build(spark, str(base_dir), index_dir=template)
+    base_df = spark.read.parquet(
+        str(base_dir / "embeddings.parquet")
+    ).localCheckpoint(eager=True)
+
+    chunk_dfs = {}
+    for c in range(N_CHUNKS):
+        rows = [
+            (1000 + 10 * c + i, [float(x) for x in np.roll(vecs[i], c + 1)])
+            for i in range(4)
+        ]
+        chunk_dfs[c] = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        ).localCheckpoint(eager=True)
+
+    real_rename = os.rename
+
+    class Boom(Exception):
+        pass
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.data())
+    def run(data):
+        idx = os.path.join(str(tmp_path_factory.mktemp("resched")), "idx")
+        shutil.copytree(template, idx)
+        cents_cur = spark.read.parquet(
+            os.path.join(idx, "centroids")
+        ).localCheckpoint(eager=True)
+        appended: set[int] = set()
+        folded: set[int] = set()
+        residue: set[int] = set()
+        missing = False  # k=2 crash: index dir gone until healed
+
+        def assign_pairs(df):
+            return {
+                ((r["vec_id"],), r["cid"])
+                for r in S.ivf_assign(df, cents_cur, round_digits=6).collect()
+            }
+
+        def expected():
+            out = assign_pairs(base_df)
+            for c in appended:
+                out |= assign_pairs(chunk_dfs[c])
+            return out
+
+        def check():
+            served = _served_pairs(spark, idx, "ivf")
+            from collections import Counter
+
+            cnt = Counter(v for v, _ in served)
+            dup_ok = {
+                vid for c in residue for vid, _ in assign_pairs(chunk_dfs[c])
+            }
+            assert all(n <= 2 for n in cnt.values())
+            assert {v for v, n in cnt.items() if n > 1} <= dup_ok
+            assert set(served) <= expected()
+            assert set(served) >= assign_pairs(base_df)
+            return served
+
+        def after_publish():
+            # a PUBLISHED retrain: appends consumed, residue deduped
+            # out of the refit, frozen state refreshed — reload the
+            # centroids (restart-AFRESH) and require exact serving
+            nonlocal cents_cur, missing
+            missing = False
+            cents_cur = spark.read.parquet(
+                os.path.join(idx, "centroids")
+            ).localCheckpoint(eager=True)
+            folded.clear()
+            folded.update(appended)
+            residue.clear()
+            assert not os.path.isdir(os.path.join(idx, "appends"))
+            assert sorted(_served_pairs(spark, idx, "ivf")) == sorted(
+                expected()
+            )
+
+        n_ops = data.draw(st.integers(min_value=2, max_value=6))
+        for _ in range(n_ops):
+            if missing:
+                # only legal move: heal via the preamble (roll forward
+                # publishes the dead swap's snapshot)
+                S.ivf_retrain(spark, idx)
+                after_publish()
+                continue
+            op = data.draw(
+                st.sampled_from(
+                    ["append", "append", "compact", "retrain", "crash_retrain"]
+                )
+            )
+            if op == "append":
+                c = data.draw(st.integers(0, N_CHUNKS - 1))
+                S.ivf_append(
+                    spark, idx, chunk_dfs[c], batch_id=c, cents=cents_cur
+                )
+                appended.add(c)
+                if c in folded:
+                    residue.add(c)
+                served = check()
+                assert assign_pairs(chunk_dfs[c]) <= set(served)
+            elif op == "compact":
+                S.ivf_compact(spark, idx)
+                folded.update(appended)
+                residue.clear()
+                served = check()
+                assert sorted(served) == sorted(expected())
+            elif op == "retrain":
+                if S.ivf_retrain(spark, idx):
+                    after_publish()
+                else:
+                    check()  # no appends: state untouched
+            else:  # crash_retrain at publish rename k ∈ {1, 2}
+                k = data.draw(st.integers(min_value=1, max_value=2))
+                calls = {"n": 0}
+
+                def boom(src, dst, *, _k=k, _calls=calls):
+                    if str(src) == idx or str(dst) == idx:
+                        _calls["n"] += 1
+                        if _calls["n"] == _k:
+                            raise Boom(src)
+                    return real_rename(src, dst)
+
+                os.rename = boom
+                try:
+                    ran = S.ivf_retrain(spark, idx)
+                    crashed = False
+                except Boom:
+                    crashed = True
+                finally:
+                    os.rename = real_rename
+                if not crashed:
+                    # no appends: the no-op returned before the renames
+                    assert ran is False
+                    check()
+                elif k == 1:
+                    # died INSTEAD of rename1: fully live, old state
+                    # served; the ready snapshot is swept next retrain
+                    check()
+                else:
+                    # died between the renames: loud, never stale
+                    missing = True
+                    assert not os.path.isdir(idx)
+
+        if missing:
+            S.ivf_retrain(spark, idx)
+            after_publish()
+        # final heal: a retrain (or no-op) then exact serving
+        if S.ivf_retrain(spark, idx):
+            after_publish()
+        final = _served_pairs(spark, idx, "ivf")
+        # residue may remain if the walk ended append-after-fold with
+        # no later publish; one compact erases it exactly
+        S.ivf_compact(spark, idx)
+        final = _served_pairs(spark, idx, "ivf")
+        assert sorted(final) == sorted(expected())
+        leftovers = [
+            d
+            for d in os.listdir(idx)
+            if d.startswith(("appends.folding.", "lists.compacting."))
+        ]
+        assert leftovers == []
+
+    run()
