@@ -1052,7 +1052,15 @@ def _publish_index(out: str, kind: str, write_fn) -> str:
     fine because builds are deterministic: the winner's index is
     byte-equivalent; any other rename failure propagates. A directory
     already present but WITHOUT a valid marker (foreign, or a stale
-    layout) is removed and rebuilt rather than trusted."""
+    layout) is removed and rebuilt rather than trusted — UNLESS it
+    carries maintenance state (a compaction-epoch file, or committed
+    appended bids): that is a MAINTAINED index whose marker may
+    legitimately differ from the build constants (e.g. a
+    width-retrained LSH index records its published width), and
+    rebuilding would silently destroy every appended row — the
+    'default-path build rebuilt a base-only index' hazard the retrain
+    preamble refuses in the crash case, refused here in the idempotent
+    build-call case (r13 review)."""
     import json
     import shutil
     import uuid
@@ -1060,6 +1068,23 @@ def _publish_index(out: str, kind: str, write_fn) -> str:
     if index_ready(out, kind):
         return out
     if os.path.isdir(out):
+        has_bids = any(
+            os.path.isdir(os.path.join(out, d))
+            and any(
+                x.startswith("bid=") for x in os.listdir(os.path.join(out, d))
+            )
+            for d in ("appends", "code_appends")
+        )
+        if os.path.isfile(os.path.join(out, _EPOCH_FILE)) or has_bids:
+            raise CompactionFenceError(
+                f"refusing to rebuild {out}: it carries maintenance "
+                "state (compaction epoch and/or appended bids) but is "
+                "not the current build shape — likely a retrained or "
+                "mid-maintenance index. Rebuilding would silently "
+                "discard its appended rows; serve it through the "
+                "maintained-index readers, retrain it, or remove it "
+                "explicitly (see MAINTENANCE.md)."
+            )
         shutil.rmtree(out, ignore_errors=True)
     tmp = f"{out}.building.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
@@ -1958,8 +1983,10 @@ def _retrain_swap(
     shape_fn=None,
 ) -> bool:
     """The whole-dir snapshot-swap retrain engine shared by
-    ivf_retrain and ivfpq_retrain — one crash discipline, two
-    families. ``write_snapshot(tmp, fold_bids, epoch)`` materializes
+    ivf_retrain, ivfpq_retrain, and ann_lsh_retrain — one crash
+    discipline, three families (each can leave the same
+    .retraining./.old. sibling states, healed by the same preamble).
+    ``write_snapshot(tmp, fold_bids, epoch)`` materializes
     the family's full artifact set under ``tmp``; the engine owns
     everything else, in order:
 
@@ -2095,23 +2122,32 @@ def _retrain_swap(
         fh.flush()
         os.fsync(fh.fileno())
 
-    # Late-bid check BEFORE the ready stamp: a fenced stream (re)opened
-    # AFTER the epoch bump snapshots the bumped epoch, passes the
-    # fence, and can land a new bid the pinned fold above never saw —
-    # publishing would silently discard it. Refuse loudly instead, and
-    # only ready-stamp a snapshot that passed the check, so no
+    # Bid-set check BEFORE the ready stamp, in BOTH directions. A bid
+    # ADDED since the fold listing (a fenced stream (re)opened AFTER
+    # the epoch bump snapshots the bumped epoch and passes the fence)
+    # would be silently discarded by the swap. A pinned bid REMOVED
+    # since (a fenced append's _post_write_fence withdrawing its own
+    # landed bid when it observes the bumped epoch) is worse: the
+    # engine's two lazy jobs may have straddled the removal — centroids
+    # trained on rows the published lists no longer contain (r13
+    # review). Either way: refuse loudly, and only ready-stamp a
+    # snapshot whose fold set still equals the live set, so no
     # roll-forward candidate ever embeds a stale fold. Residual
-    # check-then-act window: a bid landing between this re-list and
+    # check-then-act window: a change landing between this re-list and
     # rename1 below still needs the drain/single-writer contract.
-    late = sorted(set(_bids()) - set(fold_bids))
-    if late:
+    now_bids = set(_bids())
+    late = sorted(now_bids - set(fold_bids))
+    gone = sorted(set(fold_bids) - now_bids)
+    if late or gone:
         shutil.rmtree(tmp, ignore_errors=True)
         raise CompactionFenceError(
-            f"index {index_dir} received appended bids {late} after "
-            "the retrain's fold read (a stream opened after the epoch "
-            "bump passes the fence) — publishing this snapshot would "
-            f"silently discard them. Drain writers and re-run "
-            f"{op_name}; the fold will include the new bids."
+            f"index {index_dir} bid set changed after the retrain's "
+            f"fold read (added: {late}, withdrawn: {gone}) — a stream "
+            "opened after the epoch bump passes the fence, and a "
+            "fenced append withdraws its bid on observing the bump. "
+            "Publishing this snapshot would silently discard added "
+            "rows or serve stats trained on withdrawn ones. Drain "
+            f"writers and re-run {op_name}."
         )
 
     with open(os.path.join(tmp, _RETRAIN_READY), "w") as fh:
@@ -2134,6 +2170,46 @@ def _retrain_swap(
     for d in _entries(f"{name}.old."):
         shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     return True
+
+
+def _retrain_corpus_check(
+    corpus_ids: DataFrame, served_ids: DataFrame, op_name: str, index_dir: str
+) -> int:
+    """One-job id-set integrity check for the corpus-taking retrains
+    (ivfpq_retrain, ann_lsh_retrain): full-outer join of the two
+    DISTINCT id sets, counting the corpus size, corpus ids the index
+    never indexed, and indexed ids the corpus lacks in a single
+    aggregate (r13 review — one pass per side instead of two subtract
+    jobs plus a separate count; served_ids is distinct'd because
+    replay-after-fold residue legitimately duplicates ids). Returns
+    the distinct corpus size; raises on any difference — a wrong
+    corpus is the deadly input (silently dropping or inventing
+    vectors)."""
+    m = (
+        corpus_ids.distinct()
+        .withColumn("c", F.lit(1))
+        .join(
+            served_ids.distinct().withColumn("s", F.lit(1)),
+            "vec_id",
+            "full_outer",
+        )
+        .agg(
+            F.count(F.col("c")).alias("n_corpus"),
+            F.count(F.when(F.col("s").isNull(), 1)).alias("n_extra"),
+            F.count(F.when(F.col("c").isNull(), 1)).alias("n_missing"),
+        )
+        .first()
+    )
+    if m["n_extra"] or m["n_missing"]:
+        raise ValueError(
+            f"{op_name} corpus does not match the served index at "
+            f"{index_dir}: {m['n_extra']} corpus ids the index never "
+            f"indexed, {m['n_missing']} indexed ids the corpus lacks. "
+            "The corpus argument must be exactly the (vec_id, "
+            "embedding) rows the index serves — retraining on "
+            "anything else would silently drop or invent vectors."
+        )
+    return int(m["n_corpus"])
 
 
 def ivf_retrain(
@@ -2874,22 +2950,13 @@ def ann_lsh_retrain(
             served_ids = base_ids.unionByName(ap_ids)
         else:
             served_ids = base_ids
-        corpus_ids = corpus.select("vec_id")
-        n_extra = corpus_ids.subtract(served_ids).count()
-        n_missing = served_ids.subtract(corpus_ids).count()
-        if n_extra or n_missing:
-            raise ValueError(
-                f"ann_lsh_retrain corpus does not match the served "
-                f"index at {index_dir}: {n_extra} corpus ids the index "
-                f"never indexed, {n_missing} indexed ids the corpus "
-                "lacks. The corpus argument must be exactly the "
-                "(vec_id, embedding) rows the index serves — "
-                "re-hashing anything else would silently drop or "
-                "invent vectors."
-            )
-        width = int(rows) if rows is not None else lsh_rows_for(
-            corpus.count()
+        n = _retrain_corpus_check(
+            corpus.select("vec_id"), served_ids, "ann_lsh_retrain", index_dir
         )
+        # n comes from the integrity check's single aggregate — no
+        # separate corpus.count() job (r13 review); the only full-width
+        # corpus pass left is band_signatures itself
+        width = int(rows) if rows is not None else lsh_rows_for(n)
         chosen["rows"] = width
         sigs = band_signatures(
             corpus, ANN_BANDS, width, quantize=True
@@ -2911,12 +2978,12 @@ def ann_lsh_retrain(
         force=force,
         op_name="ann_lsh_retrain",
         compact_name="ann_lsh_compact",
-        shape_fn=lambda: (
-            ANN_BANDS,
-            chosen["rows"],
-            PLANE_SEED,
-            DIM,
-            2,
+        # derive from the single shape source, overriding only the
+        # rows slot — a hand-copied tuple would silently diverge when
+        # _index_shape's annlsh entry changes (r13 review)
+        shape_fn=lambda: tuple(
+            chosen["rows"] if i == 1 else v
+            for i, v in enumerate(_index_shape("annlsh"))
         ),
     )
 
@@ -3860,18 +3927,9 @@ def ivfpq_retrain(
             served_ids = base_ids.unionByName(ap_ids)
         else:
             served_ids = base_ids
-        corpus_ids = corpus.select("vec_id")
-        n_extra = corpus_ids.subtract(served_ids).count()
-        n_missing = served_ids.subtract(corpus_ids).count()
-        if n_extra or n_missing:
-            raise ValueError(
-                f"ivfpq_retrain corpus does not match the served index "
-                f"at {index_dir}: {n_extra} corpus ids the index never "
-                f"indexed, {n_missing} indexed ids the corpus lacks. "
-                "The corpus argument must be exactly the (vec_id, "
-                "embedding) rows the index serves — retraining on "
-                "anything else would silently drop or invent vectors."
-            )
+        _retrain_corpus_check(
+            corpus.select("vec_id"), served_ids, "ivfpq_retrain", index_dir
+        )
         cents2, coded2, books_q2 = ivfpq_fit(
             corpus.select("vec_id", "embedding")
         )
@@ -4012,18 +4070,17 @@ def sim_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     vecs = served.select("vec_id", "embedding")
-    c2 = portable_centroids(vecs).localCheckpoint(eager=True)
-    books_q2 = quantize_books(
-        pq_codebooks(
-            _residuals(vecs.orderBy("vec_id").limit(PQ_KS), c2),
-            emb_col="residual",
-        )
-    )
-    coded2 = pq_encode_qerr(
-        _residuals(vecs, c2), books_q2, emb_col="residual"
-    )
+    # ivfpq_fit IS the union train — the same function ivfpq_build and
+    # ivfpq_retrain persist through, so this oracle surface can never
+    # drift from the maintained path by copy (r13 review; the
+    # _ivfpq_write_artifacts lesson applied to the query side too)
+    _c2, coded2, _books_q2 = ivfpq_fit(vecs)
     return (
-        coded2.select("vec_id", F.col("cid").cast("bigint").alias("cid"), "qerr")
+        coded2.select(
+            F.col("cand_id").alias("vec_id"),
+            F.col("cid").cast("bigint").alias("cid"),
+            "qerr",
+        )
         .join(served.select("vec_id", "old_cid"), "vec_id")
         .groupBy("cid")
         .agg(

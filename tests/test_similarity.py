@@ -2099,3 +2099,48 @@ def test_ann_lsh_retrain_adaptive_width_and_append_follows(
         .collect()
     }
     assert {(r["vec_id"], int(r["band"]), r["sig"]) for r in landed} == direct
+
+
+def test_idempotent_build_refuses_maintained_index(spark, sf_oracle, tmp_path):
+    """The r13 review's data-loss finding, pinned: an idempotent
+    ann_lsh_build call against a WIDTH-RETRAINED maintained index must
+    refuse loudly instead of rmtree-rebuilding it (the retrained
+    marker legitimately differs from the build constants, so
+    index_ready is False — but the dir carries maintenance state, and
+    a rebuild would silently destroy every appended row). A dir with
+    an invalid marker and NO maintenance state (the pure build cache /
+    foreign-dir case) still rebuilds as before."""
+    import json
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    standing.write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ann_lsh_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    S.ann_lsh_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    assert S.ann_lsh_retrain(spark, idx, emb) is True  # adaptive width
+    assert not S.index_ready(idx, "annlsh")  # marker: retrained width
+    before = sorted(
+        (r["vec_id"], int(r["band"]), r["sig"])
+        for r in spark.read.parquet(os.path.join(idx, "sigs")).collect()
+    )
+
+    with pytest.raises(S.CompactionFenceError, match="maintenance state"):
+        S.ann_lsh_build(spark, str(half_dir), index_dir=idx)
+    after = sorted(
+        (r["vec_id"], int(r["band"]), r["sig"])
+        for r in spark.read.parquet(os.path.join(idx, "sigs")).collect()
+    )
+    assert after == before  # nothing destroyed
+
+    # the pure-cache case still rebuilds: invalid marker, no epoch, no bids
+    stale = tmp_path / "stale"
+    stale.mkdir()
+    (stale / S._INDEX_MARKER).write_text(json.dumps({"shape": [1, 2, 3]}))
+    out = S.ann_lsh_build(spark, str(half_dir), index_dir=str(stale))
+    assert S.index_ready(out, "annlsh")
