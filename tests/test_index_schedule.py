@@ -753,6 +753,12 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
         folded: set[int] = set()
         residue: set[int] = set()
         missing = False  # k=2 crash: index dir gone until healed
+        # a long-lived fenced stream: epoch snapshotted once, at open.
+        # Every retrain bumps the epoch BEFORE its fold (even one that
+        # later crashes or refuses), so the stream branch must refuse
+        # from the first retrain-ish op onward — the bump→refuse
+        # semantics the engine's fence is for.
+        stream_epoch = S.compaction_epoch(idx)
 
         def assign_pairs(df):
             return {
@@ -807,9 +813,36 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                 continue
             op = data.draw(
                 st.sampled_from(
-                    ["append", "append", "compact", "retrain", "crash_retrain"]
+                    [
+                        "append",
+                        "append",
+                        "compact",
+                        "retrain",
+                        "crash_retrain",
+                        "stream_append",
+                    ]
                 )
             )
+            if op == "stream_append":
+                c = data.draw(st.integers(0, N_CHUNKS - 1))
+                if S.compaction_epoch(idx) == stream_epoch:
+                    S.ivf_append(
+                        spark, idx, chunk_dfs[c], batch_id=c, cents=cents_cur,
+                        expect_epoch=stream_epoch,
+                    )
+                    appended.add(c)
+                    assert c not in folded  # folds always bump first
+                    check()
+                else:
+                    before = sorted(_served_pairs(spark, idx, "ivf"))
+                    with pytest.raises(S.CompactionFenceError):
+                        S.ivf_append(
+                            spark, idx, chunk_dfs[c], batch_id=c,
+                            cents=cents_cur, expect_epoch=stream_epoch,
+                        )
+                    # refused = landed nothing
+                    assert sorted(_served_pairs(spark, idx, "ivf")) == before
+                continue
             if op == "append":
                 c = data.draw(st.integers(0, N_CHUNKS - 1))
                 S.ivf_append(

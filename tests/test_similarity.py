@@ -2144,3 +2144,58 @@ def test_idempotent_build_refuses_maintained_index(spark, sf_oracle, tmp_path):
     (stale / S._INDEX_MARKER).write_text(json.dumps({"shape": [1, 2, 3]}))
     out = S.ann_lsh_build(spark, str(half_dir), index_dir=str(stale))
     assert S.index_ready(out, "annlsh")
+
+
+def test_ivf_retrain_refuses_withdrawn_bid(spark, sf_oracle, tmp_path, monkeypatch):
+    """The symmetric half of the bid-set check (r13 review): a fenced
+    append that lands a bid BEFORE the fold listing and then observes
+    the retrain's epoch bump WITHDRAWS its bid (_post_write_fence) —
+    the pinned fold's two lazy jobs may have straddled the removal, so
+    publishing would serve centroids trained on rows the lists no
+    longer contain. The pre-ready re-list must refuse, sweep its own
+    snapshot, and leave the live index serving."""
+    import os
+    import shutil as _shutil
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = S.ivf_build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    snap = emb.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_append(spark, idx, snap, batch_id=0)
+    S.ivf_append(spark, idx, snap.limit(2), batch_id=1)
+
+    # withdraw bid=1 at the _next_tag call — after the fold listing
+    # and epoch bump, before the snapshot write + re-list (the moment
+    # a racing fenced append's post-write fence would rmtree it)
+    real_next_tag = S._next_tag
+
+    def withdraw_then_tag(parent):
+        _shutil.rmtree(os.path.join(idx, "appends", "bid=1"))
+        return real_next_tag(parent)
+
+    monkeypatch.setattr(S, "_next_tag", withdraw_then_tag)
+    with pytest.raises(S.CompactionFenceError, match="withdrawn: \\[1\\]"):
+        S.ivf_retrain(spark, idx)
+    monkeypatch.undo()
+
+    # live index intact (bid=0 still served), snapshot swept
+    ap = os.path.join(idx, "appends")
+    assert {d for d in os.listdir(ap) if d.startswith("bid=")} == {"bid=0"}
+    parent, name = os.path.split(idx)
+    assert not [
+        d
+        for d in os.listdir(parent)
+        if d.startswith((f"{name}.retraining.", f"{name}.old."))
+    ]
+    # drained re-run retrains from what actually remains
+    assert S.ivf_retrain(spark, idx) is True
+    full = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(idx, "lists")).collect()
+    } == full
