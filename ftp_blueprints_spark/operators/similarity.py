@@ -1067,25 +1067,57 @@ def _publish_index(out: str, kind: str, write_fn) -> str:
 
     if index_ready(out, kind):
         return out
+    out_abs = os.path.abspath(out)
+    parent, name = os.path.dirname(out_abs), os.path.basename(out_abs)
     if os.path.isdir(out):
+        # Maintenance state = the compaction epoch, LIVE appended bids,
+        # OR committed bids a crashed compact renamed aside
+        # (appends.folding.* — present even before the epoch bump when
+        # the crash hit between rename-aside and _bump_epoch; second
+        # r13 review pass). Any of these means appended rows exist
+        # that a rebuild would silently destroy.
+        maint_dirs = [
+            d
+            for d in os.listdir(out)
+            if d.startswith(("appends", "code_appends"))
+            and os.path.isdir(os.path.join(out, d))
+        ]
         has_bids = any(
-            os.path.isdir(os.path.join(out, d))
-            and any(
-                x.startswith("bid=") for x in os.listdir(os.path.join(out, d))
-            )
-            for d in ("appends", "code_appends")
+            x.startswith("bid=")
+            for d in maint_dirs
+            for x in os.listdir(os.path.join(out, d))
         )
         if os.path.isfile(os.path.join(out, _EPOCH_FILE)) or has_bids:
             raise CompactionFenceError(
                 f"refusing to rebuild {out}: it carries maintenance "
-                "state (compaction epoch and/or appended bids) but is "
-                "not the current build shape — likely a retrained or "
+                "state (compaction epoch, appended bids, and/or "
+                "crashed-compact fold leftovers) but is not the "
+                "current build shape — likely a retrained or "
                 "mid-maintenance index. Rebuilding would silently "
                 "discard its appended rows; serve it through the "
                 "maintained-index readers, retrain it, or remove it "
-                "explicitly (see MAINTENANCE.md)."
+                "explicitly (see MAINTENANCE.md, 'Recovery states')."
             )
         shutil.rmtree(out, ignore_errors=True)
+    elif os.path.isdir(parent) and any(
+        d.startswith((f"{name}.retraining.", f"{name}.old."))
+        for d in os.listdir(parent)
+    ):
+        # The MISSING-dir half of the same hazard: a retrain crashed
+        # mid-swap, leaving a ready snapshot and/or backup beside the
+        # missing index. Building fresh here would manufacture the
+        # impostor state the retrain preamble can only refuse for
+        # manual resolution — refuse at the source instead and let the
+        # family's retrain roll the swap forward/back (second r13
+        # review pass).
+        raise CompactionFenceError(
+            f"refusing to build at {out}: the index dir is missing but "
+            "maintenance siblings (.retraining./.old.) sit beside it — "
+            "a retrain crashed mid-swap. Run the family's retrain to "
+            "roll the swap forward (or back) instead of building "
+            "fresh, which would strand the snapshot's appended rows "
+            "(see MAINTENANCE.md, 'Recovery states')."
+        )
     tmp = f"{out}.building.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
         write_fn(tmp)

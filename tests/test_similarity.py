@@ -2199,3 +2199,62 @@ def test_ivf_retrain_refuses_withdrawn_bid(spark, sf_oracle, tmp_path, monkeypat
         r["vec_id"]
         for r in spark.read.parquet(os.path.join(idx, "lists")).collect()
     } == full
+
+
+def test_build_guard_covers_every_maintenance_state(spark, sf_oracle, tmp_path):
+    """The second r13 review pass: the build-path refusal must key on
+    EVERY form of maintenance state, not just the epoch file — (1)
+    live appended bids on an index whose marker went stale (appended
+    but never compacted/retrained: no epoch file exists, so has_bids
+    alone must refuse), (2) crashed-compact fold leftovers
+    (appends renamed aside BEFORE the epoch bump — bids live under
+    appends.folding.*), and (3) the MISSING-dir half: .retraining./
+    .old. siblings beside a missing index (a mid-swap crash) must
+    refuse a fresh build that would manufacture the impostor state."""
+    import json
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+
+    # (1) live bids, NO epoch file (never compacted/retrained)
+    idx1 = S.ann_lsh_build(spark, str(half_dir), index_dir=str(tmp_path / "i1"))
+    S.ann_lsh_append(
+        spark, idx1, emb.filter(F.col("vec_id") % 2 == 1), batch_id=0
+    )
+    assert not os.path.isfile(os.path.join(idx1, S._EPOCH_FILE))
+    (  # invalidate the marker: only has_bids can refuse now
+        open(os.path.join(idx1, S._INDEX_MARKER), "w").write(
+            json.dumps({"shape": [1, 2, 3]})
+        )
+    )
+    with pytest.raises(S.CompactionFenceError, match="maintenance state"):
+        S.ann_lsh_build(spark, str(half_dir), index_dir=idx1)
+    assert os.path.isdir(os.path.join(idx1, "appends"))  # preserved
+
+    # (2) crashed-compact leftovers: appends renamed aside pre-bump
+    os.rename(
+        os.path.join(idx1, "appends"),
+        os.path.join(idx1, "appends.folding.00000000000000000001"),
+    )
+    with pytest.raises(S.CompactionFenceError, match="maintenance state"):
+        S.ann_lsh_build(spark, str(half_dir), index_dir=idx1)
+
+    # (3) missing dir shadowed by a mid-swap sibling
+    idx2 = S.ann_lsh_build(spark, str(half_dir), index_dir=str(tmp_path / "i2"))
+    os.rename(idx2, f"{idx2}.old.00000000000000000002")
+    with pytest.raises(S.CompactionFenceError, match="maintenance siblings"):
+        S.ann_lsh_build(spark, str(half_dir), index_dir=idx2)
+    # the family's retrain heals (rolls back to the backup), after
+    # which the build call is the documented no-op
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    assert (
+        S.ann_lsh_retrain(spark, str(idx2), standing) is False
+    )  # roll-back heal, then no appends: no-op before the corpus is read
+    assert S.index_ready(str(idx2), "annlsh")
+    assert S.ann_lsh_build(spark, str(half_dir), index_dir=str(idx2)) == str(idx2)
