@@ -97,7 +97,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     retrain-with-the-exact-corpus equals train-from-scratch;
 #     pre-proven by test_ivfpq_retrain_matches_oracle_locally, tied to
 #     the persisted ivfpq_retrain path by
-#     test_ivfpq_retrain_stats_equal_query_surface).
+#     test_ivfpq_retrain_stats_equal_query_surface);
+#   - sim_lsh_retrain (operators/similarity.py, _lsh_retrain_oracle —
+#     two-width hash with one fixed-seed plane set (prefix property
+#     pinned), per-band collision-pair collapse, and the engine-side
+#     adaptive_rows width contract; pre-proven by
+#     test_lsh_retrain_matches_oracle_locally, tied to the published
+#     marker width by
+#     test_lsh_retrain_query_agrees_with_operator_width_choice).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

@@ -3020,6 +3020,112 @@ def ann_lsh_retrain(
     )
 
 
+def _lsh_retrain_oracle() -> str:
+    w_old, w_new = ANN_ROWS, 2 * ANN_ROWS
+    n_planes = ANN_BANDS * w_new
+    planes_q = np.floor(_planes(n_planes) * 1_000_000).astype(np.int64)
+    plane_lists = ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in planes_q
+    )
+    return f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xq AS (SELECT vec_id,
+              list_transform(v, e -> CAST(FLOOR(e * 1000000) AS BIGINT)) AS vq
+       FROM x),
+pl AS (SELECT UNNEST(range(0, {n_planes})) AS p,
+              UNNEST([{plane_lists}]) AS pv),
+bits AS (SELECT xq.vec_id, pl.p,
+                CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),
+                       j -> xq.vq[j] * pl.pv[j])) >= 0
+                     THEN '1' ELSE '0' END AS bit
+         FROM xq CROSS JOIN pl),
+-- width-{w_old} sigs: flat planes [band*{w_old}, (band+1)*{w_old}) are the
+-- FIRST {ANN_BANDS * w_old} of the same fixed-seed sequence (rng fills
+-- C-order, so _planes(k) is a prefix of _planes(m>k))
+sig_old AS (SELECT vec_id, p // {w_old} AS band,
+                   string_agg(bit, '' ORDER BY p) AS sig
+            FROM bits WHERE p < {ANN_BANDS * w_old}
+            GROUP BY vec_id, p // {w_old}),
+sig_new AS (SELECT vec_id, p // {w_new} AS band,
+                   string_agg(bit, '' ORDER BY p) AS sig
+            FROM bits GROUP BY vec_id, p // {w_new}),
+old AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS pair_sum_frozen
+        FROM (SELECT band, sig, COUNT(*) AS cnt
+              FROM sig_old GROUP BY band, sig)
+        GROUP BY band),
+neww AS (SELECT band,
+                CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS pair_sum_rehash
+         FROM (SELECT band, sig, COUNT(*) AS cnt
+               FROM sig_new GROUP BY band, sig)
+         GROUP BY band)
+SELECT CAST(old.band AS BIGINT) AS band, old.n, old.pair_sum_frozen,
+       neww.pair_sum_rehash,
+       CAST(GREATEST({w_old}, LENGTH(BIN(old.n - 1))) AS INTEGER)
+         AS adaptive_rows
+FROM old JOIN neww USING (band)
+"""
+
+
+# ROUND-14 REGISTRATION QUEUE (build-now-register-next-round, second
+# entry beside sim_ivfpq_retrain): built + locally oracle-proven in
+# r13; the decorator goes on in round 14 under that round's window
+# math.
+def sim_lsh_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RE-HASH arithmetic closing the maintained-LSH loop — the
+    driver-checkable core of ann_lsh_retrain: hash the corpus at the
+    frozen width AND at a doubled width with the same fixed-seed
+    planes, and report per band the collision-pair collapse the
+    re-hash buys (pair_sum_frozen vs pair_sum_rehash — the exact
+    candidate-pair cost driver the density drift report alarms on),
+    plus ``adaptive_rows`` = lsh_rows_for(n) computed ENGINE-SIDE
+    (GREATEST(ANN_ROWS, bit_length(n-1)) — the width the operator
+    would publish, pinned cross-engine exactly like phash_width_for's
+    LENGTH(BIN(n-1)) contract).
+
+    The re-hash width here is PINNED at 2×ANN_ROWS rather than
+    adaptive because oracle plane literals cannot depend on a runtime
+    corpus count — the adaptive CHOICE is itself the adaptive_rows
+    column (driver-hashed), and the adaptive PUBLISH is
+    ann_lsh_retrain's machinery (marker-width + append-follows tests).
+    Width-w sigs index flat planes [band*w, (band+1)*w) of one
+    fixed-seed sequence, so both widths share one plane set in both
+    engines (rng fills C-order: _planes(k) is a prefix of
+    _planes(m>k), asserted in tests).
+
+    Scale shape: two narrow Arrow matmul passes over the corpus (no
+    join, no shuffle beyond four map-side-combinable aggs — the
+    sim_lsh_incremental class), constant ANN_BANDS-row output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_new = 2 * ANN_ROWS
+    old = _band_pair_stats(
+        band_signatures(emb, ANN_BANDS, ANN_ROWS, quantize=True).select(
+            "vec_id", "band", "sig"
+        )
+    ).select("band", "n", F.col("pair_sum").alias("pair_sum_frozen"))
+    new = _band_pair_stats(
+        band_signatures(emb, ANN_BANDS, w_new, quantize=True).select(
+            "vec_id", "band", "sig"
+        )
+    ).select("band", F.col("pair_sum").alias("pair_sum_rehash"))
+    return (
+        old.join(new, "band")
+        .withColumn(
+            "adaptive_rows",
+            F.greatest(
+                F.lit(ANN_ROWS), F.length(F.bin(F.col("n") - 1))
+            ).cast("int"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n",
+            "pair_sum_frozen",
+            "pair_sum_rehash",
+            "adaptive_rows",
+        )
+    )
+
+
 def run_incremental_lsh_stream(
     spark: SparkSession,
     index_dir: str,

@@ -2258,3 +2258,50 @@ def test_build_guard_covers_every_maintenance_state(spark, sf_oracle, tmp_path):
     )  # roll-back heal, then no appends: no-op before the corpus is read
     assert S.index_ready(str(idx2), "annlsh")
     assert S.ann_lsh_build(spark, str(half_dir), index_dir=str(idx2)) == str(idx2)
+
+
+def test_lsh_retrain_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-14 registration (second queue entry):
+    sim_lsh_retrain's two-width hash + pair-collapse + adaptive-width
+    columns vs the DuckDB replay under the driver's own comparison."""
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sim_lsh_retrain, S._lsh_retrain_oracle(), sf_oracle
+    )
+
+
+def test_planes_prefix_property():
+    """sim_lsh_retrain's oracle derives BOTH widths' sigs from one
+    plane literal set, which is only sound if _planes(k) is a prefix
+    of _planes(m > k) — pin the rng's C-order fill so a generator
+    change can never silently fork the two widths' plane sets."""
+    import numpy as np
+
+    a = S._planes(S.ANN_BANDS * S.ANN_ROWS)
+    b = S._planes(S.ANN_BANDS * 2 * S.ANN_ROWS)
+    assert np.array_equal(a, b[: S.ANN_BANDS * S.ANN_ROWS])
+
+
+def test_lsh_retrain_query_agrees_with_operator_width_choice(
+    spark, sf_oracle, tmp_path
+):
+    """The query's adaptive_rows column IS the width ann_lsh_retrain
+    publishes: retrain the persisted index adaptively and require the
+    shape marker's rows to equal the oracle-checked column — the tie
+    that makes the driver's hash evidence cover the operator's width
+    contract."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    full_dir = tmp_path / "full"
+    emb.write.mode("overwrite").parquet(str(full_dir / "embeddings.parquet"))
+    idx = S.ann_lsh_build(spark, str(full_dir), index_dir=str(tmp_path / "idx"))
+    assert S.ann_lsh_retrain(spark, idx, emb, force=True) is True
+
+    q_rows = {int(r["adaptive_rows"]) for r in S.sim_lsh_retrain(spark, sf_oracle).collect()}
+    assert len(q_rows) == 1  # same corpus count in every band
+    assert S._lsh_index_width(idx) == (S.ANN_BANDS, q_rows.pop())
