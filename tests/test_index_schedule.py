@@ -916,3 +916,214 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
         assert leftovers == []
 
     run()
+
+
+def test_lsh_retrain_random_schedule_property(spark, tmp_path_factory):
+    """The corpus-taking, WIDTH-CHANGING retrain joins the walk: for
+    ANY schedule of {append/replay, compact, adaptive retrain,
+    crash-retrain at either publish rename, retrain-with-a-WRONG-
+    corpus}, the LSH index's serving invariants hold at whatever width
+    is currently published — appends hash at the marker width
+    (_lsh_index_width), a published retrain serves exactly
+    band_signatures(base ∪ appended ids) at the newly recorded width
+    with appends consumed, a wrong corpus changes NOTHING, and the
+    mid-swap crash window stays loud until rolled forward. This is the
+    IVF retrain walk generalized to the family where the frozen state
+    (the hash width) actually changes shape across retrains."""
+    base_dir = tmp_path_factory.mktemp("lshsched_base")
+    dim = S.DIM
+    rng_vecs = []
+    for k in range(S.IVF_K):
+        e = np.zeros(dim)
+        e[k % dim] = 1.0
+        e[(k + 3) % dim] = 0.25 + 0.05 * (k // dim)
+        rng_vecs.append(e / np.linalg.norm(e))
+    for j in range(8):
+        v = np.ones(dim)
+        v[j % dim] += 0.5 + 0.1 * j
+        rng_vecs.append(v / np.linalg.norm(v))
+    _write_crafted_embeddings(base_dir / "embeddings.parquet", rng_vecs)
+    template = str(base_dir / "idx")
+    S.ann_lsh_build(spark, str(base_dir), index_dir=template)
+    base_df = (
+        spark.read.parquet(str(base_dir / "embeddings.parquet"))
+        .select("vec_id", "embedding")  # crafted fixture carries extras
+        .localCheckpoint(eager=True)
+    )
+
+    chunk_dfs = {}
+    for c in range(N_CHUNKS):
+        rows = [
+            (
+                1000 + 10 * c + i,
+                [float(x) for x in np.roll(rng_vecs[i], c + 1)],
+            )
+            for i in range(4)
+        ]
+        chunk_dfs[c] = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        ).localCheckpoint(eager=True)
+
+    real_rename = os.rename
+
+    class Boom(Exception):
+        pass
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.data())
+    def run(data):
+        idx = os.path.join(str(tmp_path_factory.mktemp("lshsched")), "idx")
+        shutil.copytree(template, idx)
+        appended: set[int] = set()
+        folded: set[int] = set()
+        residue: set[int] = set()
+        missing = False
+
+        def width():
+            return S._lsh_index_width(idx)[1]
+
+        def hash_pairs(df, w):
+            return {
+                ((r["vec_id"], int(r["band"])), r["sig"])
+                for r in S.band_signatures(df, S.ANN_BANDS, w, quantize=True)
+                .select("vec_id", "band", "sig")
+                .collect()
+            }
+
+        def corpus_now():
+            out = base_df
+            for c in sorted(appended):
+                out = out.unionByName(chunk_dfs[c])
+            return out
+
+        def expected(w):
+            out = hash_pairs(base_df, w)
+            for c in appended:
+                out |= hash_pairs(chunk_dfs[c], w)
+            return out
+
+        def check():
+            w = width()
+            served = _served_pairs(spark, idx, "annlsh")
+            from collections import Counter
+
+            cnt = Counter(v for v, _ in served)
+            dup_ok = {
+                key for c in residue for key, _ in hash_pairs(chunk_dfs[c], w)
+            }
+            assert all(n <= 2 for n in cnt.values())
+            assert {v for v, n in cnt.items() if n > 1} <= dup_ok
+            assert set(served) <= expected(w)
+            assert set(served) >= hash_pairs(base_df, w)
+            return served
+
+        def after_publish():
+            nonlocal missing
+            missing = False
+            folded.clear()
+            folded.update(appended)
+            residue.clear()
+            assert not os.path.isdir(os.path.join(idx, "appends"))
+            assert sorted(_served_pairs(spark, idx, "annlsh")) == sorted(
+                expected(width())
+            )
+
+        n_ops = data.draw(st.integers(min_value=2, max_value=5))
+        for _ in range(n_ops):
+            if missing:
+                S.ann_lsh_retrain(spark, idx, corpus_now())
+                after_publish()
+                continue
+            op = data.draw(
+                st.sampled_from(
+                    [
+                        "append",
+                        "append",
+                        "compact",
+                        "retrain",
+                        "crash_retrain",
+                        "bad_retrain",
+                    ]
+                )
+            )
+            if op == "append":
+                c = data.draw(st.integers(0, N_CHUNKS - 1))
+                S.ann_lsh_append(spark, idx, chunk_dfs[c], batch_id=c)
+                appended.add(c)
+                if c in folded:
+                    residue.add(c)
+                served = check()
+                assert hash_pairs(chunk_dfs[c], width()) <= set(served)
+            elif op == "compact":
+                S.ann_lsh_compact(spark, idx)
+                folded.update(appended)
+                residue.clear()
+                served = check()
+                assert sorted(served) == sorted(expected(width()))
+            elif op == "bad_retrain":
+                # a wrong corpus (base only, missing appended ids, or
+                # with appended ids the index lacks) must change NOTHING
+                if appended:
+                    wrong = base_df  # missing the appended ids
+                else:
+                    wrong = base_df.unionByName(chunk_dfs[0])  # extras
+                before = sorted(_served_pairs(spark, idx, "annlsh"))
+                with pytest.raises(
+                    ValueError, match="does not match the served"
+                ):
+                    S.ann_lsh_retrain(spark, idx, wrong, force=True)
+                assert sorted(_served_pairs(spark, idx, "annlsh")) == before
+            elif op == "retrain":
+                if S.ann_lsh_retrain(spark, idx, corpus_now()):
+                    after_publish()
+                else:
+                    check()
+            else:  # crash_retrain
+                if not any(
+                    d.startswith("bid=")
+                    for d in (
+                        os.listdir(os.path.join(idx, "appends"))
+                        if os.path.isdir(os.path.join(idx, "appends"))
+                        else []
+                    )
+                ):
+                    continue  # would no-op before the renames
+                k = data.draw(st.integers(min_value=1, max_value=2))
+                calls = {"n": 0}
+
+                def boom(src, dst, *, _k=k, _calls=calls):
+                    if str(src) == idx or str(dst) == idx:
+                        _calls["n"] += 1
+                        if _calls["n"] == _k:
+                            raise Boom(src)
+                    return real_rename(src, dst)
+
+                os.rename = boom
+                try:
+                    S.ann_lsh_retrain(spark, idx, corpus_now())
+                    crashed = False
+                except Boom:
+                    crashed = True
+                finally:
+                    os.rename = real_rename
+                assert crashed
+                if k == 1:
+                    check()  # fully live, old width still served
+                else:
+                    missing = True
+                    assert not os.path.isdir(idx)
+
+        if missing:
+            S.ann_lsh_retrain(spark, idx, corpus_now())
+            after_publish()
+        if S.ann_lsh_retrain(spark, idx, corpus_now()):
+            after_publish()
+        S.ann_lsh_compact(spark, idx)
+        final = _served_pairs(spark, idx, "annlsh")
+        assert sorted(final) == sorted(expected(width()))
+
+    run()

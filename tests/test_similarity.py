@@ -1723,8 +1723,16 @@ def test_ivf_retrain_refuses_degraded_and_impostor_states(
         S.ivf_retrain(spark, idx2)
     monkeypatch.undo()
     assert not os.path.isdir(idx2)
-    # the impostor: a base-only rebuild lands at the missing path
-    S.ivf_build(spark, str(half_dir), index_dir=idx2)
+    # first-line defense (r13 review): the default-path build that used
+    # to MANUFACTURE the impostor state now refuses at the source —
+    # the missing dir is shadowed by .retraining./.old. siblings
+    with pytest.raises(S.CompactionFenceError, match="maintenance siblings"):
+        S.ivf_build(spark, str(half_dir), index_dir=idx2)
+    # the impostor can still arise by paths the guard cannot see (an
+    # operator hand-restoring a copy, an older code version): simulate
+    # it by copying a base-only index into the missing path and require
+    # the retrain preamble's second-line refusal to hold
+    shutil.copytree(str(tmp_path / "i1"), idx2)
     with pytest.raises(S.CompactionFenceError, match="mid-swap"):
         S.ivf_retrain(spark, idx2)
     parent, name = os.path.split(idx2)
