@@ -2289,13 +2289,15 @@ def ivf_retrain(
        the swap would silently discard. The fold itself is PINNED to
        the bid set listed at fold time (partition-pruned ``bid isin``),
        so the centroid train and the lists write — two separate lazy
-       jobs — always see the same corpus, and a bid landed by a stream
-       (re)opened AFTER the bump (which snapshots the bumped epoch and
-       passes the fence) is caught by a re-list immediately before the
-       ready stamp, raising CompactionFenceError rather than being
-       discarded. Residual window: a bid landing between that re-list
-       and rename1 — plus any UNfenced writer — stays under the
-       drain/single-writer quiesce contract, as for compact;
+       jobs — always see the same corpus, and ANY bid-set change is
+       caught by a re-list immediately before the ready stamp
+       (CompactionFenceError): a bid ADDED by a stream (re)opened
+       AFTER the bump (which snapshots the bumped epoch and passes the
+       fence), or a pinned bid WITHDRAWN by a fenced append's
+       post-write fence on observing the bump. Residual window: a
+       change landing between that re-list and rename1 — plus any
+       UNfenced writer — stays under the drain/single-writer quiesce
+       contract, as for compact;
     3. the new snapshot is written FULLY beside the index
        (<index>.retraining.<tag>: centroids, cid-partitioned lists,
        stats, the bumped epoch marker, the shape marker) and stamped
