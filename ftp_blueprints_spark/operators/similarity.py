@@ -1100,23 +1100,34 @@ def _publish_index(out: str, kind: str, write_fn) -> str:
             )
         shutil.rmtree(out, ignore_errors=True)
     elif os.path.isdir(parent) and any(
-        d.startswith((f"{name}.retraining.", f"{name}.old."))
+        d.startswith(f"{name}.old.")
+        or (
+            d.startswith(f"{name}.retraining.")
+            and os.path.isfile(os.path.join(parent, d, _RETRAIN_READY))
+        )
         for d in os.listdir(parent)
     ):
         # The MISSING-dir half of the same hazard: a retrain crashed
-        # mid-swap, leaving a ready snapshot and/or backup beside the
-        # missing index. Building fresh here would manufacture the
-        # impostor state the retrain preamble can only refuse for
-        # manual resolution — refuse at the source instead and let the
-        # family's retrain roll the swap forward/back (second r13
-        # review pass).
+        # mid-swap, leaving a READY snapshot and/or backup beside the
+        # missing index — states the family's retrain preamble can
+        # actually heal (roll forward / roll back). Building fresh
+        # here would manufacture the impostor state the preamble can
+        # only refuse for manual resolution — refuse at the source
+        # instead (second r13 review pass). A NON-ready .retraining.*
+        # orphan with no backup deliberately does NOT refuse: it is
+        # the preamble's own sweepable-garbage class (a retrain that
+        # died mid-write holds no committed rows), the retrain remedy
+        # could not heal it (no index, no backup -> FileNotFoundError),
+        # and refusing would dead-end an operator who disposed of the
+        # index explicitly (third r13 review pass).
         raise CompactionFenceError(
             f"refusing to build at {out}: the index dir is missing but "
-            "maintenance siblings (.retraining./.old.) sit beside it — "
-            "a retrain crashed mid-swap. Run the family's retrain to "
-            "roll the swap forward (or back) instead of building "
-            "fresh, which would strand the snapshot's appended rows "
-            "(see MAINTENANCE.md, 'Recovery states')."
+            "healable maintenance siblings (a ready .retraining. "
+            "snapshot and/or a .old. backup) sit beside it — a retrain "
+            "crashed mid-swap. Run the family's retrain to roll the "
+            "swap forward (or back) instead of building fresh, which "
+            "would strand the snapshot's appended rows (see "
+            "MAINTENANCE.md, 'Recovery states')."
         )
     tmp = f"{out}.building.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
@@ -3095,36 +3106,77 @@ def sim_lsh_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (rng fills C-order: _planes(k) is a prefix of
     _planes(m>k), asserted in tests).
 
-    Scale shape: two narrow Arrow matmul passes over the corpus (no
-    join, no shuffle beyond four map-side-combinable aggs — the
-    sim_lsh_incremental class), constant ANN_BANDS-row output."""
+    Scale shape: ONE narrow Arrow matmul pass over the corpus — the
+    frozen-width sigs are derived as SUBSTRINGS of the doubled-width
+    sigs (band-major plane layout + the prefix property: old band b's
+    planes are flat rows [w*b, w*(b+1)), which sit inside new band
+    b//2 at char offset (w*b mod 2w) — the same derivation the
+    oracle's one `bits` table uses), so both widths cost one
+    projection (the r13 review halved the original two-pass plan).
+    Then one aggregation chain: explode each new-band
+    row into its (width, band, sig) pieces, bucket-count, and fold
+    both widths' per-band stats in a single conditional aggregate —
+    no self-join, no reused subtree to re-execute, constant
+    ANN_BANDS-row output."""
     emb = load_table(spark, sf_dir, "embeddings")
     w_new = 2 * ANN_ROWS
-    old = _band_pair_stats(
-        band_signatures(emb, ANN_BANDS, ANN_ROWS, quantize=True).select(
-            "vec_id", "band", "sig"
+    sig8 = band_signatures(emb, ANN_BANDS, w_new, quantize=True).select(
+        "vec_id", "band", "sig"
+    )
+    half = ANN_BANDS // 2
+    pieces = (
+        sig8.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("new").alias("w"),
+                        F.col("band").cast("bigint").alias("b"),
+                        F.col("sig").alias("s"),
+                    ),
+                    F.struct(
+                        F.lit("old").alias("w"),
+                        (F.col("band") * 2).cast("bigint").alias("b"),
+                        F.substring("sig", 1, ANN_ROWS).alias("s"),
+                    ),
+                    F.struct(
+                        F.lit("old").alias("w"),
+                        (F.col("band") * 2 + 1).cast("bigint").alias("b"),
+                        F.substring("sig", ANN_ROWS + 1, ANN_ROWS).alias("s"),
+                    ),
+                )
+            ).alias("e")
         )
-    ).select("band", "n", F.col("pair_sum").alias("pair_sum_frozen"))
-    new = _band_pair_stats(
-        band_signatures(emb, ANN_BANDS, w_new, quantize=True).select(
-            "vec_id", "band", "sig"
-        )
-    ).select("band", F.col("pair_sum").alias("pair_sum_rehash"))
-    return (
-        old.join(new, "band")
-        .withColumn(
-            "adaptive_rows",
-            F.greatest(
-                F.lit(ANN_ROWS), F.length(F.bin(F.col("n") - 1))
-            ).cast("int"),
-        )
-        .select(
-            F.col("band").cast("bigint").alias("band"),
-            "n",
-            "pair_sum_frozen",
-            "pair_sum_rehash",
-            "adaptive_rows",
-        )
+        .select("e.w", "e.b", "e.s")
+        # only the first half of the new bands contains old planes:
+        # old band b < ANN_BANDS derives from new band b//2 < ANN_BANDS/2
+        .filter((F.col("w") == "new") | (F.col("b") < F.lit(ANN_BANDS)))
+    )
+    bucket = pieces.groupBy("w", "b", "s").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    pairs = F.expr("cnt * (cnt - 1) div 2")
+    stats = bucket.groupBy(F.col("b").alias("band")).agg(
+        F.sum(F.when(F.col("w") == "old", F.col("cnt")))
+        .cast("bigint")
+        .alias("n"),
+        F.sum(F.when(F.col("w") == "old", pairs))
+        .cast("bigint")
+        .alias("pair_sum_frozen"),
+        F.sum(F.when(F.col("w") == "new", pairs))
+        .cast("bigint")
+        .alias("pair_sum_rehash"),
+    )
+    return stats.withColumn(
+        "adaptive_rows",
+        F.greatest(F.lit(ANN_ROWS), F.length(F.bin(F.col("n") - 1))).cast(
+            "int"
+        ),
+    ).select(
+        F.col("band").cast("bigint").alias("band"),
+        "n",
+        "pair_sum_frozen",
+        "pair_sum_rehash",
+        "adaptive_rows",
     )
 
 

@@ -1730,9 +1730,13 @@ def test_ivf_retrain_refuses_degraded_and_impostor_states(
         S.ivf_build(spark, str(half_dir), index_dir=idx2)
     # the impostor can still arise by paths the guard cannot see (an
     # operator hand-restoring a copy, an older code version): simulate
-    # it by copying a base-only index into the missing path and require
-    # the retrain preamble's second-line refusal to hold
-    shutil.copytree(str(tmp_path / "i1"), idx2)
+    # it with a GENUINELY base-only build — the copy must reproduce the
+    # hazard configuration (a live dir missing the snapshot's appended
+    # rows), not just any live dir, so a future content-inspecting
+    # preamble would still be pinned by this test (r13 third review)
+    base_only = str(tmp_path / "impostor_src")
+    S.ivf_build(spark, str(half_dir), index_dir=base_only)
+    shutil.copytree(base_only, idx2)
     with pytest.raises(S.CompactionFenceError, match="mid-swap"):
         S.ivf_retrain(spark, idx2)
     parent, name = os.path.split(idx2)
@@ -2253,11 +2257,21 @@ def test_build_guard_covers_every_maintenance_state(spark, sf_oracle, tmp_path):
     with pytest.raises(S.CompactionFenceError, match="maintenance state"):
         S.ann_lsh_build(spark, str(half_dir), index_dir=idx1)
 
-    # (3) missing dir shadowed by a mid-swap sibling
+    # (3) missing dir shadowed by a HEALABLE mid-swap sibling
     idx2 = S.ann_lsh_build(spark, str(half_dir), index_dir=str(tmp_path / "i2"))
     os.rename(idx2, f"{idx2}.old.00000000000000000002")
     with pytest.raises(S.CompactionFenceError, match="maintenance siblings"):
         S.ann_lsh_build(spark, str(half_dir), index_dir=idx2)
+
+    # (3b) ...but a NON-ready .retraining. orphan with no backup does
+    # NOT refuse: it is the preamble's sweepable-garbage class (died
+    # mid-write, no committed rows), the retrain remedy could not heal
+    # it, and refusing would dead-end an operator who disposed of the
+    # index explicitly (third r13 review)
+    idx3 = str(tmp_path / "i3")
+    os.makedirs(f"{idx3}.retraining.00000000000000000003")
+    out3 = S.ann_lsh_build(spark, str(half_dir), index_dir=idx3)
+    assert S.index_ready(out3, "annlsh")
     # the family's retrain heals (rolls back to the backup), after
     # which the build call is the documented no-op
     standing = emb.filter(F.col("vec_id") % 2 == 0)
