@@ -2216,33 +2216,73 @@ def _retrain_swap(
 
 
 def _retrain_corpus_check(
-    corpus_ids: DataFrame, served_ids: DataFrame, op_name: str, index_dir: str
+    corpus: DataFrame, served_ids: DataFrame, op_name: str, index_dir: str
 ) -> int:
-    """One-job id-set integrity check for the corpus-taking retrains
-    (ivfpq_retrain, ann_lsh_retrain): full-outer join of the two
-    DISTINCT id sets, counting the corpus size, corpus ids the index
-    never indexed, and indexed ids the corpus lacks in a single
-    aggregate (r13 review — one pass per side instead of two subtract
-    jobs plus a separate count; served_ids is distinct'd because
-    replay-after-fold residue legitimately duplicates ids). Returns
-    the distinct corpus size; raises on any difference — a wrong
-    corpus is the deadly input (silently dropping or inventing
-    vectors)."""
+    """One-job corpus integrity check for the corpus-taking retrains
+    (ivfpq_retrain, ann_lsh_retrain), in two layers sharing a single
+    aggregate (r13 review collapsed the id layer to one pass; the r13
+    advice added the multiplicity layer, mirroring ivf_retrain's fold
+    guard at the one place a caller-supplied multiset can slip past an
+    id-set comparison):
+
+    * id-set equality — full-outer join of the distinct corpus ids
+      against the distinct served ids, counting corpus ids the index
+      never indexed and indexed ids the corpus lacks (served_ids is
+      distinct'd because replay-after-fold residue legitimately
+      duplicates ids; the CORPUS side is pre-aggregated by vec_id, so
+      the same join carries its multiplicity stats for free);
+    * multiplicity — per corpus vec_id, the raw row count and the
+      distinct embedding count. Duplicate rows (raw > distinct pairs)
+      would double-weight ivfpq_fit's refit and double-count
+      band_signatures' collision-pair stats; a vec_id carrying TWO
+      different embeddings is an outright contradiction no retrain
+      can arbitrate. ivf_retrain dedups its own served union because
+      replay residue is a DOCUMENTED lifecycle state there; a
+      caller-supplied corpus has no replay mechanism, so any
+      multiplicity is caller error and refuses loudly rather than
+      being silently healed.
+
+    Returns the distinct corpus size; raises on any difference — a
+    wrong corpus is the deadly input (silently dropping, inventing,
+    or double-weighting vectors)."""
+    per_id = corpus.groupBy("vec_id").agg(
+        F.count("*").alias("c_rows"),
+        F.count_distinct(F.col("embedding")).alias("c_embs"),
+    )
     m = (
-        corpus_ids.distinct()
-        .withColumn("c", F.lit(1))
-        .join(
+        per_id.join(
             served_ids.distinct().withColumn("s", F.lit(1)),
             "vec_id",
             "full_outer",
         )
         .agg(
-            F.count(F.col("c")).alias("n_corpus"),
+            F.count(F.col("c_rows")).alias("n_corpus"),
             F.count(F.when(F.col("s").isNull(), 1)).alias("n_extra"),
-            F.count(F.when(F.col("c").isNull(), 1)).alias("n_missing"),
+            F.count(F.when(F.col("c_rows").isNull(), 1)).alias("n_missing"),
+            F.coalesce(
+                F.sum(F.col("c_rows") - F.col("c_embs")), F.lit(0)
+            ).alias("n_dup_rows"),
+            F.count(F.when(F.col("c_embs") > 1, 1)).alias("n_conflict_ids"),
         )
         .first()
     )
+    if m["n_conflict_ids"]:
+        raise ValueError(
+            f"{op_name} corpus carries {m['n_conflict_ids']} vec_id(s) "
+            f"with more than one distinct embedding — a contradiction "
+            "the retrain cannot arbitrate (which vector is the one the "
+            f"index at {index_dir} serves?). Deduplicate the corpus to "
+            "one (vec_id, embedding) row per id and re-run."
+        )
+    if m["n_dup_rows"]:
+        raise ValueError(
+            f"{op_name} corpus carries {m['n_dup_rows']} duplicate "
+            f"row(s) — training on the raw multiset would double-weight "
+            "those vectors, so the published artifacts would no longer "
+            f"equal a fresh build on the corpus of {index_dir}. The "
+            "corpus argument must carry each served (vec_id, embedding) "
+            "row exactly once."
+        )
     if m["n_extra"] or m["n_missing"]:
         raise ValueError(
             f"{op_name} corpus does not match the served index at "
@@ -2943,12 +2983,15 @@ def ann_lsh_retrain(
     append into a vector copy, purely to save the rare re-hash a
     corpus read. So, as for ivfpq_retrain, the honest contract is an
     explicit ``corpus`` argument — the (vec_id, embedding) rows the
-    index serves, re-read ONCE per re-hash — with an id-set integrity
-    check (via the band=0 partition only: bands partition the table
-    and every vector owns exactly one row per band, so the check is a
-    partition-pruned read, never a distinct over n x bands rows) that
-    refuses a wrong corpus loudly. Appends stay cheap forever; the
-    re-hash is the rare heavyweight event.
+    index serves, re-read ONCE per re-hash — with a corpus integrity
+    check (_retrain_corpus_check: id-set equality plus the duplicate/
+    conflicting-row refusal, via the band=0 partition only — bands
+    partition the table and every vector owns exactly one row per
+    band, so the served side is a partition-pruned read, never a
+    distinct over n x bands rows) that refuses a wrong corpus loudly
+    before any write: duplicate rows would double-count the per-band
+    collision-pair stats the density drift diffs against. Appends stay
+    cheap forever; the re-hash is the rare heavyweight event.
 
     The width refreshes adaptively: rows per band = lsh_rows_for(|corpus|)
     (~log2 n — restores O(1) expected bucket loads; recall survives
@@ -2996,7 +3039,10 @@ def ann_lsh_retrain(
         else:
             served_ids = base_ids
         n = _retrain_corpus_check(
-            corpus.select("vec_id"), served_ids, "ann_lsh_retrain", index_dir
+            corpus.select("vec_id", "embedding"),
+            served_ids,
+            "ann_lsh_retrain",
+            index_dir,
         )
         # n comes from the integrity check's single aggregate — no
         # separate corpus.count() job (r13 review); the only full-width
@@ -4071,10 +4117,13 @@ def ivfpq_retrain(
     (assign + encode, never a corpus re-read); retrain is the rare
     heavyweight event, as in production ANN systems, where PQ
     retraining always re-reads training vectors. A WRONG corpus is the
-    deadly input (silently dropping or inventing vectors), so the fold
-    asserts id-set equality between ``corpus`` and the served codes ∪
-    pinned code_appends and refuses loudly on any difference — two
-    id-only distinct-subtracts, corpus-scale but retrain-cadence.
+    deadly input (silently dropping, inventing, or double-weighting
+    vectors), so the fold runs _retrain_corpus_check before any write:
+    one full-outer-join aggregate asserting id-set equality between
+    ``corpus`` and the served codes ∪ pinned code_appends AND refusing
+    duplicate or conflicting corpus rows (same vec_id twice — ivf
+    retrain's fold-guard contract, enforced here on the caller's
+    multiset) — corpus-scale but retrain-cadence.
 
     Everything refits: coarse centroids (portable_centroids on the
     corpus), residual codebooks (PQ_KS lowest vec_ids vs the NEW
@@ -4120,7 +4169,10 @@ def ivfpq_retrain(
         else:
             served_ids = base_ids
         _retrain_corpus_check(
-            corpus.select("vec_id"), served_ids, "ivfpq_retrain", index_dir
+            corpus.select("vec_id", "embedding"),
+            served_ids,
+            "ivfpq_retrain",
+            index_dir,
         )
         cents2, coded2, books_q2 = ivfpq_fit(
             corpus.select("vec_id", "embedding")

@@ -1953,6 +1953,71 @@ def test_ivfpq_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
     assert got == want
 
 
+@pytest.mark.parametrize("family", ["ivfpq", "annlsh"])
+def test_corpus_taking_retrains_refuse_duplicate_and_conflicting_corpus(
+    spark, sf_oracle, tmp_path, family
+):
+    """The r13 advice hole, closed for BOTH corpus-taking retrains: an
+    id-set comparison alone lets a corpus that duplicates (vec_id,
+    embedding) rows — or carries one vec_id with TWO different
+    embeddings — pass the integrity check, double-weighting ivfpq_fit's
+    refit / double-counting band_signatures' collision-pair stats.
+    _retrain_corpus_check now refuses both multisets loudly, in the
+    same single aggregate as the id check, BEFORE any artifact write —
+    mirroring ivf_retrain's fold guard (similarity.py ivf_retrain,
+    conflicting-vec_id refusal)."""
+    import os
+
+    from ftp_blueprints_spark.session import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    half_dir = tmp_path / "half"
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    if family == "ivfpq":
+        build, retrain, append, appends = (
+            S.ivfpq_build,
+            S.ivfpq_retrain,
+            S.ivfpq_append,
+            "code_appends",
+        )
+    else:
+        build, retrain, append, appends = (
+            S.ann_lsh_build,
+            S.ann_lsh_retrain,
+            S.ann_lsh_append,
+            "appends",
+        )
+    idx = build(spark, str(half_dir), index_dir=str(tmp_path / "idx"))
+    append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+
+    # duplicate row: right id set, one (vec_id, embedding) row twice
+    dup = emb.unionByName(emb.orderBy("vec_id").limit(1))
+    with pytest.raises(ValueError, match="duplicate row"):
+        retrain(spark, idx, dup)
+    assert os.path.isdir(os.path.join(idx, appends))  # untouched
+
+    # conflicting row: right id set, one vec_id with a SECOND embedding
+    conflict = emb.unionByName(
+        emb.orderBy("vec_id")
+        .limit(1)
+        .withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> x + cast(1.0 as float))"),
+        )
+    )
+    with pytest.raises(ValueError, match="more than one distinct embedding"):
+        retrain(spark, idx, conflict)
+    assert os.path.isdir(os.path.join(idx, appends))  # untouched
+
+    # and the exact corpus still retrains cleanly after the refusals
+    assert retrain(spark, idx, emb) is True
+    assert not os.path.isdir(os.path.join(idx, appends))  # consumed
+
+
 def test_ivfpq_retrain_matches_oracle_locally(spark, sf_oracle):
     """Pre-proof of the round-14 registration (the
     build-now-register-later pattern): sim_ivfpq_retrain's
