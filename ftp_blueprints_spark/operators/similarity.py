@@ -1099,7 +1099,7 @@ def _publish_index(out: str, kind: str, write_fn) -> str:
                 "explicitly (see MAINTENANCE.md, 'Recovery states')."
             )
         shutil.rmtree(out, ignore_errors=True)
-    elif os.path.isdir(parent) and any(
+    if os.path.isdir(parent) and any(
         d.startswith(f"{name}.old.")
         or (
             d.startswith(f"{name}.retraining.")
@@ -1107,19 +1107,22 @@ def _publish_index(out: str, kind: str, write_fn) -> str:
         )
         for d in os.listdir(parent)
     ):
-        # The MISSING-dir half of the same hazard: a retrain crashed
-        # mid-swap, leaving a READY snapshot and/or backup beside the
-        # missing index — states the family's retrain preamble can
-        # actually heal (roll forward / roll back). Building fresh
-        # here would manufacture the impostor state the preamble can
-        # only refuse for manual resolution — refuse at the source
-        # instead (second r13 review pass). A NON-ready .retraining.*
-        # orphan with no backup deliberately does NOT refuse: it is
-        # the preamble's own sweepable-garbage class (a retrain that
-        # died mid-write holds no committed rows), the retrain remedy
-        # could not heal it (no index, no backup -> FileNotFoundError),
-        # and refusing would dead-end an operator who disposed of the
-        # index explicitly (third r13 review pass).
+        # The dir is now missing either way (absent at entry, or an
+        # invalid maintenance-free dir was just removed above — an
+        # `elif` here let that second path rebuild without this scan
+        # and re-manufacture the impostor state, r13 advice): a READY
+        # snapshot and/or backup beside the missing index means a
+        # retrain crashed mid-swap — states the family's retrain
+        # preamble can actually heal (roll forward / roll back).
+        # Building fresh here would manufacture the impostor state the
+        # preamble can only refuse for manual resolution — refuse at
+        # the source instead (second r13 review pass). A NON-ready
+        # .retraining.* orphan with no backup deliberately does NOT
+        # refuse: it is the preamble's own sweepable-garbage class (a
+        # retrain that died mid-write holds no committed rows), the
+        # retrain remedy could not heal it (no index, no backup ->
+        # FileNotFoundError), and refusing would dead-end an operator
+        # who disposed of the index explicitly (third r13 review pass).
         raise CompactionFenceError(
             f"refusing to build at {out}: the index dir is missing but "
             "healable maintenance siblings (a ready .retraining. "

@@ -2346,6 +2346,24 @@ def test_build_guard_covers_every_maintenance_state(spark, sf_oracle, tmp_path):
     assert S.index_ready(str(idx2), "annlsh")
     assert S.ann_lsh_build(spark, str(half_dir), index_dir=str(idx2)) == str(idx2)
 
+    # (4) the r13 advice hole: a PRESENT-but-invalid, maintenance-free
+    # dir beside healable siblings. The old guard only scanned siblings
+    # in the missing-dir branch, so this path rmtree'd the junk and
+    # rebuilt — re-manufacturing the impostor state (live dir + backup)
+    # the retrain preamble can only refuse for manual resolution. The
+    # sibling scan now runs after ANY rmtree: refuse, leaving the
+    # missing-dir state the family's retrain can actually heal.
+    idx4 = S.ann_lsh_build(spark, str(half_dir), index_dir=str(tmp_path / "i4"))
+    os.rename(idx4, f"{idx4}.old.00000000000000000004")
+    os.makedirs(idx4)
+    open(os.path.join(idx4, "junk"), "w").write("not an index")
+    with pytest.raises(S.CompactionFenceError, match="maintenance siblings"):
+        S.ann_lsh_build(spark, str(half_dir), index_dir=idx4)
+    assert not os.path.isdir(idx4)  # junk removed, state now healable
+    assert os.path.isdir(f"{idx4}.old.00000000000000000004")  # preserved
+    assert S.ann_lsh_retrain(spark, idx4, standing) is False  # roll-back heal
+    assert S.index_ready(idx4, "annlsh")
+
 
 def test_lsh_retrain_matches_oracle_locally(spark, sf_oracle):
     """Pre-proof of the round-14 registration (second queue entry):
