@@ -580,7 +580,12 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries collect their constant-size codebook literal)."""
     docs = load_table(spark, sf_dir, "documents")
     if not _PHASH_WARN_FIRED:
-        key = os.path.abspath(sf_dir)
+        # keyed on the parquet's (path, mtime, size) fingerprint, as
+        # _index_dir does for index invalidation — a corpus regenerated
+        # or grown at the same path must not serve a stale count and
+        # miss the saturation warning (r13 advice)
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        key = (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size)
         if key not in _PHASH_COUNT_CACHE:
             _PHASH_COUNT_CACHE[key] = docs.count()
         _warn_if_phash_saturating(_PHASH_COUNT_CACHE[key])
@@ -646,10 +651,12 @@ class PhashSaturationWarning(UserWarning):
 _PHASH_WARN_FIRED = False
 
 # The corpus count behind the warning is an eager Spark job on a
-# driver-evaluated surface; cache it per parquet dir so repeat
-# invocations (bench warm runs, repeated driver checks) pay it once
-# per process (r12 advice).
-_PHASH_COUNT_CACHE: dict[str, int] = {}
+# driver-evaluated surface; cache it per parquet FINGERPRINT — (dir,
+# mtime_ns, size) of documents.parquet — so repeat invocations (bench
+# warm runs, repeated driver checks) pay it once per process (r12
+# advice) while a regenerated/grown corpus at the same path still
+# recounts (r13 advice).
+_PHASH_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
 
 
 def _warn_if_phash_saturating(n: int) -> None:

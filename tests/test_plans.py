@@ -406,3 +406,47 @@ def test_phash_legacy_query_warns_past_saturation(spark, sf_oracle, tmp_path):
     big.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     with pytest.warns(PhashSaturationWarning, match="mm_phash_neardup_wide"):
         QUERIES["mm_phash_neardup"](spark, str(tmp_path))
+
+
+def test_phash_count_cache_invalidates_on_regenerated_corpus(
+    spark, tmp_path
+):
+    """The saturation-warning count cache keys on the documents
+    parquet's (path, mtime, size) fingerprint, not the path alone (r13
+    advice): a corpus regenerated or GROWN at the same path must be
+    recounted, or the stale small count would silently miss the
+    saturation threshold."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from ftp_blueprints_spark.operators import multimodal as mm
+    from ftp_blueprints_spark.operators.multimodal import (
+        PhashSaturationWarning,
+    )
+    from ftp_blueprints_spark.plans.registry import QUERIES
+
+    def write_docs(n):
+        spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synth").alias("source"),
+            F.lit(8).cast("bigint").alias("n_chars"),
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    mm._PHASH_WARN_FIRED = False
+    mm._PHASH_COUNT_CACHE.clear()
+    write_docs(500)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PhashSaturationWarning)
+        QUERIES["mm_phash_neardup"](spark, str(tmp_path))  # small: silent
+    assert list(mm._PHASH_COUNT_CACHE.values()) == [500]
+
+    # regenerate PAST the threshold at the SAME path: a path-keyed
+    # cache would serve the stale 500 and stay silent here
+    write_docs(1100)
+    mm._PHASH_WARN_FIRED = False
+    with pytest.warns(PhashSaturationWarning, match="undersized"):
+        QUERIES["mm_phash_neardup"](spark, str(tmp_path))
+    assert sorted(mm._PHASH_COUNT_CACHE.values()) == [500, 1100]
