@@ -2785,6 +2785,137 @@ def _lsh_drift_report(base_stats: DataFrame, new_stats: DataFrame) -> DataFrame:
     return j.withColumn("drift_num", drift.cast("bigint"))
 
 
+# --- retrain cadence: calibrated drift thresholds (r13 VERDICT task 6) ------
+#
+# The drift reports emit exact micro-unit numbers; these helpers turn
+# them into the calibrated yes/no the on-call runbook needs
+# (MAINTENANCE.md, "Retrain cadence"). They are MONITORING aggregates —
+# one job over a K-cardinality report frame, plain floats, never an
+# oracle surface — so the exact-integer discipline of the reports
+# themselves does not apply here.
+
+# Never alarm on relative drift below 1%: micro-unit sums resolve 1e-6,
+# so 1% is far above quantization, and a degenerate training space
+# (every cell mean identical -> spread 0) must not turn the trigger
+# into a hair-trigger.
+DRIFT_REL_FLOOR = 0.01
+
+
+def _centroid_retrain_due(report: DataFrame, val: str, sign: int) -> dict:
+    """Shared cadence aggregate for the two centroid families. The
+    calibration question is "how much relative drift is DIFFERENT, not
+    noise?", and the build-time yardstick answers it about itself: the
+    n-weighted cross-cid spread (coefficient of variation) of the
+    per-cid training means is how much typical cells of the SAME
+    corpus differ from each other. A batch whose corpus-level mean
+    drifts by less than that is statistically indistinguishable from
+    re-sampling the training data; one that drifts past it looks more
+    foreign than the training corpus looks to itself — retrain.
+
+    rel_drift = mean_new / mean_base - 1 over the whole report
+    (sum-of-sums, so per-cid coalesced zeros cancel exactly);
+    threshold = max(cv_base, DRIFT_REL_FLOOR) where
+    cv_base^2 = sum_c n_c (m_c - M)^2 / (N M^2)
+              = (sum_c S_c^2/n_c - S^2/N) * N / S^2
+    from the per-cid sums S_c the report already carries — no second
+    pass over the stats. ``sign`` orients the alarm: -1 for the IVF cos
+    yardstick (lower = farther from the centroids), +1 for the IVFPQ
+    qerr yardstick (higher = quantizes worse)."""
+    m = (
+        report.agg(
+            F.sum("n_base").alias("nb"),
+            F.sum("n_new").alias("nn"),
+            F.sum(f"base_{val}").cast("double").alias("sb"),
+            F.sum(f"new_{val}").cast("double").alias("sn"),
+            F.sum(
+                F.when(
+                    F.col("n_base") > 0,
+                    F.col(f"base_{val}").cast("double")
+                    * F.col(f"base_{val}").cast("double")
+                    / F.col("n_base"),
+                )
+            ).alias("s2"),
+        )
+        .first()
+    )
+    nb, nn = int(m["nb"] or 0), int(m["nn"] or 0)
+    sb, sn = float(m["sb"] or 0.0), float(m["sn"] or 0.0)
+    if nb == 0 or nn == 0 or sb == 0.0:
+        return {"due": False, "rel_drift": 0.0, "threshold": DRIFT_REL_FLOOR}
+    rel = (sn / nn) / (sb / nb) - 1.0
+    var_w = max(float(m["s2"] or 0.0) - sb * sb / nb, 0.0)  # sum n(m_c-M)^2
+    cv = (var_w * nb) ** 0.5 / abs(sb)
+    thr = max(cv, DRIFT_REL_FLOOR)
+    return {"due": sign * rel >= thr, "rel_drift": rel, "threshold": thr}
+
+
+def ivf_retrain_due(report: DataFrame) -> dict:
+    """Calibrated retrain trigger for the IVF family: feed it an
+    ivf_append / sim_ivf_incremental drift report. Fires when the
+    batch's mean cosine-to-assigned-centroid falls below the training
+    mean by more than the training space's own cross-cid spread
+    (NEGATIVE drift = farther from the frozen centroids). Returns
+    {due, rel_drift, threshold}; runbook: MAINTENANCE.md."""
+    return _centroid_retrain_due(report, "cos_sum_mu", sign=-1)
+
+
+def ivfpq_retrain_due(report: DataFrame) -> dict:
+    """Calibrated retrain trigger for the IVFPQ family: feed it an
+    ivfpq_append / sim_ivfpq_incremental drift report. Fires when the
+    batch's mean quantization error exceeds the training mean by more
+    than the training space's own cross-cid spread (POSITIVE drift =
+    the frozen codebooks fit the new vectors worse). Returns
+    {due, rel_drift, threshold}; runbook: MAINTENANCE.md."""
+    return _centroid_retrain_due(report, "qerr_sum_mu", sign=+1)
+
+
+def lsh_retrain_due(report: DataFrame, ratio: float = 2.0) -> dict:
+    """Calibrated re-hash trigger for the LSH family: feed it an
+    ann_lsh_append / sim_lsh_incremental drift report. The serve-time
+    candidate-join cost is proportional to bucket-collision density,
+    so the defensible default is a COST ratio: fire when any band's
+    batch density reaches ``ratio`` x its training density (default 2x
+    — the candidate join costs double what the index was sized for,
+    and lsh_rows_for's widened re-hash restores O(1) loads). When a
+    band's training density is ZERO (too small a corpus to collide),
+    the ratio is undefined; that band fires at an absolute mean load
+    of one colliding pair per row (density_mu >= 1e6), the point where
+    O(1)-expected bucket loads are broken outright. The density
+    comparison reuses the report's exact split-division micro-units.
+    Returns {due, max_ratio, threshold_ratio}. NOTE the second,
+    drift-independent trigger the runbook documents: corpus GROWTH
+    (lsh_rows_for(n_now) exceeding the published marker width) warrants
+    a re-hash even at flat density. Runbook: MAINTENANCE.md."""
+    dens_base = F.expr(
+        "case when n_base = 0 then 0 else (base_pair_sum div n_base)"
+        " * 1000000 + ((base_pair_sum % n_base) * 1000000) div n_base end"
+    )
+    dens_new = F.expr(
+        "case when n_new = 0 then 0 else (new_pair_sum div n_new)"
+        " * 1000000 + ((new_pair_sum % n_new) * 1000000) div n_new end"
+    )
+    m = (
+        report.filter(F.col("n_new") > 0)
+        .select(
+            dens_base.cast("double").alias("db"),
+            dens_new.cast("double").alias("dn"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("db") > 0, F.col("dn") / F.col("db"))
+            ).alias("max_ratio"),
+            F.max(
+                F.when(F.col("db") == 0, F.col("dn")).otherwise(F.lit(0.0))
+            ).alias("max_zero_base_dens"),
+        )
+        .first()
+    )
+    max_ratio = float(m["max_ratio"] or 0.0)
+    zero_base = float(m["max_zero_base_dens"] or 0.0)
+    due = max_ratio >= ratio or zero_base >= 1_000_000.0
+    return {"due": due, "max_ratio": max_ratio, "threshold_ratio": ratio}
+
+
 # Registered in round 12 (it was built + locally oracle-proven in r11;
 # the decorator was deferred only for the r11 window cap — see
 # __spark_entry__.py). The oracle above was proven equal to the Spark
