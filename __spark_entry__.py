@@ -79,32 +79,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries rotate to the front of the NEXT round's window via the same math —
 # which is why new registrations are capped (~8/round): each one delays a
 # stale-evidence refresh by a round.
-# Round 13 (r12 VERDICT tasks 1+2): the first-hash set stays empty (no
-# oracle upgrades this round).  The r12 registration queue goes live —
-# sim_ivf_retrain gets its decorator (built + locally oracle-proven +
-# scale-probed in r12; the oracle replays the monolithic train, so the
-# driver check proves retrain-from-served-state equals
-# train-from-scratch — the maintained-index story is now end-to-end
-# driver-evidenced: build → append → drift → retrain).  New
-# registrations capped at that 1, so the 50-slot window takes the
-# rank -1 row plus all 19 r9-stale rows plus 30 of the 50 r10-stale
-# rows (nothing older than r10 evidence should remain after round 13).
-# Round 14 registration queue (built + locally oracle-proven in r13,
-# decorator deferred for this round's window math):
-#   - sim_ivfpq_retrain (operators/similarity.py,
-#     _ivfpq_retrain_oracle — the oracle replays the monolithic IVFPQ
-#     train on the union, so the driver check proves
-#     retrain-with-the-exact-corpus equals train-from-scratch;
-#     pre-proven by test_ivfpq_retrain_matches_oracle_locally, tied to
-#     the persisted ivfpq_retrain path by
-#     test_ivfpq_retrain_stats_equal_query_surface);
-#   - sim_lsh_retrain (operators/similarity.py, _lsh_retrain_oracle —
-#     two-width hash with one fixed-seed plane set (prefix property
-#     pinned), per-band collision-pair collapse, and the engine-side
-#     adaptive_rows width contract; pre-proven by
-#     test_lsh_retrain_matches_oracle_locally, tied to the published
-#     marker width by
-#     test_lsh_retrain_query_agrees_with_operator_width_choice).
+# Round 14 (r13 VERDICT tasks 1+2): the first-hash set stays empty (no
+# oracle upgrades this round).  The r13 registration queue goes live —
+# sim_ivfpq_retrain and sim_lsh_retrain get their decorators (both
+# built + locally oracle-proven + scale-probed in r13; the oracles
+# replay the monolithic train / two-width re-hash, so the driver
+# checks prove retrain-with-the-exact-corpus equals train-from-scratch
+# for the compressed family and pin the width-adaptive re-hash
+# arithmetic for the hashed family — build → append → drift → retrain
+# is now driver-evidenced across ALL THREE index families).  New
+# registrations capped at those 2, so the 50-slot window takes the two
+# rank -1 rows plus all 20 r10-stale rows plus 28 of the 50 r11-stale
+# rows (nothing older than r11 evidence should remain after round 14).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

@@ -136,6 +136,12 @@ HEADLINE = [
     # union (lists ∪ appends, raw corpus never re-read), re-assign, and
     # report the refreshed space with moved-label counts
     "sim_ivf_retrain",
+    # r14 additions (built + probed in r13, registered r14): the two
+    # remaining family retrains — IVFPQ (exact-corpus refit: centroids,
+    # codebooks, every code, the qerr yardstick) and LSH (width-adaptive
+    # re-hash: frozen-width vs doubled-width collision-pair collapse)
+    "sim_ivfpq_retrain",
+    "sim_lsh_retrain",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -281,6 +287,12 @@ BUDGETS = {
     # two Lloyd trains + three frozen-centroid literal assignments over
     # the localCheckpointed served union
     "sim_ivf_retrain": 8.0,  # fresh-JVM warm 1.1-3.8 (r12 pre-proofs)
+    # two Lloyd trains + PQ codebook slice + two Arrow encode passes
+    # over the localCheckpointed served union
+    "sim_ivfpq_retrain": 10.0,  # fresh-JVM warm 4-5 (r13 pre-proofs)
+    # one Arrow hyperplane matmul at the doubled width + one explode/
+    # bucket-count chain (frozen-width sigs are substrings)
+    "sim_lsh_retrain": 4.0,  # fresh-JVM warm 1.4-1.8 (r13 pre-proofs)
 }
 
 

@@ -3260,10 +3260,10 @@ FROM old JOIN neww USING (band)
 """
 
 
-# ROUND-14 REGISTRATION QUEUE (build-now-register-next-round, second
-# entry beside sim_ivfpq_retrain): built + locally oracle-proven in
-# r13; the decorator goes on in round 14 under that round's window
-# math.
+# Registered round 14 (built + locally oracle-proven + scale-probed in
+# r13 under the build-now-register-next-round pattern, second entry
+# beside sim_ivfpq_retrain).
+@query("sim_lsh_retrain", _lsh_retrain_oracle())
 def sim_lsh_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RE-HASH arithmetic closing the maintained-LSH loop — the
     driver-checkable core of ann_lsh_retrain: hash the corpus at the
@@ -3303,7 +3303,6 @@ def sim_lsh_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig8 = band_signatures(emb, ANN_BANDS, w_new, quantize=True).select(
         "vec_id", "band", "sig"
     )
-    half = ANN_BANDS // 2
     pieces = (
         sig8.select(
             F.explode(
@@ -4402,12 +4401,12 @@ GROUP BY qv.cid
 """
 
 
-# ROUND-14 REGISTRATION QUEUE (build-now-register-next-round): built +
-# locally oracle-proven in r13; the decorator goes on in round 14 under
-# that round's window math.  The oracle replays the monolithic IVFPQ
-# train on the union, so the driver check will prove that
-# retrain-with-the-exact-corpus equals train-from-scratch — the
+# Registered round 14 (built + locally oracle-proven + scale-probed in
+# r13 under the build-now-register-next-round pattern).  The oracle
+# replays the monolithic IVFPQ train on the union, so the driver check
+# proves retrain-with-the-exact-corpus equals train-from-scratch — the
 # compressed-family analog of sim_ivf_retrain's retrain-exactness.
+@query("sim_ivfpq_retrain", _ivfpq_retrain_oracle())
 def sim_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RETRAIN closing the maintained-IVFPQ loop — the action a
     positive qerr drift report (sim_ivfpq_incremental) calls for:
