@@ -1047,6 +1047,7 @@ def test_lsh_retrain_random_schedule_property(spark, tmp_path_factory):
                         "retrain",
                         "crash_retrain",
                         "bad_retrain",
+                        "dup_retrain",
                     ]
                 )
             )
@@ -1076,6 +1077,29 @@ def test_lsh_retrain_random_schedule_property(spark, tmp_path_factory):
                     ValueError, match="does not match the served"
                 ):
                     S.ann_lsh_retrain(spark, idx, wrong, force=True)
+                assert sorted(_served_pairs(spark, idx, "annlsh")) == before
+            elif op == "dup_retrain":
+                # the RIGHT id set as a multiset — a duplicated row, or
+                # one vec_id carrying a second embedding — must refuse
+                # loudly and change NOTHING (r13 advice)
+                extra = base_df.orderBy("vec_id").limit(1)
+                if data.draw(st.booleans()):
+                    extra = extra.withColumn(
+                        "embedding",
+                        F.expr(
+                            "transform(embedding,"
+                            " x -> x + cast(1.0 as float))"
+                        ),
+                    )
+                    msg = "more than one distinct embedding"
+                else:
+                    msg = "duplicate row"
+                before = sorted(_served_pairs(spark, idx, "annlsh"))
+                with pytest.raises(ValueError, match=msg):
+                    S.ann_lsh_retrain(
+                        spark, idx, corpus_now().unionByName(extra),
+                        force=True,
+                    )
                 assert sorted(_served_pairs(spark, idx, "annlsh")) == before
             elif op == "retrain":
                 if S.ann_lsh_retrain(spark, idx, corpus_now()):
@@ -1125,5 +1149,248 @@ def test_lsh_retrain_random_schedule_property(spark, tmp_path_factory):
         S.ann_lsh_compact(spark, idx)
         final = _served_pairs(spark, idx, "annlsh")
         assert sorted(final) == sorted(expected(width()))
+
+    run()
+
+
+def test_ivfpq_retrain_random_schedule_property(spark, tmp_path_factory):
+    """The THIRD family joins the retrain walk (r13 VERDICT task 4):
+    for ANY schedule of {append/replay, compact, retrain-on-the-exact-
+    corpus, crash-retrain at either publish rename, retrain-with-a-
+    WRONG-corpus, retrain-with-a-DUPLICATE-or-CONFLICTING-corpus}, the
+    IVFPQ index's serving invariants hold. The family's load-bearing
+    simplification: centroids only change at a retrain, and a retrain
+    consumes every append — so at EVERY point in ANY schedule, every
+    served row's coarse label equals the round-6 assignment of its
+    vector against the CURRENTLY published centroids (fit labels ARE
+    that assignment; append labels are made against the same frozen
+    state). The walk asserts exactly that, plus the replay-residue
+    bound, the wrong/duplicate/conflicting-corpus refusals changing
+    NOTHING, and the mid-swap crash window staying loud until rolled
+    forward. The compressed family's four-artifact atomic publish
+    (centroids + codes + stats + codebooks) is exactly this property's
+    state-space shape — the walk found a real bug on every family it
+    was pointed at."""
+    base_dir = tmp_path_factory.mktemp("pqsched_base")
+    dim = S.DIM
+    vecs = []
+    for k in range(S.IVF_K):
+        e = np.zeros(dim)
+        e[k % dim] = 1.0
+        e[(k + 3) % dim] = 0.25 + 0.05 * (k // dim)
+        vecs.append(e / np.linalg.norm(e))
+    for j in range(8):
+        v = np.ones(dim)
+        v[j % dim] += 0.5 + 0.1 * j
+        vecs.append(v / np.linalg.norm(v))
+    _write_crafted_embeddings(base_dir / "embeddings.parquet", vecs)
+    template = str(base_dir / "idx")
+    S.ivfpq_build(spark, str(base_dir), index_dir=template)
+    base_df = (
+        spark.read.parquet(str(base_dir / "embeddings.parquet"))
+        .select("vec_id", "embedding")  # crafted fixture carries extras
+        .localCheckpoint(eager=True)
+    )
+
+    chunk_dfs = {}
+    for c in range(N_CHUNKS):
+        rows = [
+            (
+                1000 + 10 * c + i,
+                [float(x) for x in np.roll(vecs[i], c + 1)],
+            )
+            for i in range(4)
+        ]
+        chunk_dfs[c] = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        ).localCheckpoint(eager=True)
+
+    real_rename = os.rename
+
+    class Boom(Exception):
+        pass
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(st.data())
+    def run(data):
+        idx = os.path.join(str(tmp_path_factory.mktemp("pqsched")), "idx")
+        shutil.copytree(template, idx)
+        appended: set[int] = set()
+        folded: set[int] = set()
+        residue: set[int] = set()
+        missing = False
+
+        def cur_cents():
+            return spark.read.parquet(
+                os.path.join(idx, "centroids")
+            ).localCheckpoint(eager=True)
+
+        def assign_pairs(df, cents):
+            return {
+                ((r["vec_id"],), int(r["cid"]))
+                for r in S.ivf_assign(df, cents, round_digits=6).collect()
+            }
+
+        def corpus_now():
+            out = base_df
+            for c in sorted(appended):
+                out = out.unionByName(chunk_dfs[c])
+            return out
+
+        def expected(cents):
+            out = assign_pairs(base_df, cents)
+            for c in appended:
+                out |= assign_pairs(chunk_dfs[c], cents)
+            return out
+
+        def check():
+            cents = cur_cents()
+            served = _served_pairs(spark, idx, "ivfpq")
+            from collections import Counter
+
+            cnt = Counter(v for v, _ in served)
+            dup_ok = {
+                (1000 + 10 * c + i,) for c in residue for i in range(4)
+            }
+            assert all(n <= 2 for n in cnt.values())
+            assert {v for v, n in cnt.items() if n > 1} <= dup_ok
+            assert set(served) <= expected(cents)
+            assert set(served) >= assign_pairs(base_df, cents)
+            return served
+
+        def after_publish():
+            nonlocal missing
+            missing = False
+            folded.clear()
+            folded.update(appended)
+            residue.clear()
+            assert not os.path.isdir(os.path.join(idx, "code_appends"))
+            assert sorted(_served_pairs(spark, idx, "ivfpq")) == sorted(
+                expected(cur_cents())
+            )
+
+        n_ops = data.draw(st.integers(min_value=2, max_value=5))
+        for _ in range(n_ops):
+            if missing:
+                S.ivfpq_retrain(spark, idx, corpus_now())
+                after_publish()
+                continue
+            op = data.draw(
+                st.sampled_from(
+                    [
+                        "append",
+                        "append",
+                        "compact",
+                        "retrain",
+                        "crash_retrain",
+                        "bad_retrain",
+                        "dup_retrain",
+                    ]
+                )
+            )
+            if op == "append":
+                c = data.draw(st.integers(0, N_CHUNKS - 1))
+                # cents/books default to the index's CURRENT frozen
+                # state — the retrain walk's whole point (the generic
+                # walk pins the template's, legal only retrain-free)
+                S.ivfpq_append(spark, idx, chunk_dfs[c], batch_id=c)
+                appended.add(c)
+                if c in folded:
+                    residue.add(c)
+                served = check()
+                assert assign_pairs(chunk_dfs[c], cur_cents()) <= set(served)
+            elif op == "compact":
+                S.ivfpq_compact(spark, idx)
+                folded.update(appended)
+                residue.clear()
+                served = check()
+                assert sorted(served) == sorted(expected(cur_cents()))
+            elif op == "bad_retrain":
+                # a wrong id set must change NOTHING
+                if appended:
+                    wrong = base_df  # missing the appended ids
+                else:
+                    wrong = base_df.unionByName(chunk_dfs[0])  # extras
+                before = sorted(_served_pairs(spark, idx, "ivfpq"))
+                with pytest.raises(
+                    ValueError, match="does not match the served"
+                ):
+                    S.ivfpq_retrain(spark, idx, wrong, force=True)
+                assert sorted(_served_pairs(spark, idx, "ivfpq")) == before
+            elif op == "dup_retrain":
+                # the RIGHT id set as a multiset — a duplicated row, or
+                # one vec_id carrying a second embedding — must refuse
+                # loudly and change NOTHING (r13 advice)
+                extra = base_df.orderBy("vec_id").limit(1)
+                if data.draw(st.booleans()):
+                    extra = extra.withColumn(
+                        "embedding",
+                        F.expr(
+                            "transform(embedding,"
+                            " x -> x + cast(1.0 as float))"
+                        ),
+                    )
+                    msg = "more than one distinct embedding"
+                else:
+                    msg = "duplicate row"
+                before = sorted(_served_pairs(spark, idx, "ivfpq"))
+                with pytest.raises(ValueError, match=msg):
+                    S.ivfpq_retrain(
+                        spark, idx, corpus_now().unionByName(extra),
+                        force=True,
+                    )
+                assert sorted(_served_pairs(spark, idx, "ivfpq")) == before
+            elif op == "retrain":
+                if S.ivfpq_retrain(spark, idx, corpus_now()):
+                    after_publish()
+                else:
+                    check()
+            else:  # crash_retrain
+                if not any(
+                    d.startswith("bid=")
+                    for d in (
+                        os.listdir(os.path.join(idx, "code_appends"))
+                        if os.path.isdir(os.path.join(idx, "code_appends"))
+                        else []
+                    )
+                ):
+                    continue  # would no-op before the renames
+                k = data.draw(st.integers(min_value=1, max_value=2))
+                calls = {"n": 0}
+
+                def boom(src, dst, *, _k=k, _calls=calls):
+                    if str(src) == idx or str(dst) == idx:
+                        _calls["n"] += 1
+                        if _calls["n"] == _k:
+                            raise Boom(src)
+                    return real_rename(src, dst)
+
+                os.rename = boom
+                try:
+                    S.ivfpq_retrain(spark, idx, corpus_now())
+                    crashed = False
+                except Boom:
+                    crashed = True
+                finally:
+                    os.rename = real_rename
+                assert crashed
+                if k == 1:
+                    check()  # fully live, old space still served
+                else:
+                    missing = True
+                    assert not os.path.isdir(idx)
+
+        if missing:
+            S.ivfpq_retrain(spark, idx, corpus_now())
+            after_publish()
+        if S.ivfpq_retrain(spark, idx, corpus_now()):
+            after_publish()
+        S.ivfpq_compact(spark, idx)
+        final = _served_pairs(spark, idx, "ivfpq")
+        assert sorted(final) == sorted(expected(cur_cents()))
 
     run()
