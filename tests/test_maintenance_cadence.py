@@ -24,7 +24,10 @@ SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 @pytest.fixture(scope="module")
 def halves(spark, tmp_path_factory):
-    """Even-half fixture dir + the odd half as the no-drift batch."""
+    """Even-half fixture dir + two disjoint odd-quarter batches: the
+    first is the BASELINE batch (first post-build append — calibrates
+    away the train-vs-holdout optimism gap), the second the no-drift
+    batch that must stay quiet against it."""
     if not os.path.isdir(SF01):
         pytest.skip(f"sf0.1 fixtures not found at {SF01}")
     emb = load_table(spark, SF01, "embeddings").select("vec_id", "embedding")
@@ -32,60 +35,158 @@ def halves(spark, tmp_path_factory):
     emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
         str(half_dir / "embeddings.parquet")
     )
-    odd = emb.filter(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
-    return str(half_dir), odd
+    odd1 = emb.filter(F.col("vec_id") % 4 == 1).localCheckpoint(eager=True)
+    odd3 = emb.filter(F.col("vec_id") % 4 == 3).localCheckpoint(eager=True)
+    return str(half_dir), odd1, odd3
 
 
 def _shift_ids(df, offset=10_000_000):
     return df.withColumn("vec_id", F.col("vec_id") + F.lit(offset))
 
 
+def test_centroid_trigger_is_mix_adjusted(spark):
+    """The r14 review's false-alarm scenario, pinned: a batch whose
+    vectors all land in one extreme-but-legitimate cell AT that cell's
+    training quality must stay quiet (its deviation from the GLOBAL
+    mean is the weighted max, which always >= the CV threshold — the
+    un-adjusted comparison fired here by construction), while the same
+    composition at genuinely degraded quality fires."""
+    # two training cells: means 1.0 and 0.5 (micro-units), CV = 1/3
+    def report(new_sum_c1):
+        return spark.createDataFrame(
+            [
+                (0, 100, 0, 100_000_000, 0),
+                (1, 100, 50, 50_000_000, new_sum_c1),
+            ],
+            "cid bigint, n_base bigint, n_new bigint,"
+            " base_cos_sum_mu bigint, new_cos_sum_mu bigint",
+        )
+
+    # 50 members in cell 1 at exactly cell 1's training mean (0.5):
+    # global-mean comparison would read rel = 0.5/0.75 - 1 = -1/3 and
+    # fire at the CV threshold (also 1/3); mix-adjusted rel is 0
+    quiet = S.ivf_retrain_due(report(25_000_000))
+    assert abs(quiet["rel_drift"]) < 1e-12
+    assert quiet["due"] is False
+
+    # same composition, each member 40% worse than its cell's mean
+    loud = S.ivf_retrain_due(report(15_000_000))
+    assert loud["rel_drift"] == pytest.approx(-0.4)
+    assert loud["due"] is True
+
+
+def test_corpus_check_refuses_null_embeddings(spark, tmp_path):
+    """A NULL embedding (bad upstream join) gets its OWN refusal, not
+    a misleading 'duplicate row' message (r14 review: count_distinct
+    skips nulls, so a null row used to count as a duplicate and the
+    remediation advice — dedup — could never clear it)."""
+    ids = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with_null = ids.unionByName(
+        spark.createDataFrame(
+            [(99,)], "vec_id bigint"
+        ).withColumn("embedding", F.lit(None).cast("array<float>"))
+    )
+    served = with_null.select("vec_id")
+    with pytest.raises(ValueError, match="NULL-embedding"):
+        S._retrain_corpus_check(with_null, served, "test_op", "/dev/null")
+    # and a clean corpus still passes, returning the distinct id count
+    assert S._retrain_corpus_check(ids, ids.select("vec_id"), "t", "x") == 8
+
+
 def test_ivf_cadence_thresholds_on_sf01(spark, halves, tmp_path):
-    """IVF: the odd half of the SAME corpus must not alarm (its mean
-    cosine drift sits inside the training CV); a negated batch — every
-    vector pointing away from the space the centroids were trained on
-    — must. The computed threshold is the documented max(CV, 1%)."""
-    half_dir, odd = halves
+    """IVF: a same-distribution batch must not alarm against the
+    baseline batch; a negated batch — every vector pointing away from
+    the space the centroids were trained on — must. Also PINS the
+    calibration measurement the baseline contract rests on: the
+    training yardstick is optimistically biased (Lloyd centroids fit
+    the members that trained them), so even a same-distribution
+    holdout shows a large NEGATIVE raw drift — the reason the runbook
+    prescribes differencing against the first post-build append. The
+    computed threshold is the documented max(CV, 1%)."""
+    half_dir, odd1, odd3 = halves
     idx = S.ivf_build(spark, half_dir, index_dir=str(tmp_path / "ivf"))
 
-    quiet = S.ivf_retrain_due(S.ivf_append(spark, idx, odd, batch_id=0))
+    r0 = S.ivf_append(spark, idx, odd1, batch_id=0)
+    r1 = S.ivf_append(spark, idx, odd3, batch_id=1)
+    quiet = S.ivf_retrain_due(r1, baseline=r0)
     # the threshold IS the training space's own spread, and on real
     # fixtures it dominates the 1% floor — the documented calibration
     assert quiet["threshold"] >= S.DRIFT_REL_FLOOR
-    assert abs(quiet["rel_drift"]) < quiet["threshold"]
+    assert abs(quiet["rel_vs_baseline"]) < quiet["threshold"]
     assert quiet["due"] is False
+    # the optimism gap itself, measured: BOTH holdout batches sit far
+    # below the training yardstick (the raw single-report trigger is
+    # conservative by exactly this), and by roughly the same amount
+    assert quiet["rel_drift"] <= -quiet["threshold"]
+    assert quiet["baseline_rel_drift"] <= -quiet["threshold"]
 
-    drifted = _shift_ids(
-        odd.withColumn(
-            "embedding",
-            F.expr("transform(embedding, x -> -x)"),
-        )
+    # a geometry-GUARANTEED drifted batch: project the centroid span
+    # out of the vectors, so cos-to-every-centroid is ~0 (a negated
+    # batch is NOT drifted enough here: with mean cos-to-centroid only
+    # ~0.27, -v's best centroid still scores ~ -min_c cos(v,c) ~ 0.22,
+    # inside the band — measured r14)
+    import numpy as np
+
+    cents = np.array(
+        [
+            r["c_emb"]
+            for r in spark.read.parquet(
+                os.path.join(idx, "centroids")
+            ).collect()
+        ]
     )
-    loud = S.ivf_retrain_due(S.ivf_append(spark, idx, drifted, batch_id=1))
-    assert loud["rel_drift"] <= -loud["threshold"]
+    q, _ = np.linalg.qr(cents.T)  # orthonormal basis of the span
+    rows = odd3.collect()
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    v_perp = v - (v @ q) @ q.T
+    drifted = spark.createDataFrame(
+        [
+            (int(r["vec_id"]) + 10_000_000, [float(x) for x in vec])
+            for r, vec in zip(rows, v_perp)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    loud = S.ivf_retrain_due(
+        S.ivf_append(spark, idx, drifted, batch_id=2), baseline=r0
+    )
+    assert loud["rel_vs_baseline"] <= -loud["threshold"]
     assert loud["due"] is True
 
 
 def test_ivfpq_cadence_thresholds_on_sf01(spark, halves, tmp_path):
-    """IVFPQ: the odd half must not alarm; a scaled batch (3x vectors
-    -> ~9x residual energy against the frozen codebooks) must — the
-    POSITIVE qerr direction the runbook documents."""
-    half_dir, odd = halves
+    """IVFPQ: a same-distribution batch must not alarm against the
+    baseline batch; a scaled batch (3x vectors -> ~9x residual energy
+    against the frozen codebooks) must — the POSITIVE qerr direction
+    the runbook documents. Pins the family's optimism gap too (the
+    codebooks quantize their own training residuals better than any
+    holdout's): positive raw drift on both holdout batches."""
+    half_dir, odd1, odd3 = halves
     idx = S.ivfpq_build(spark, half_dir, index_dir=str(tmp_path / "ivfpq"))
 
-    quiet = S.ivfpq_retrain_due(S.ivfpq_append(spark, idx, odd, batch_id=0))
+    r0 = S.ivfpq_append(spark, idx, odd1, batch_id=0)
+    r1 = S.ivfpq_append(spark, idx, odd3, batch_id=1)
+    quiet = S.ivfpq_retrain_due(r1, baseline=r0)
     assert quiet["threshold"] >= S.DRIFT_REL_FLOOR
-    assert abs(quiet["rel_drift"]) < quiet["threshold"]
+    assert abs(quiet["rel_vs_baseline"]) < quiet["threshold"]
     assert quiet["due"] is False
+    # the measured optimism gap: holdout residuals quantize WORSE
+    # against books fit on the training half (positive raw drift)
+    assert quiet["rel_drift"] > 0
+    assert quiet["baseline_rel_drift"] > 0
 
     drifted = _shift_ids(
-        odd.withColumn(
+        odd3.withColumn(
             "embedding",
             F.expr("transform(embedding, x -> x * cast(3.0 as float))"),
         )
     )
-    loud = S.ivfpq_retrain_due(S.ivfpq_append(spark, idx, drifted, batch_id=1))
-    assert loud["rel_drift"] >= loud["threshold"]
+    loud = S.ivfpq_retrain_due(
+        S.ivfpq_append(spark, idx, drifted, batch_id=2), baseline=r0
+    )
+    assert loud["rel_vs_baseline"] >= loud["threshold"]
     assert loud["due"] is True
 
 
@@ -94,9 +195,13 @@ def test_lsh_cadence_thresholds_on_sf01(spark, halves, tmp_path):
     degenerate batch (one vector repeated — every row in one bucket
     per band) must blow far past it. Also pins the growth trigger's
     arithmetic: lsh_rows_for vs the published marker width."""
-    half_dir, odd = halves
+    half_dir, odd1, _odd3 = halves
+    odd = odd1
     idx = S.ann_lsh_build(spark, half_dir, index_dir=str(tmp_path / "lsh"))
 
+    # no baseline differencing here, by design: the planes are a
+    # fixed-seed function of nothing — the LSH drift report has no
+    # train-vs-holdout bias for a baseline to cancel
     quiet = S.lsh_retrain_due(S.ann_lsh_append(spark, idx, odd, batch_id=0))
     assert quiet["max_ratio"] < quiet["threshold_ratio"] == 2.0
     assert quiet["due"] is False
