@@ -249,3 +249,100 @@ def test_lsh_cadence_thresholds_on_sf01(spark, halves, tmp_path):
         .count()
     )
     assert S.lsh_rows_for(n_served) <= width1  # quiet: width refreshed
+
+
+def test_centroid_trigger_randomized_properties(spark):
+    """Randomized invariants of the centroid cadence trigger — the
+    property form of the two r14 review bugs, so neither can regress:
+
+    (i)  composition invariance — a batch at EXACTLY training quality
+         per cell (new_sum_c = n_new_c * m_base_c) never fires, no
+         matter how lopsided its cell mix (the un-adjusted global-mean
+         comparison fired here whenever the mix favored an extreme
+         cell);
+    (ii) common-bias cancellation — two batches sharing one
+         multiplicative quality bias g (the train-vs-holdout optimism
+         gap's shape) never fire when differenced against each other,
+         for ANY g and ANY mixes;
+    (iii) calibrated firing — with batch quality g1 x training and
+         baseline quality g0 x training, the alarm fires when
+         sign * (g1 - g0) clears the returned threshold with margin,
+         and stays quiet well inside it (integer rounding of the
+         micro-unit sums is absorbed by the margins)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    cell = st.tuples(
+        st.integers(min_value=1, max_value=1000),     # n_base
+        st.integers(min_value=10_000, max_value=1_000_000),  # m_base (mu)
+        st.integers(min_value=0, max_value=500),      # n_new
+    )
+
+    def report_df(cells, g):
+        rows = [
+            (
+                cid,
+                nb,
+                nn,
+                nb * mb,
+                int(round(g * nn * mb)),
+            )
+            for cid, (nb, mb, nn) in enumerate(cells)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "cid bigint, n_base bigint, n_new bigint,"
+            " base_cos_sum_mu bigint, new_cos_sum_mu bigint",
+        )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.data())
+    def run(data):
+        cells = data.draw(st.lists(cell, min_size=1, max_size=5))
+        if not any(nn for _, _, nn in cells):
+            cells[0] = (cells[0][0], cells[0][1], 7)  # ensure a batch
+
+        # (i) exact training quality, arbitrary mix: never due
+        r = S.ivf_retrain_due(report_df(cells, 1.0))
+        assert r["due"] is False
+        assert abs(r["rel_drift"]) < 1e-6  # integer rounding only
+
+        # (ii) a shared bias g cancels under baseline differencing
+        g = data.draw(st.floats(min_value=0.2, max_value=2.0))
+        cells2 = data.draw(st.lists(cell, min_size=1, max_size=5))
+        if not any(nn for _, _, nn in cells2):
+            cells2[0] = (cells2[0][0], cells2[0][1], 7)
+        # the baseline must describe the SAME training space (same
+        # base cells) — only the batch mix differs
+        cells2 = [
+            (nb, mb, nn2)
+            for (nb, mb, _), (_, _, nn2) in zip(
+                cells, cells2 * (len(cells) // len(cells2) + 1)
+            )
+        ]
+        both = S.ivf_retrain_due(
+            report_df(cells, g), baseline=report_df(cells2, g)
+        )
+        assert both["due"] is False
+        assert abs(both["rel_vs_baseline"]) < 1e-3  # rounding of g*nn*mb
+
+        # (iii) calibrated firing around the returned threshold
+        thr = both["threshold"]
+        drop = data.draw(st.sampled_from([1.5, 0.4])) * thr
+        fired = S.ivf_retrain_due(
+            report_df(cells, g * (1.0 - drop)),
+            baseline=report_df(cells2, g),
+        )
+        # rel1 = g(1-drop) - 1, rel0 = g - 1 -> difference = -g*drop;
+        # assert only outside a 1% dead band around the threshold so
+        # micro-unit integer rounding can never flip a boundary draw
+        if g * drop >= thr * 1.01:
+            assert fired["due"] is True, (g, drop, thr, fired)
+        elif g * drop <= thr * 0.99:
+            assert fired["due"] is False, (g, drop, thr, fired)
+
+    run()
