@@ -1358,6 +1358,61 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_report(base_stats, new_stats)
 
 
+def _ivf_cadence_oracle() -> str:
+    exp = (
+        "CASE WHEN n_base = 0 THEN 0"
+        " ELSE (n_new * base_cos_sum_mu) // n_base END"
+    )
+    return f"""
+WITH rep AS ({_ivf_incremental_oracle()})
+SELECT cid, n_base, n_new, base_cos_sum_mu, new_cos_sum_mu, drift_num_mu,
+       CAST({exp} AS BIGINT) AS mix_exp_mu,
+       CAST(new_cos_sum_mu - ({exp}) AS BIGINT) AS mix_gap_mu
+FROM rep
+"""
+
+
+# ROUND-15 REGISTRATION QUEUE (build-now-register-next-round): built +
+# locally oracle-proven in r14; the decorator goes on in round 15
+# under that round's window math.
+def sim_ivf_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain-cadence arithmetic as a driver-checkable surface —
+    sim_ivf_incremental's drift report extended with the EXACT-integer
+    mix expectation the calibrated trigger (ivf_retrain_due /
+    MAINTENANCE.md "Retrain cadence") compares against: per cid,
+    ``mix_exp_mu`` = the cos sum this batch WOULD score if its members
+    matched the cell's training quality — (n_new * base_cos_sum_mu)
+    div n_base, floor division of non-negative BIGINTs, so Spark's
+    truncating div and DuckDB's flooring // agree exactly — and
+    ``mix_gap_mu`` = the batch's actual cos sum minus that
+    expectation. Sum the gaps over cids and the sign IS the
+    mix-adjusted drift the trigger alarms on (the float CV threshold
+    stays engine-side: it is a monitoring default, not an oracle
+    surface; the tie test pins the trigger's rel_drift to these
+    columns). Overflow envelope: |n_new * base_cos_sum_mu| <=
+    n_new * n_base * 1e6 per cell — the _drift_report cross-multiply
+    bound, documented there.
+
+    Scale shape: sim_ivf_incremental's plan (two zero-shuffle
+    literal-argmax assignments + map-side-combined per-cid sums; the
+    only exchange carries K-cardinality rows) plus a K-row
+    projection."""
+    rep = sim_ivf_incremental(spark, sf_dir)
+    exp_mu = F.when(F.col("n_base") == 0, F.lit(0)).otherwise(
+        F.expr("(n_new * base_cos_sum_mu) div n_base")
+    )
+    return rep.select(
+        "cid",
+        "n_base",
+        "n_new",
+        "base_cos_sum_mu",
+        "new_cos_sum_mu",
+        "drift_num_mu",
+        exp_mu.cast("bigint").alias("mix_exp_mu"),
+        (F.col("new_cos_sum_mu") - exp_mu).cast("bigint").alias("mix_gap_mu"),
+    )
+
+
 def _ivf_retrain_oracle() -> str:
     cos_c1 = (
         "list_dot_product(ax.v, c1.c) / "
@@ -3062,6 +3117,69 @@ def sim_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _lsh_drift_report(base, new)
+
+
+def _lsh_cadence_oracle() -> str:
+    def dens(pair_sum: str, n: str) -> str:
+        return (
+            f"CAST(CASE WHEN {n} = 0 THEN 0"
+            f" ELSE ({pair_sum} // {n}) * 1000000"
+            f" + (({pair_sum} % {n}) * 1000000) // {n} END AS BIGINT)"
+        )
+
+    db = dens("base_pair_sum", "n_base")
+    dn = dens("new_pair_sum", "n_new")
+    return f"""
+WITH rep AS ({_lsh_incremental_oracle()})
+SELECT band, n_base, n_new, base_pair_sum, new_pair_sum, drift_num,
+       {db} AS density_base_mu,
+       {dn} AS density_new_mu,
+       (({db} > 0 AND {dn} >= 2 * {db})
+        OR ({db} = 0 AND {dn} >= 1000000)) AS due_ratio2
+FROM rep
+"""
+
+
+# ROUND-15 REGISTRATION QUEUE (build-now-register-next-round, second
+# entry beside sim_ivf_cadence): built + locally oracle-proven in r14;
+# the decorator goes on in round 15 under that round's window math.
+def sim_lsh_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-hash cadence arithmetic as a driver-checkable surface —
+    sim_lsh_incremental's per-band drift report extended with the
+    EXACT-integer collision densities and the 2x cost-ratio verdict
+    the calibrated trigger (lsh_retrain_due / MAINTENANCE.md "Retrain
+    cadence") fires on: densities by the shared split-division
+    micro-unit arithmetic (_density_mu — floor(pair_sum * 1e6 / n)
+    with every intermediate < 2^63; operands non-negative, so Spark's
+    div and DuckDB's // agree), and ``due_ratio2`` = this band reached
+    2x its training collision density (or, for a zero-density training
+    band where the ratio is undefined, the absolute broken-O(1) point
+    of one colliding pair per row). Unlike the centroid families the
+    WHOLE verdict is integer/boolean-exact — density_new >= 2 *
+    density_base needs no floats — so the driver hashes the trigger
+    itself, not just its inputs; index-level due = ANY(due_ratio2),
+    pinned equal to lsh_retrain_due by the tie test.
+
+    Scale shape: sim_lsh_incremental's plan (two narrow Arrow
+    hyperplane matmuls + constant-ANN_BANDS-row aggregates) plus a
+    constant-size projection."""
+    rep = sim_lsh_incremental(spark, sf_dir)
+    db = _density_mu("base_pair_sum", "n_base")
+    dn = _density_mu("new_pair_sum", "n_new")
+    return rep.select(
+        "band",
+        "n_base",
+        "n_new",
+        "base_pair_sum",
+        "new_pair_sum",
+        "drift_num",
+        db.cast("bigint").alias("density_base_mu"),
+        dn.cast("bigint").alias("density_new_mu"),
+        (
+            ((db > 0) & (dn >= 2 * db))
+            | ((db == 0) & (dn >= 1_000_000))
+        ).alias("due_ratio2"),
+    )
 
 
 def lsh_rows_for(n: int) -> int:

@@ -2410,3 +2410,56 @@ def test_lsh_retrain_query_agrees_with_operator_width_choice(
     q_rows = {int(r["adaptive_rows"]) for r in S.sim_lsh_retrain(spark, sf_oracle).collect()}
     assert len(q_rows) == 1  # same corpus count in every band
     assert S._lsh_index_width(idx) == (S.ANN_BANDS, q_rows.pop())
+
+
+def test_ivf_cadence_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-15 registration (the
+    build-now-register-later pattern): sim_ivf_cadence's exact-integer
+    mix-expectation columns vs the DuckDB replay under the driver's
+    own comparison."""
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sim_ivf_cadence, S._ivf_cadence_oracle(), sf_oracle
+    )
+
+
+def test_lsh_cadence_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-15 registration (second queue entry):
+    sim_lsh_cadence's split-division densities + integer/boolean 2x
+    cost-ratio verdict vs the DuckDB replay under the driver's own
+    comparison."""
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sim_lsh_cadence, S._lsh_cadence_oracle(), sf_oracle
+    )
+
+
+def test_cadence_queries_tie_to_triggers(spark, sf_oracle):
+    """The oracle-checked cadence queries ARE the calibrated triggers'
+    arithmetic: the LSH query's ANY(due_ratio2) equals
+    lsh_retrain_due's verdict on the same report, and the IVF query's
+    integer mix columns reproduce ivf_retrain_due's rel_drift — the
+    tie that makes the (future) driver hash evidence cover the
+    monitoring code path, the sim_ivf_incremental==ivf_append
+    discipline applied to the cadence layer."""
+    lsh_rep = S.sim_lsh_incremental(spark, sf_oracle)
+    due = S.lsh_retrain_due(lsh_rep)["due"]
+    rows = S.sim_lsh_cadence(spark, sf_oracle).collect()
+    assert any(r["due_ratio2"] for r in rows) is due
+
+    ivf_rep = S.sim_ivf_incremental(spark, sf_oracle)
+    rel = S.ivf_retrain_due(ivf_rep)["rel_drift"]
+    crows = [
+        r for r in S.sim_ivf_cadence(spark, sf_oracle).collect()
+        if r["n_base"] > 0
+    ]
+    sn = sum(r["new_cos_sum_mu"] for r in crows)
+    exp = sum(r["mix_exp_mu"] for r in crows)
+    # mix_exp_mu floors per cell; the trigger's expectation is the
+    # unfloored float sum — within one micro-unit per cell of each other
+    assert abs(sn / exp - 1.0 - rel) < 1e-6
+    assert sum(r["mix_gap_mu"] for r in crows) == sn - exp
