@@ -336,7 +336,7 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
     """Randomized-schedule property for the maintained sketch registry
     (the test_index_schedule pattern applied to the exactly-once
     artifact): starting from a built registry, for ANY schedule of
-    {append chunk c (bid=c; re-drawing = an at-least-once REPLAY),
+    {append chunk c (re-drawing = an at-least-once REPLAY),
     re-build (restart idempotency), compact, crash-compact killed at
     the manifest commit point or during the post-commit sweep}, the
     served merged sketch equals the exact python-side merge of the base
@@ -353,7 +353,21 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
     must end LOUDLY — CompactionFenceError at the compare-and-swap, or
     a missing-file error where the winner's sweep already removed the
     loser's lazily-bound fold inputs — never a silent publish; serving
-    must remain exact immediately after, from the winner's snapshot."""
+    must remain exact immediately after, from the winner's snapshot.
+
+    r14: the harness itself was falsified — its first generator used
+    the chunk INDEX as the bid, so the draw append(c=1), compact,
+    append(c=0) introduced a brand-new bid BELOW the published hwm,
+    which the watermark excludes BY DESIGN (sketches.py's documented
+    contract: absorption state is a range, monotonicity is what makes
+    it sound; replays of absorbed bids are indistinguishable from this
+    at append time, so the engine cannot refuse it loudly — the stream
+    twin's monotonic batch ids + fresh-checkpoint refusal are the
+    enforcement point). The harness now assigns each chunk a MONOTONIC
+    bid at first append, exactly as a checkpointed stream would, and
+    replays reuse their original bid — the second time this suite's
+    own harness was corrected against the engine's contract (the
+    exact-dedup pending-bid episode is the first, r12 notes)."""
     import os
     import shutil
 
@@ -397,6 +411,9 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
         reg = os.path.join(str(tmp_path_factory.mktemp("cms_sched")), "reg")
         shutil.copytree(template, reg)
         appended: set[int] = set()
+        # chunk -> bid, assigned monotonically at FIRST append (the
+        # stream contract); replays reuse their bid
+        bid_of: dict[int, int] = {}
 
         def expected():
             out = dict(base_cells)
@@ -419,7 +436,9 @@ def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factor
             )
             if op == "append":
                 c = data.draw(st.integers(0, N_CHUNKS - 1))
-                S.cms_append(spark, reg, chunk_dfs[c], batch_id=c)
+                if c not in bid_of:
+                    bid_of[c] = max(bid_of.values(), default=-1) + 1
+                S.cms_append(spark, reg, chunk_dfs[c], batch_id=bid_of[c])
                 appended.add(c)  # replays land idempotently or excluded
             elif op == "rebuild":
                 S.cms_registry_build(spark, str(base_dir), reg)
