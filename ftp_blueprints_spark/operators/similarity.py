@@ -1236,8 +1236,10 @@ def _drift_report(
     """Full-outer per-cid diff of two assignment-stats frames, plus
     the exact-integer drift numerator: mean_new - mean_base has the
     sign of new_<val> * n_base - base_<val> * n_new (cross-multiplied
-    to stay in BIGINT — no integer division of possibly-negative sums,
-    whose floor-vs-truncate semantics differ across engines). Sign
+    to stay in BIGINT — no integer division of possibly-negative sums:
+    Spark's div and DuckDB's // both truncate toward zero, measured
+    r14, but Python's // floors, and sidestepping division keeps every
+    replay surface exact regardless of convention). Sign
     reading depends on the metric: for the IVF cos stats
     (val="cos_sum_mu", higher = closer) a NEGATIVE drift numerator
     means the new snapshot sits farther from the frozen centroids than
@@ -1382,16 +1384,25 @@ def sim_ivf_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAINTENANCE.md "Retrain cadence") compares against: per cid,
     ``mix_exp_mu`` = the cos sum this batch WOULD score if its members
     matched the cell's training quality — (n_new * base_cos_sum_mu)
-    div n_base, floor division of non-negative BIGINTs, so Spark's
-    truncating div and DuckDB's flooring // agree exactly — and
-    ``mix_gap_mu`` = the batch's actual cos sum minus that
-    expectation. Sum the gaps over cids and the sign IS the
-    mix-adjusted drift the trigger alarms on (the float CV threshold
-    stays engine-side: it is a monitoring default, not an oracle
-    surface; the tie test pins the trigger's rel_drift to these
-    columns). Overflow envelope: |n_new * base_cos_sum_mu| <=
-    n_new * n_base * 1e6 per cell — the _drift_report cross-multiply
-    bound, documented there.
+    div n_base — and ``mix_gap_mu`` = the batch's actual cos sum minus
+    that expectation. Engine equality holds for EVERY sign: Spark's
+    ``div`` and DuckDB's ``//`` both truncate toward zero (verified
+    empirically — DuckDB does NOT floor: (-7)//2 = -3 in both), and a
+    cell's cos sum CAN be negative, so the truncate-vs-floor
+    distinction is live here and the two engines happen to share the
+    convention (r14 second review pass; Python's flooring // is the
+    odd one out — replay helpers must use int() division or the
+    emitted columns). Sum the gaps over the n_base > 0 cids and the
+    sign IS the mix-adjusted drift the trigger alarms on — cells the
+    training stats never saw are EXCLUDED from the trigger's
+    comparison and surface through its ``unseen_frac`` instead; their
+    mix_gap_mu equals their raw new sum and ``n_base = 0`` marks them
+    in this output (the float CV threshold stays engine-side: it is a
+    monitoring default, not an oracle surface; the tie test pins the
+    trigger's rel_drift to these columns with exactly that filter).
+    Overflow envelope: |n_new * base_cos_sum_mu| <= n_new * n_base *
+    1e6 per cell — the _drift_report cross-multiply bound, documented
+    there.
 
     Scale shape: sim_ivf_incremental's plan (two zero-shuffle
     literal-argmax assignments + map-side-combined per-cid sums; the
@@ -2788,10 +2799,8 @@ joined AS (
 -- flooring // equals Spark's truncating div), 0 when either side empty
 SELECT band, n_base, n_new, base_pair_sum, new_pair_sum,
        CAST(CASE WHEN n_base = 0 OR n_new = 0 THEN 0
-            ELSE ((new_pair_sum // n_new) * 1000000
-                  + ((new_pair_sum % n_new) * 1000000) // n_new)
-               - ((base_pair_sum // n_base) * 1000000
-                  + ((base_pair_sum % n_base) * 1000000) // n_base)
+            ELSE {_dens_sql("new_pair_sum", "n_new")}
+               - {_dens_sql("base_pair_sum", "n_base")}
             END AS BIGINT) AS drift_num
 FROM joined
 """
@@ -2808,6 +2817,18 @@ def _density_mu(pair_sum: str, n: str):
     return F.when(F.col(n) == 0, F.lit(0)).otherwise(
         F.expr(f"({pair_sum} div {n}) * 1000000"
                f" + (({pair_sum} % {n}) * 1000000) div {n}")
+    )
+
+
+def _dens_sql(pair_sum: str, n: str) -> str:
+    """_density_mu's DuckDB twin: the split-division density as a SQL
+    fragment (no zero-guard — callers wrap their own CASE, whose empty-
+    side convention differs between the drift and cadence oracles).
+    ONE definition for both oracles, exactly as _density_mu is the one
+    definition for both Spark consumers (r14 second review pass)."""
+    return (
+        f"(({pair_sum} // {n}) * 1000000"
+        f" + (({pair_sum} % {n}) * 1000000) // {n})"
     )
 
 
@@ -2831,10 +2852,12 @@ def _lsh_drift_report(base_stats: DataFrame, new_stats: DataFrame) -> DataFrame:
     earlier). Beyond the envelope the bigint OUTPUT cannot represent
     the density at all, so the correct behavior is ANSI-loud overflow,
     not a silently-wrapped sign — pinned by the overflow-magnitudes
-    property test.  All operands are
-    non-negative, so Spark's truncating `div` and DuckDB's flooring
-    `//` agree — the negative-sum hazard that forces _drift_report to
-    cross-multiply does not exist on this surface.  drift_num =
+    property test.  All operands are non-negative — where truncation
+    and flooring coincide; both engines in fact truncate toward zero
+    (measured r14: DuckDB's // does NOT floor), so the negative-sum
+    hazard _drift_report sidesteps by cross-multiplying would not
+    diverge the ENGINES even if it arose, only the flooring Python
+    replay helpers.  drift_num =
     new_density_mu - base_density_mu (resolution: one micro-pair per
     row; POSITIVE = the new batch collides denser than the training
     corpus), and 0 when either side is empty, matching _drift_report's
@@ -2912,8 +2935,15 @@ def _centroid_retrain_due(
       healthy batch landing in one extreme-but-legitimate cell shows
       |rel| up to the weighted MAX deviation of a cell mean, which
       always >= the weighted RMS (the CV threshold) — a guaranteed
-      false alarm. Cells the training stats never saw (n_base = 0)
-      are excluded from both sides.
+      false alarm. Cells the training stats never saw (n_base = 0 — a
+      Lloyd cell can end up with zero training members and still
+      attract batch vectors) are excluded from the comparison, because
+      they have NO training yardstick to compare against; their batch
+      mass is NOT dropped silently (r14 second review pass): it is
+      returned as ``unseen_frac``, and a batch whose MAJORITY lands in
+      unseen cells fires the alarm outright — the frozen space
+      demonstrably does not cover it, which is drift by definition, no
+      calibration needed.
     * BASELINE differencing — the training yardstick is computed on
       the very vectors that trained the frozen state, so it is
       optimistically biased relative to ANY held-out batch: measured
@@ -2946,6 +2976,7 @@ def _centroid_retrain_due(
         report.agg(
             F.sum("n_base").alias("nb"),
             F.sum(F.when(in_base, F.col("n_new"))).alias("nn"),
+            F.sum(F.when(~in_base, F.col("n_new"))).alias("nn_unseen"),
             F.sum(f"base_{val}").cast("double").alias("sb"),
             F.sum(F.when(in_base, F.col(f"new_{val}")))
             .cast("double")
@@ -2970,14 +3001,19 @@ def _centroid_retrain_due(
         .first()
     )
     nb, nn = int(m["nb"] or 0), int(m["nn"] or 0)
+    nn_unseen = int(m["nn_unseen"] or 0)
+    unseen_frac = nn_unseen / (nn + nn_unseen) if nn + nn_unseen else 0.0
     sb, sn = float(m["sb"] or 0.0), float(m["sn"] or 0.0)
     exp_sum = float(m["exp_sum"] or 0.0)
     if nb == 0 or nn == 0 or sb == 0.0 or exp_sum == 0.0:
         return {
-            "due": False,
+            # no comparable mass at all: due only when the batch is
+            # real and the frozen space saw none of it
+            "due": nn_unseen > 0,
             "rel_drift": 0.0,
             "baseline_rel_drift": base_rel,
             "rel_vs_baseline": -base_rel,
+            "unseen_frac": unseen_frac,
             "threshold": DRIFT_REL_FLOOR,
         }
     rel = sn / exp_sum - 1.0
@@ -2986,10 +3022,11 @@ def _centroid_retrain_due(
     thr = max(cv, DRIFT_REL_FLOOR)
     rel_eff = rel - base_rel
     return {
-        "due": sign * rel_eff >= thr,
+        "due": sign * rel_eff >= thr or unseen_frac >= 0.5,
         "rel_drift": rel,
         "baseline_rel_drift": base_rel,
         "rel_vs_baseline": rel_eff,
+        "unseen_frac": unseen_frac,
         "threshold": thr,
     }
 
@@ -3123,8 +3160,7 @@ def _lsh_cadence_oracle() -> str:
     def dens(pair_sum: str, n: str) -> str:
         return (
             f"CAST(CASE WHEN {n} = 0 THEN 0"
-            f" ELSE ({pair_sum} // {n}) * 1000000"
-            f" + (({pair_sum} % {n}) * 1000000) // {n} END AS BIGINT)"
+            f" ELSE {_dens_sql(pair_sum, n)} END AS BIGINT)"
         )
 
     db = dens("base_pair_sum", "n_base")

@@ -75,6 +75,52 @@ def test_centroid_trigger_is_mix_adjusted(spark):
     assert loud["due"] is True
 
 
+def test_centroid_trigger_reports_unseen_cell_mass(spark):
+    """The r14 second review pass: batch mass landing in cells the
+    training stats never saw (n_base = 0 — a Lloyd cell can be empty
+    at training time and still attract batch vectors) must never be
+    DROPPED silently from the verdict. It is excluded from the
+    calibrated comparison (no yardstick exists for it) but returned as
+    unseen_frac, and a majority-unseen batch fires outright — the
+    frozen space demonstrably does not cover it."""
+    def report(rows):
+        return spark.createDataFrame(
+            rows,
+            "cid bigint, n_base bigint, n_new bigint,"
+            " base_cos_sum_mu bigint, new_cos_sum_mu bigint",
+        )
+
+    # minority unseen: surfaced, not due (matched mass at training
+    # quality)
+    r = S.ivf_retrain_due(
+        report(
+            [
+                (0, 100, 50, 50_000_000, 25_000_000),
+                (9, 0, 10, 0, 9_000_000),
+            ]
+        )
+    )
+    assert r["unseen_frac"] == pytest.approx(10 / 60)
+    assert r["due"] is False
+
+    # majority unseen fires even with matched cells at perfect quality
+    r2 = S.ivf_retrain_due(
+        report(
+            [
+                (0, 100, 10, 50_000_000, 5_000_000),
+                (9, 0, 50, 0, 45_000_000),
+            ]
+        )
+    )
+    assert r2["unseen_frac"] == pytest.approx(50 / 60)
+    assert r2["due"] is True
+
+    # entirely unseen: the degenerate branch is due, never quiet
+    r3 = S.ivf_retrain_due(report([(9, 0, 50, 0, 45_000_000)]))
+    assert r3["due"] is True
+    assert r3["unseen_frac"] == 1.0
+
+
 def test_corpus_check_refuses_null_embeddings(spark, tmp_path):
     """A NULL embedding (bad upstream join) gets its OWN refusal, not
     a misleading 'duplicate row' message (r14 review: count_distinct
@@ -98,8 +144,9 @@ def test_corpus_check_refuses_null_embeddings(spark, tmp_path):
 
 def test_ivf_cadence_thresholds_on_sf01(spark, halves, tmp_path):
     """IVF: a same-distribution batch must not alarm against the
-    baseline batch; a negated batch — every vector pointing away from
-    the space the centroids were trained on — must. Also PINS the
+    baseline batch; a batch with the centroid span projected OUT of
+    its vectors — cos ~0 to every centroid by construction — must.
+    Also PINS the
     calibration measurement the baseline contract rests on: the
     training yardstick is optimistically biased (Lloyd centroids fit
     the members that trained them), so even a same-distribution
