@@ -91,18 +91,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations capped at those 2, so the 50-slot window takes the two
 # rank -1 rows plus all 20 r10-stale rows plus 28 of the 50 r11-stale
 # rows (nothing older than r11 evidence should remain after round 14).
-# Round 15 registration queue (built + locally oracle-proven in r14,
-# decorator deferred for this round's window math):
-#   - sim_ivf_cadence (operators/similarity.py, _ivf_cadence_oracle —
-#     the retrain-cadence trigger's EXACT-integer mix-expectation
-#     columns over sim_ivf_incremental's report; pre-proven by
-#     test_ivf_cadence_matches_oracle_locally, tied to ivf_retrain_due
-#     by test_cadence_queries_tie_to_triggers);
-#   - sim_lsh_cadence (operators/similarity.py, _lsh_cadence_oracle —
-#     split-division collision densities + the integer/boolean 2x
-#     cost-ratio verdict per band; pre-proven by
-#     test_lsh_cadence_matches_oracle_locally, verdict tied to
-#     lsh_retrain_due by the same tie test).
+# Round 15 (r14 VERDICT task 1): the r14 registration queue goes live —
+# sim_ivf_cadence and sim_lsh_cadence get their decorators (both built
+# + locally oracle-proven + scale-probed in r14: the retrain-cadence
+# triggers' EXACT-integer arithmetic as driver surfaces, tied to
+# ivf_retrain_due / lsh_retrain_due by the cadence tie tests).  New
+# registrations capped at those 2, so the 50-slot window takes the two
+# rank -1 rows plus all ~22 r11-stale rows plus ~26 of the r12-stale
+# rows.
+# Round 16 registration queue (built + locally oracle-proven in r15,
+# decorator deferred for that round's window math):
+#   - sim_ivfpq_cadence (operators/similarity.py,
+#     _ivfpq_cadence_oracle — the qerr mix-expectation twin of
+#     sim_ivf_cadence over sim_ivfpq_incremental's report; tie test
+#     pins ivfpq_retrain_due's rel_drift to its columns).
 _FIRST_HASH_CHECK_THIS_ROUND: set[str] = set()
 # Pre-r4 evidence ranks: treat "checked in r3" as MORE urgent than r2 —
 # the r3 window was checked under the broken NTZ session.  (The r6-era

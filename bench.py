@@ -142,6 +142,12 @@ HEADLINE = [
     # re-hash: frozen-width vs doubled-width collision-pair collapse)
     "sim_ivfpq_retrain",
     "sim_lsh_retrain",
+    # r15 additions (built + probed in r14, registered r15): the retrain
+    # cadence triggers' exact-integer arithmetic as driver surfaces —
+    # per-cid mix expectation over the IVF drift report; per-band
+    # collision densities + the integer 2x cost-ratio verdict for LSH
+    "sim_ivf_cadence",
+    "sim_lsh_cadence",
 ]
 
 # Per-query regression budgets (sec, sf0.1, local[32]): 2x the round-2
@@ -293,6 +299,10 @@ BUDGETS = {
     # one Arrow hyperplane matmul at the doubled width + one explode/
     # bucket-count chain (frozen-width sigs are substrings)
     "sim_lsh_retrain": 4.0,  # fresh-JVM warm 1.4-1.8 (r13 pre-proofs)
+    # sim_ivf_incremental's plan + a K-row integer projection
+    "sim_ivf_cadence": 6.0,  # fresh-JVM warm ~3 (r14 pre-proofs)
+    # sim_lsh_incremental's plan + a constant-ANN_BANDS-row projection
+    "sim_lsh_cadence": 4.2,  # fresh-JVM warm ~1.4 (r14 pre-proofs)
 }
 
 

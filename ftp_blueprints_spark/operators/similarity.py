@@ -1374,9 +1374,9 @@ FROM rep
 """
 
 
-# ROUND-15 REGISTRATION QUEUE (build-now-register-next-round): built +
-# locally oracle-proven in r14; the decorator goes on in round 15
-# under that round's window math.
+# Registered r15 (built + locally oracle-proven in r14 under the
+# build-now-register-next-round discipline).
+@query("sim_ivf_cadence", _ivf_cadence_oracle())
 def sim_ivf_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retrain-cadence arithmetic as a driver-checkable surface —
     sim_ivf_incremental's drift report extended with the EXACT-integer
@@ -3176,9 +3176,10 @@ FROM rep
 """
 
 
-# ROUND-15 REGISTRATION QUEUE (build-now-register-next-round, second
-# entry beside sim_ivf_cadence): built + locally oracle-proven in r14;
-# the decorator goes on in round 15 under that round's window math.
+# Registered r15 (built + locally oracle-proven in r14 under the
+# build-now-register-next-round discipline, second entry beside
+# sim_ivf_cadence).
+@query("sim_lsh_cadence", _lsh_cadence_oracle())
 def sim_lsh_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The re-hash cadence arithmetic as a driver-checkable surface —
     sim_lsh_incremental's per-band drift report extended with the
