@@ -2795,8 +2795,9 @@ joined AS (
          CAST(COALESCE(new_pair_sum, 0) AS BIGINT) AS new_pair_sum
   FROM base FULL JOIN newb ON base.band = newb.band)
 -- split-division density in exact integer micro-units (overflow-free:
--- every intermediate < 2^63; all operands non-negative, so DuckDB's
--- flooring // equals Spark's truncating div), 0 when either side empty
+-- every intermediate < 2^63; DuckDB's // truncates toward zero just
+-- like Spark's div — measured r14, DuckDB does NOT floor — and the
+-- operands here are non-negative anyway), 0 when either side empty
 SELECT band, n_base, n_new, base_pair_sum, new_pair_sum,
        CAST(CASE WHEN n_base = 0 OR n_new = 0 THEN 0
             ELSE {_dens_sql("new_pair_sum", "n_new")}
@@ -3005,7 +3006,13 @@ def _centroid_retrain_due(
     unseen_frac = nn_unseen / (nn + nn_unseen) if nn + nn_unseen else 0.0
     sb, sn = float(m["sb"] or 0.0), float(m["sn"] or 0.0)
     exp_sum = float(m["exp_sum"] or 0.0)
-    if nb == 0 or nn == 0 or sb == 0.0 or exp_sum == 0.0:
+    # exp_sum <= 0 (not just == 0) is degenerate: for the IVF cos
+    # yardstick a cell's base cos sum CAN be negative on adversarial
+    # data, and rel = sn/exp_sum - 1 with a negative denominator
+    # silently flips the alarm direction. The relative comparison is
+    # only well-defined against a positive mix expectation; anything
+    # else falls through to the unseen-mass-only verdict (r14 advice).
+    if nb == 0 or nn == 0 or sb == 0.0 or exp_sum <= 0.0:
         return {
             # no comparable mass at all: due only when the batch is
             # real and the frozen space saw none of it
@@ -3083,25 +3090,33 @@ def lsh_retrain_due(report: DataFrame, ratio: float = 2.0) -> dict:
     a re-hash even at flat density. Runbook: MAINTENANCE.md."""
     dens_base = _density_mu("base_pair_sum", "n_base")
     dens_new = _density_mu("new_pair_sum", "n_new")
-    m = (
-        report.filter(F.col("n_new") > 0)
-        .select(
-            dens_base.cast("double").alias("db"),
-            dens_new.cast("double").alias("dn"),
-        )
-        .agg(
-            F.max(
-                F.when(F.col("db") > 0, F.col("dn") / F.col("db"))
-            ).alias("max_ratio"),
-            F.max(
-                F.when(F.col("db") == 0, F.col("dn")).otherwise(F.lit(0.0))
-            ).alias("max_zero_base_dens"),
-        )
-        .first()
+    sel = report.filter(F.col("n_new") > 0).select(
+        dens_base.alias("db"), dens_new.alias("dn")
     )
+    # The verdict itself stays EXACT-integer for integer ratios (the
+    # default 2x matches sim_lsh_cadence.due_ratio2 term for term):
+    # densities are BIGINT micro-units inside the documented < 2^63
+    # envelope, and a double-cast dn/db >= ratio could round-diverge
+    # from the oracle-checked column above 2^53 (r14 advice). Floats
+    # are only used for the REPORTED max_ratio, and for the verdict
+    # when a caller passes a non-integer ratio.
+    if float(ratio).is_integer():
+        over = F.col("dn") >= F.lit(int(ratio)) * F.col("db")
+    else:
+        over = F.col("dn").cast("double") >= F.lit(float(ratio)) * F.col(
+            "db"
+        ).cast("double")
+    due_band = ((F.col("db") > 0) & over) | (
+        (F.col("db") == 0) & (F.col("dn") >= F.lit(1_000_000))
+    )
+    m = sel.agg(
+        F.max(
+            F.when(F.col("db") > 0, F.col("dn").cast("double") / F.col("db"))
+        ).alias("max_ratio"),
+        F.max(due_band.cast("int")).alias("due_any"),
+    ).first()
     max_ratio = float(m["max_ratio"] or 0.0)
-    zero_base = float(m["max_zero_base_dens"] or 0.0)
-    due = max_ratio >= ratio or zero_base >= 1_000_000.0
+    due = bool(m["due_any"] or 0)
     return {"due": due, "max_ratio": max_ratio, "threshold_ratio": ratio}
 
 
