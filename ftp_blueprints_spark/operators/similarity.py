@@ -4393,6 +4393,66 @@ def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_report(base_stats, new_stats, val="qerr_sum_mu")
 
 
+def _ivfpq_cadence_oracle() -> str:
+    exp = (
+        "CASE WHEN n_base = 0 THEN 0"
+        " ELSE (n_new * base_qerr_sum_mu) // n_base END"
+    )
+    return f"""
+WITH rep AS ({_ivfpq_incremental_oracle()})
+SELECT cid, n_base, n_new, base_qerr_sum_mu, new_qerr_sum_mu, drift_num_mu,
+       CAST({exp} AS BIGINT) AS mix_exp_mu,
+       CAST(new_qerr_sum_mu - ({exp}) AS BIGINT) AS mix_gap_mu
+FROM rep
+"""
+
+
+# ROUND-16 REGISTRATION QUEUE (build-now-register-next-round): built +
+# locally oracle-proven in r15; the decorator goes on in round 16
+# under that round's window math.
+def sim_ivfpq_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_cadence's qerr twin for the compressed family — the
+    third and last retrain trigger's arithmetic as a driver-checkable
+    surface: sim_ivfpq_incremental's drift report extended with the
+    EXACT-integer mix expectation ivfpq_retrain_due compares against.
+    Per cid, ``mix_exp_mu`` = the quantization-error sum this batch
+    WOULD score if its members quantized like the cell's training
+    members — (n_new * base_qerr_sum_mu) div n_base — and
+    ``mix_gap_mu`` = the batch's actual qerr sum minus that
+    expectation. Unlike the IVF cos yardstick the qerr sums are
+    NON-NEGATIVE by construction (each summand is a winning squared
+    distance), so the truncate-vs-floor division question is moot here
+    and the degenerate negative-expectation branch the cos trigger
+    guards (exp_sum <= 0, r14 advice) is unreachable; the engines
+    still share div/truncate semantics if an envelope ever changes.
+    Sum the gaps over the n_base > 0 cids and the POSITIVE sign is the
+    mix-adjusted degradation ivfpq_retrain_due alarms on (higher qerr
+    = the frozen codebooks fit the new vectors worse); n_base = 0
+    marks the cells the trigger excludes and routes through
+    ``unseen_frac``. Overflow envelope: |n_new * base_qerr_sum_mu| <=
+    n_new * n_base * 1e6 per cell — the _drift_report cross-multiply
+    bound, documented there.
+
+    Scale shape: sim_ivfpq_incremental's plan (two zero-shuffle
+    literal-argmax assignments + two narrow Arrow encode passes +
+    map-side-combined per-cid sums; the only exchange carries
+    K-cardinality rows) plus a K-row integer projection."""
+    rep = sim_ivfpq_incremental(spark, sf_dir)
+    exp_mu = F.when(F.col("n_base") == 0, F.lit(0)).otherwise(
+        F.expr("(n_new * base_qerr_sum_mu) div n_base")
+    )
+    return rep.select(
+        "cid",
+        "n_base",
+        "n_new",
+        "base_qerr_sum_mu",
+        "new_qerr_sum_mu",
+        "drift_num_mu",
+        exp_mu.cast("bigint").alias("mix_exp_mu"),
+        (F.col("new_qerr_sum_mu") - exp_mu).cast("bigint").alias("mix_gap_mu"),
+    )
+
+
 def ivfpq_append(
     spark: SparkSession,
     index_dir: str,

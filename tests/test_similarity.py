@@ -2438,6 +2438,20 @@ def test_lsh_cadence_matches_oracle_locally(spark, sf_oracle):
     )
 
 
+def test_ivfpq_cadence_matches_oracle_locally(spark, sf_oracle):
+    """Pre-proof of the round-16 registration (the
+    build-now-register-later pattern): sim_ivfpq_cadence's
+    exact-integer qerr mix-expectation columns vs the DuckDB replay
+    under the driver's own comparison — the last family's trigger
+    arithmetic as an oracle surface."""
+    pytest.importorskip("duckdb")
+    from tests.oracle_util import compare_query
+
+    compare_query(
+        spark, S.sim_ivfpq_cadence, S._ivfpq_cadence_oracle(), sf_oracle
+    )
+
+
 def test_cadence_queries_tie_to_triggers(spark, sf_oracle):
     """The oracle-checked cadence queries ARE the calibrated triggers'
     arithmetic: the LSH query's ANY(due_ratio2) equals
@@ -2463,3 +2477,14 @@ def test_cadence_queries_tie_to_triggers(spark, sf_oracle):
     # unfloored float sum — within one micro-unit per cell of each other
     assert abs(sn / exp - 1.0 - rel) < 1e-6
     assert sum(r["mix_gap_mu"] for r in crows) == sn - exp
+
+    pq_rep = S.sim_ivfpq_incremental(spark, sf_oracle)
+    pq_rel = S.ivfpq_retrain_due(pq_rep)["rel_drift"]
+    pq_rows = [
+        r for r in S.sim_ivfpq_cadence(spark, sf_oracle).collect()
+        if r["n_base"] > 0
+    ]
+    pq_sn = sum(r["new_qerr_sum_mu"] for r in pq_rows)
+    pq_exp = sum(r["mix_exp_mu"] for r in pq_rows)
+    assert abs(pq_sn / pq_exp - 1.0 - pq_rel) < 1e-6
+    assert sum(r["mix_gap_mu"] for r in pq_rows) == pq_sn - pq_exp
