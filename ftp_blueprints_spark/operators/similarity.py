@@ -1581,6 +1581,80 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EPOCH_FILE = "compact.epoch"
+_CADENCE_BASELINE = "cadence_baseline"
+
+
+def _maybe_record_cadence_baseline(
+    index_dir: str, report: DataFrame, batch_id: int
+) -> bool:
+    """Persist the FIRST post-build append's drift report as the
+    index-owned cadence baseline (<index>/cadence_baseline) — the
+    ``baseline=`` input the centroid retrain triggers need to cancel
+    the train-vs-holdout optimism gap (~16% mean cos IVF / ~4% mean
+    qerr IVFPQ on the sf0.1 fixtures, _centroid_retrain_due). Without
+    a durable copy the gap cancellation died with the process that
+    observed the first append, and every restarted monitor silently
+    degraded to the conservative over-firing mode (r14 verdict task
+    5); the index dir owns the baseline the way it owns ``stats``.
+
+    Write-once, exactly-once-by-construction under the append
+    lifecycle: written only when absent, atomically (unique tmp dir +
+    one rename), AFTER the batch's append partitions landed and BEFORE
+    the caller's checkpoint commits. A crash before the rename leaves
+    the batch uncommitted, so its replay recomputes the identical
+    report (assignment against frozen state is deterministic) and
+    rewrites the identical baseline; a crash after the rename makes
+    the replay a no-op here (dir exists). Losing a rename race to a
+    concurrent ad-hoc appender is equally fine — both candidates
+    derive from the same frozen stats, and first-landed wins is
+    exactly the "first append" contract. Stale ``cadence_baseline.
+    tmp.*`` crash litter is sweepable garbage (same class as a
+    non-ready .retraining. orphan: no committed state points at it).
+
+    The report (K-cardinality rows) is executed once here — the only
+    eager job this module adds to an append path, paid on the first
+    append per index lifetime. A RETRAIN swaps in a whole new dir
+    (without a baseline), so the first post-retrain append records a
+    fresh baseline against the refreshed yardstick — the artifact
+    joins the atomic swap by construction, no cross-dir bookkeeping.
+    ``baseline_bid`` records provenance for operators and the schedule
+    property; the triggers' aggregate ignores it."""
+    import uuid
+
+    dest = os.path.join(index_dir, _CADENCE_BASELINE)
+    if os.path.isdir(dest):
+        return False
+    tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        (
+            report.withColumn(
+                "baseline_bid", F.lit(int(batch_id)).cast("bigint")
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            if not os.path.isdir(dest):  # not a lost race: real failure
+                raise
+            return False
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return True
+
+
+def load_cadence_baseline(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The persisted first-post-build append report
+    (_maybe_record_cadence_baseline), or None for an index that has
+    never been appended to since its last (re)build — the triggers
+    then run in the documented conservative single-report mode."""
+    dest = os.path.join(index_dir, _CADENCE_BASELINE)
+    if not os.path.isdir(dest):
+        return None
+    return spark.read.parquet(dest)
 
 
 def compaction_epoch(index_dir: str) -> int:
@@ -1755,7 +1829,11 @@ def ivf_append(
         spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}"))
         .select("vec_id", "embedding", F.col("cid").cast("bigint").alias("cid"))
     )
-    return _drift_report(base_stats, _assign_cos_stats(landed, cents))
+    rep = _drift_report(base_stats, _assign_cos_stats(landed, cents))
+    # first post-build append: persist the report as the index-owned
+    # cadence baseline (one eager K-row job, once per index lifetime)
+    _maybe_record_cadence_baseline(index_dir, rep, batch_id)
+    return rep
 
 
 def ivf_compact(spark: SparkSession, index_dir: str) -> bool:
@@ -1946,6 +2024,7 @@ def run_incremental_ivf_stream(
     source: DataFrame,
     timeout_s: int = 300,
     checkpoint_dir: str | None = None,
+    auto_retrain: bool = False,
 ):
     """Streaming twin of the incremental IVF maintenance — the
     run_incremental_exact_stream shape applied to vectors: arriving
@@ -1960,28 +2039,75 @@ def run_incremental_ivf_stream(
     so far; the standing lists are never rescanned or rewritten.
 
     The per-batch drift report ivf_append builds is lazy and unused
-    here — no extra job runs; callers wanting per-batch drift telemetry
-    call ivf_append directly from their own foreachBatch.  The frozen
-    centroids are loaded and localCheckpointed ONCE here and shared by
-    every micro-batch (per-batch reloading was a redundant read + an
-    eager checkpoint job on the hot path).  Quiesce contract: stop this
-    stream (availableNow drains terminate) before running ivf_compact —
-    MACHINE-ENFORCED since r11: the stream snapshots the compaction
-    epoch at open and every micro-batch passes it to ivf_append, which
-    raises CompactionFenceError (failing the stream loudly) if a
-    compact started folding meanwhile."""
-    ckpt = checkpoint_dir or os.path.join(index_dir, "_append_ckpt")
+    here — no extra job runs beyond the one-time cadence-baseline
+    recording on the FIRST append per index lifetime (ivf_append /
+    _maybe_record_cadence_baseline); callers wanting per-batch drift
+    telemetry call ivf_append directly from their own foreachBatch.
+    The frozen centroids are loaded and localCheckpointed ONCE here
+    and shared by every micro-batch (per-batch reloading was a
+    redundant read + an eager checkpoint job on the hot path).
+    Quiesce contract: stop this stream (availableNow drains terminate)
+    before running ivf_compact — MACHINE-ENFORCED since r11: the
+    stream snapshots the compaction epoch at open and every
+    micro-batch passes it to ivf_append, which raises
+    CompactionFenceError (failing the stream loudly) if a compact
+    started folding meanwhile.
+
+    ``auto_retrain=True`` closes the maintenance loop in-stream: after
+    each batch's append lands, the calibrated trigger runs on its
+    drift report against the index-owned persisted baseline
+    (ivf_retrain_due with index_dir=), and a due verdict performs
+    ivf_retrain right there — inside the same foreachBatch call, where
+    the quiesce contract holds by construction (foreachBatch is
+    serialized; this stream is the single append writer, and the batch
+    it just landed is the only in-flight one). The retrain folds the
+    just-appended rows, swaps in the refreshed index, and the stream
+    re-snapshots its frozen centroids + epoch from the published dir,
+    so subsequent batches append against the NEW space (the stale
+    snapshots would otherwise fail the epoch fence). The next append
+    then records a fresh baseline against the refreshed yardstick.
+    Crash window (retrain done, checkpoint uncommitted): the batch
+    replays against the retrained index and its rows re-append
+    bit-identically (same vec_ids, cids assigned against the published
+    centroids — which the retrain itself re-assigned the folded copies
+    with), the documented replay-residue class vec_id dedup heals at
+    the next fold. The checkpoint must live OUTSIDE the index dir in
+    this mode (the default sits inside and would be swapped away
+    mid-stream): omit checkpoint_dir and a ``<index>.append_ckpt``
+    SIBLING is used; an explicit checkpoint_dir under the index
+    refuses loudly."""
+    if auto_retrain:
+        ckpt = checkpoint_dir or f"{index_dir.rstrip('/')}.append_ckpt"
+        idx_abs = os.path.abspath(index_dir)
+        if os.path.abspath(ckpt).startswith(idx_abs + os.sep):
+            raise ValueError(
+                f"auto_retrain checkpoint {ckpt} lives inside the index "
+                "dir: a due verdict's retrain swaps that dir away mid-"
+                "stream, destroying the live checkpoint. Pass a "
+                "checkpoint_dir outside the index (or omit it for the "
+                "sibling default)."
+            )
+    else:
+        ckpt = checkpoint_dir or os.path.join(index_dir, "_append_ckpt")
     _refuse_fresh_checkpoint(index_dir, "appends", ckpt)
-    cents = spark.read.parquet(
-        os.path.join(index_dir, "centroids")
-    ).localCheckpoint(eager=True)
-    epoch0 = compaction_epoch(index_dir)
+    snap = {
+        "cents": spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).localCheckpoint(eager=True),
+        "epoch": compaction_epoch(index_dir),
+    }
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_append(
-            spark, index_dir, batch_df, batch_id, cents=cents,
-            expect_epoch=epoch0,
+        rep = ivf_append(
+            spark, index_dir, batch_df, batch_id, cents=snap["cents"],
+            expect_epoch=snap["epoch"],
         )
+        if auto_retrain and ivf_retrain_due(rep, index_dir=index_dir)["due"]:
+            ivf_retrain(spark, index_dir)
+            snap["cents"] = spark.read.parquet(
+                os.path.join(index_dir, "centroids")
+            ).localCheckpoint(eager=True)
+            snap["epoch"] = compaction_epoch(index_dir)
 
     return _run_append_stream(source, append, ckpt, timeout_s)
 
@@ -3039,35 +3165,53 @@ def _centroid_retrain_due(
 
 
 def ivf_retrain_due(
-    report: DataFrame, baseline: DataFrame | None = None
+    report: DataFrame,
+    baseline: DataFrame | None = None,
+    index_dir: str | None = None,
 ) -> dict:
     """Calibrated retrain trigger for the IVF family: feed it an
     ivf_append / sim_ivf_incremental drift report, plus the FIRST
     post-build append's report as ``baseline`` (cancels the
     train-vs-holdout optimism gap — see _centroid_retrain_due; without
     it the trigger is conservative by that gap, ~16% mean cos on the
-    sf0.1 fixtures). Fires when the batch's mix-adjusted mean
+    sf0.1 fixtures). For a maintained index pass ``index_dir``
+    instead: with ``baseline=None`` the trigger reads the index-owned
+    persisted copy (ivf_append records the first post-build append's
+    report under <index>/cadence_baseline), so a restarted monitor
+    process reaches the same verdict as the one that observed the
+    first append. Fires when the batch's mix-adjusted mean
     cosine-to-assigned-centroid falls below the baseline's by more
     than the training space's own cross-cid spread (NEGATIVE drift =
     farther from the frozen centroids). Returns {due, rel_drift,
     baseline_rel_drift, rel_vs_baseline, threshold}; runbook:
     MAINTENANCE.md."""
+    if baseline is None and index_dir is not None:
+        baseline = load_cadence_baseline(report.sparkSession, index_dir)
     return _centroid_retrain_due(report, "cos_sum_mu", -1, baseline)
 
 
 def ivfpq_retrain_due(
-    report: DataFrame, baseline: DataFrame | None = None
+    report: DataFrame,
+    baseline: DataFrame | None = None,
+    index_dir: str | None = None,
 ) -> dict:
     """Calibrated retrain trigger for the IVFPQ family: feed it an
     ivfpq_append / sim_ivfpq_incremental drift report, plus the FIRST
     post-build append's report as ``baseline`` (cancels the
     train-vs-holdout optimism gap, ~4% mean qerr on the sf0.1
-    fixtures; see _centroid_retrain_due). Fires when the batch's
+    fixtures; see _centroid_retrain_due). For a maintained index pass
+    ``index_dir`` instead: with ``baseline=None`` the trigger reads
+    the index-owned persisted copy (ivfpq_append records the first
+    post-build append's report under <index>/cadence_baseline), so a
+    restarted monitor process reaches the same verdict as the one
+    that observed the first append. Fires when the batch's
     mix-adjusted mean quantization error exceeds the baseline's by
     more than the training space's own cross-cid spread (POSITIVE
     drift = the frozen codebooks fit the new vectors worse). Returns
     {due, rel_drift, baseline_rel_drift, rel_vs_baseline, threshold};
     runbook: MAINTENANCE.md."""
+    if baseline is None and index_dir is not None:
+        baseline = load_cadence_baseline(report.sparkSession, index_dir)
     return _centroid_retrain_due(report, "qerr_sum_mu", +1, baseline)
 
 
@@ -4509,7 +4653,11 @@ def ivfpq_append(
     landed = spark.read.parquet(os.path.join(out, f"bid={int(batch_id)}")).select(
         "cand_id", F.col("cid").cast("bigint").alias("cid"), "codes", "qerr"
     )
-    return _drift_report(base_stats, _qerr_stats(landed), val="qerr_sum_mu")
+    rep = _drift_report(base_stats, _qerr_stats(landed), val="qerr_sum_mu")
+    # first post-build append: persist the report as the index-owned
+    # cadence baseline (one eager K-row job, once per index lifetime)
+    _maybe_record_cadence_baseline(index_dir, rep, batch_id)
+    return rep
 
 
 def ivfpq_codes_with_appends(spark: SparkSession, index_dir: str) -> DataFrame:

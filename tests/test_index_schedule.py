@@ -702,7 +702,18 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
     next retrain call rolls the ready snapshot forward. After any
     publish the walk reloads the frozen centroids before appending
     again — the restart-AFRESH stream rule applied to the walk's
-    append closure."""
+    append closure.
+
+    r15: the CADENCE BASELINE artifact joins the modeled state. The
+    invariant, held at every checkpoint of the walk: the persisted
+    baseline is exactly the drift report of the FIRST successful
+    append since the last publish (bid-stamped), recomputable from the
+    live stats yardstick + that chunk's assignment; it is ABSENT iff
+    no append landed since (fresh build or just-published retrain);
+    replays and later appends never rotate it (write-once); a fenced
+    refused append never records one; compact never touches it (the
+    yardstick it describes is not refit); every publish — clean
+    retrain or rolled-forward dead swap — clears it."""
     base_dir = tmp_path_factory.mktemp("resched_base")
     dim = FAMILIES["ivf"]["dim"]
     vecs = []
@@ -772,6 +783,40 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                 out |= assign_pairs(chunk_dfs[c])
             return out
 
+        baseline_bid = [None]  # model: first appended bid since publish
+
+        def check_baseline():
+            bl = S.load_cadence_baseline(spark, idx)
+            if baseline_bid[0] is None:
+                assert bl is None
+                return
+            rows = bl.collect()
+            assert {r["baseline_bid"] for r in rows} == {baseline_bid[0]}
+
+            def key(rs):
+                return sorted(
+                    (
+                        r["cid"], r["n_base"], r["n_new"],
+                        r["base_cos_sum_mu"], r["new_cos_sum_mu"],
+                        r["drift_num_mu"],
+                    )
+                    for r in rs
+                )
+
+            # content = that bid's report, recomputable from the LIVE
+            # yardstick (a baseline can only exist under the frozen
+            # state it was recorded against — publishes clear it)
+            exp_rep = S._drift_report(
+                spark.read.parquet(os.path.join(idx, "stats")),
+                S._assign_cos_stats(
+                    S.ivf_assign(
+                        chunk_dfs[baseline_bid[0]], cents_cur, round_digits=6
+                    ),
+                    cents_cur,
+                ),
+            )
+            assert key(rows) == key(exp_rep.collect())
+
         def check():
             served = _served_pairs(spark, idx, "ivf")
             from collections import Counter
@@ -784,6 +829,7 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
             assert {v for v, n in cnt.items() if n > 1} <= dup_ok
             assert set(served) <= expected()
             assert set(served) >= assign_pairs(base_df)
+            check_baseline()
             return served
 
         def after_publish():
@@ -798,7 +844,9 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
             folded.clear()
             folded.update(appended)
             residue.clear()
+            baseline_bid[0] = None  # the artifact lives in the old dir
             assert not os.path.isdir(os.path.join(idx, "appends"))
+            check_baseline()
             assert sorted(_served_pairs(spark, idx, "ivf")) == sorted(
                 expected()
             )
@@ -831,6 +879,8 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                         expect_epoch=stream_epoch,
                     )
                     appended.add(c)
+                    if baseline_bid[0] is None:
+                        baseline_bid[0] = c
                     assert c not in folded  # folds always bump first
                     check()
                 else:
@@ -840,8 +890,9 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                             spark, idx, chunk_dfs[c], batch_id=c,
                             cents=cents_cur, expect_epoch=stream_epoch,
                         )
-                    # refused = landed nothing
+                    # refused = landed nothing, recorded no baseline
                     assert sorted(_served_pairs(spark, idx, "ivf")) == before
+                    check_baseline()
                 continue
             if op == "append":
                 c = data.draw(st.integers(0, N_CHUNKS - 1))
@@ -849,6 +900,8 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                     spark, idx, chunk_dfs[c], batch_id=c, cents=cents_cur
                 )
                 appended.add(c)
+                if baseline_bid[0] is None:
+                    baseline_bid[0] = c
                 if c in folded:
                     residue.add(c)
                 served = check()
@@ -904,8 +957,10 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
             after_publish()
         final = _served_pairs(spark, idx, "ivf")
         # residue may remain if the walk ended append-after-fold with
-        # no later publish; one compact erases it exactly
+        # no later publish; one compact erases it exactly — and leaves
+        # the baseline artifact alone (the yardstick is not refit)
         S.ivf_compact(spark, idx)
+        check_baseline()
         final = _served_pairs(spark, idx, "ivf")
         assert sorted(final) == sorted(expected())
         leftovers = [

@@ -393,3 +393,168 @@ def test_centroid_trigger_randomized_properties(spark):
             assert fired["due"] is False, (g, drop, thr, fired)
 
     run()
+
+
+def test_cadence_baseline_persisted_for_restart(spark, halves, tmp_path):
+    """r14 VERDICT task 5 (IVF side): the first post-build append's
+    drift report is an INDEX ARTIFACT (<index>/cadence_baseline), not
+    process state — a restarted monitor passing index_dir= reaches the
+    IDENTICAL verdict the first-append process reached with the report
+    in memory. Also pins write-once (a later append never overwrites),
+    the empty-batch guard (an empty first batch must not burn the
+    baseline slot on a vacuous n_new=0 report), and explicit-baseline
+    override."""
+    half_dir, odd1, odd3 = halves
+    idx = S.ivf_build(spark, half_dir, index_dir=str(tmp_path / "ivf"))
+    # never appended: no baseline — the conservative single-report mode
+    assert S.load_cadence_baseline(spark, idx) is None
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    S.ivf_append(spark, idx, empty, batch_id=0)
+    assert S.load_cadence_baseline(spark, idx) is None
+
+    r0 = S.ivf_append(spark, idx, odd1, batch_id=1)
+    bl = S.load_cadence_baseline(spark, idx)
+    assert bl is not None
+    assert {r["baseline_bid"] for r in bl.collect()} == {1}
+
+    r1 = S.ivf_append(spark, idx, odd3, batch_id=2)
+    # write-once: the second append did not rotate the baseline
+    assert {
+        r["baseline_bid"]
+        for r in S.load_cadence_baseline(spark, idx).collect()
+    } == {1}
+    # restart parity: bigint columns round-trip parquet exactly, so
+    # every float in the verdict matches bit-for-bit, not approximately
+    assert S.ivf_retrain_due(r1, index_dir=idx) == S.ivf_retrain_due(
+        r1, baseline=r0
+    )
+    # an explicit baseline beats the persisted copy (self-baseline
+    # differencing is exactly zero)
+    override = S.ivf_retrain_due(r1, baseline=r1, index_dir=idx)
+    assert override["rel_vs_baseline"] == 0.0
+
+
+def test_cadence_baseline_ivfpq_and_retrain_refresh(spark, halves, tmp_path):
+    """r14 VERDICT task 5 (IVFPQ side + the swap contract): the
+    compressed family persists/reads the baseline identically, and a
+    RETRAIN refreshes it by construction — the artifact lives inside
+    the swapped dir, so the published snapshot starts baseline-less
+    and the first post-retrain append records a new one against the
+    refreshed yardstick."""
+    from ftp_blueprints_spark.session import load_table
+
+    half_dir, odd1, odd3 = halves
+    idx = S.ivfpq_build(spark, half_dir, index_dir=str(tmp_path / "ivfpq"))
+    r0 = S.ivfpq_append(spark, idx, odd1, batch_id=0)
+    assert {
+        r["baseline_bid"]
+        for r in S.load_cadence_baseline(spark, idx).collect()
+    } == {0}
+    r1 = S.ivfpq_append(spark, idx, odd3, batch_id=1)
+    assert S.ivfpq_retrain_due(r1, index_dir=idx) == S.ivfpq_retrain_due(
+        r1, baseline=r0
+    )
+
+    emb = load_table(spark, SF01, "embeddings").select("vec_id", "embedding")
+    corpus = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .unionByName(odd1)
+        .unionByName(odd3)
+    )
+    assert S.ivfpq_retrain(spark, idx, corpus) is True
+    assert S.load_cadence_baseline(spark, idx) is None
+    r2 = S.ivfpq_append(spark, idx, _shift_ids(odd3), batch_id=5)
+    assert {
+        r["baseline_bid"]
+        for r in S.load_cadence_baseline(spark, idx).collect()
+    } == {5}
+    # the refreshed baseline is r2 itself: self-differencing is zero
+    assert S.ivfpq_retrain_due(r2, index_dir=idx)["rel_vs_baseline"] == 0.0
+
+
+def test_auto_retrain_stream_closes_the_loop(spark, halves, tmp_path):
+    """r14 VERDICT task 6: trigger→retrain as ONE path, end-to-end
+    with the calibrated thresholds and no manual report plumbing —
+    run_incremental_ivf_stream(auto_retrain=True) streams four
+    batches: the baseline batch and a same-distribution batch stay
+    quiet, the span-projected drifted batch fires ivf_retrain_due
+    against the index-owned persisted baseline and performs the
+    retrain INSIDE its foreachBatch call, and the post-retrain batch
+    appends against the refreshed space (re-snapshotted centroids +
+    epoch) and records the fresh baseline. A subsequent
+    drifted-distribution batch is quiet — one retrain sufficed."""
+    import numpy as np
+
+    half_dir, odd1, odd3 = halves
+    idx = str(tmp_path / "idx")
+    S.ivf_build(spark, half_dir, index_dir=idx)
+
+    cents = np.array(
+        [
+            r["c_emb"]
+            for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+        ]
+    )
+    q, _ = np.linalg.qr(cents.T)
+    rows = odd3.collect()
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    v_perp = v - (v @ q) @ q.T
+    schema = "vec_id bigint, embedding array<float>"
+
+    def drifted(offset):
+        return spark.createDataFrame(
+            [
+                (int(r["vec_id"]) + offset, [float(x) for x in vec])
+                for r, vec in zip(rows, v_perp)
+            ],
+            schema,
+        )
+
+    src_dir = tmp_path / "parts"
+    batches = [
+        odd1,
+        odd3,
+        drifted(10_000_000),
+        drifted(20_000_000),
+    ]
+    for i, df in enumerate(batches):
+        out = str(src_dir / f"part{i}")
+        df.select("vec_id", "embedding").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_700_000_000 + i,) * 2)
+
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    S.run_incremental_ivf_stream(spark, idx, source, auto_retrain=True)
+
+    # exactly ONE retrain fired (each bumps the epoch once)
+    assert S.compaction_epoch(idx) == 1
+    # batches 0-2 folded by the in-stream retrain; batch 3 re-appended
+    ap = os.path.join(idx, "appends")
+    assert {d for d in os.listdir(ap) if d.startswith("bid=")} == {"bid=3"}
+    # the refreshed baseline is the first POST-retrain batch's report
+    assert {
+        r["baseline_bid"]
+        for r in S.load_cadence_baseline(spark, idx).collect()
+    } == {3}
+    # serving = training corpus ∪ all four batches, each exactly once
+    served = S.ivf_lists_with_appends(spark, idx).select("vec_id")
+    n_corpus = spark.read.parquet(
+        os.path.join(half_dir, "embeddings.parquet")
+    ).count()
+    n_batches = sum(df.count() for df in batches)
+    assert served.count() == served.distinct().count() == n_corpus + n_batches
+
+    # the loop is closed: more data from the drifted distribution is
+    # QUIET against the retrained space and its refreshed baseline
+    verdict = S.ivf_retrain_due(
+        S.ivf_append(spark, idx, drifted(30_000_000), batch_id=9),
+        index_dir=idx,
+    )
+    assert verdict["due"] is False
