@@ -1582,6 +1582,30 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EPOCH_FILE = "compact.epoch"
 _CADENCE_BASELINE = "cadence_baseline"
+_FOLDED_HWM = "folded.hwm"
+
+
+def _folded_hwm(index_dir: str) -> int:
+    """Highest batch_id any RETRAIN of this index has folded (-1 for a
+    never-retrained index; stamped into the snapshot by _retrain_swap).
+    The recorder's replay fence: a batch at or below this mark was
+    folded into the training corpus by a retrain, so a redelivery of
+    it (the auto-retrain crash window; a restart-AFRESH stream
+    re-reading old files) produces an IN-TRAINING drift report — no
+    train-vs-holdout optimism gap — and recording that as the cadence
+    baseline would make every later genuine holdout look ~gap worse
+    than baseline and fire spurious retrains (r15 review). Relies on
+    the bid-monotonicity contract the CMS registry documents: fresh
+    data never reuses a bid at or below a fold's high-water mark.
+    Compact does NOT advance it — compact folds rows without refitting
+    ``stats``, so a replayed compact-folded batch is still a genuine
+    holdout with respect to the yardstick. Unreadable-but-present
+    marker propagates (fail closed), like the epoch file."""
+    try:
+        with open(os.path.join(index_dir, _FOLDED_HWM)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return -1
 
 
 def _maybe_record_cadence_baseline(
@@ -1623,6 +1647,13 @@ def _maybe_record_cadence_baseline(
 
     dest = os.path.join(index_dir, _CADENCE_BASELINE)
     if os.path.isdir(dest):
+        return False
+    if int(batch_id) <= _folded_hwm(index_dir):
+        # a redelivery of a batch some retrain already folded: its
+        # vectors are TRAINING MEMBERS of the current yardstick, so
+        # its report carries no optimism gap — recording it would bias
+        # the baseline and fire spurious retrains on every genuine
+        # holdout after it (r15 review; see _folded_hwm)
         return False
     tmp = f"{dest}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
@@ -2078,8 +2109,12 @@ def run_incremental_ivf_stream(
     refuses loudly."""
     if auto_retrain:
         ckpt = checkpoint_dir or f"{index_dir.rstrip('/')}.append_ckpt"
-        idx_abs = os.path.abspath(index_dir)
-        if os.path.abspath(ckpt).startswith(idx_abs + os.sep):
+        # realpath, not abspath (symlinked aliases must not slip the
+        # guard), and dir-equality too — ckpt == index_dir is exactly
+        # as destroyed by the swap as a subdir (r15 review)
+        idx_real = os.path.realpath(index_dir)
+        ckpt_real = os.path.realpath(ckpt)
+        if ckpt_real == idx_real or ckpt_real.startswith(idx_real + os.sep):
             raise ValueError(
                 f"auto_retrain checkpoint {ckpt} lives inside the index "
                 "dir: a due verdict's retrain swaps that dir away mid-"
@@ -2095,6 +2130,10 @@ def run_incremental_ivf_stream(
             os.path.join(index_dir, "centroids")
         ).localCheckpoint(eager=True),
         "epoch": compaction_epoch(index_dir),
+        # the persisted baseline's rel_drift, cached: it is write-once
+        # until a retrain, so re-aggregating it per micro-batch would
+        # pay a pointless extra job on the hot path (r15 review)
+        "base_rel": None,
     }
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
@@ -2102,12 +2141,21 @@ def run_incremental_ivf_stream(
             spark, index_dir, batch_df, batch_id, cents=snap["cents"],
             expect_epoch=snap["epoch"],
         )
-        if auto_retrain and ivf_retrain_due(rep, index_dir=index_dir)["due"]:
+        if not auto_retrain:
+            return
+        if snap["base_rel"] is None:
+            bl = load_cadence_baseline(spark, index_dir)
+            if bl is not None:
+                snap["base_rel"] = _centroid_retrain_due(
+                    bl, "cos_sum_mu", -1
+                )["rel_drift"]
+        if ivf_retrain_due(rep, baseline_rel=snap["base_rel"])["due"]:
             ivf_retrain(spark, index_dir)
             snap["cents"] = spark.read.parquet(
                 os.path.join(index_dir, "centroids")
             ).localCheckpoint(eager=True)
             snap["epoch"] = compaction_epoch(index_dir)
+            snap["base_rel"] = None  # refreshed by the next append
 
     return _run_append_stream(source, append, ckpt, timeout_s)
 
@@ -2352,6 +2400,15 @@ def _retrain_swap(
         fh.write(str(epoch))
         fh.flush()
         os.fsync(fh.fileno())
+    # folded high-water mark: the cadence-baseline recorder's replay
+    # fence (see _folded_hwm). Carried forward across force-retrains
+    # with nothing to fold; absent only on a never-retrained index.
+    hwm = max([_folded_hwm(index_dir), *fold_bids])
+    if hwm >= 0:
+        with open(os.path.join(tmp, _FOLDED_HWM), "w") as fh:
+            fh.write(str(hwm))
+            fh.flush()
+            os.fsync(fh.fileno())
     shape = list(shape_fn()) if shape_fn is not None else list(
         _index_shape(kind)
     )
@@ -3041,6 +3098,7 @@ def _centroid_retrain_due(
     val: str,
     sign: int,
     baseline: DataFrame | None = None,
+    baseline_rel: float | None = None,
 ) -> dict:
     """Shared cadence aggregate for the two centroid families. The
     calibration question is "how much relative drift is DIFFERENT, not
@@ -3095,8 +3153,14 @@ def _centroid_retrain_due(
     pass over the stats. ``sign`` orients the alarm: -1 for the IVF cos
     yardstick (lower = farther from the centroids), +1 for the IVFPQ
     qerr yardstick (higher = quantizes worse)."""
+    # baseline_rel: the baseline report's rel_drift, precomputed — the
+    # caching hook for hot paths (a per-batch monitor would otherwise
+    # re-aggregate the write-once persisted baseline on every batch;
+    # r15 review). Takes precedence over re-deriving from ``baseline``.
     base_rel = 0.0
-    if baseline is not None:
+    if baseline_rel is not None:
+        base_rel = float(baseline_rel)
+    elif baseline is not None:
         base_rel = _centroid_retrain_due(baseline, val, sign)["rel_drift"]
     in_base = F.col("n_base") > 0
     m = (
@@ -3168,6 +3232,7 @@ def ivf_retrain_due(
     report: DataFrame,
     baseline: DataFrame | None = None,
     index_dir: str | None = None,
+    baseline_rel: float | None = None,
 ) -> dict:
     """Calibrated retrain trigger for the IVF family: feed it an
     ivf_append / sim_ivf_incremental drift report, plus the FIRST
@@ -3185,15 +3250,18 @@ def ivf_retrain_due(
     farther from the frozen centroids). Returns {due, rel_drift,
     baseline_rel_drift, rel_vs_baseline, threshold}; runbook:
     MAINTENANCE.md."""
-    if baseline is None and index_dir is not None:
+    if baseline is None and baseline_rel is None and index_dir is not None:
         baseline = load_cadence_baseline(report.sparkSession, index_dir)
-    return _centroid_retrain_due(report, "cos_sum_mu", -1, baseline)
+    return _centroid_retrain_due(
+        report, "cos_sum_mu", -1, baseline, baseline_rel
+    )
 
 
 def ivfpq_retrain_due(
     report: DataFrame,
     baseline: DataFrame | None = None,
     index_dir: str | None = None,
+    baseline_rel: float | None = None,
 ) -> dict:
     """Calibrated retrain trigger for the IVFPQ family: feed it an
     ivfpq_append / sim_ivfpq_incremental drift report, plus the FIRST
@@ -3210,9 +3278,11 @@ def ivfpq_retrain_due(
     drift = the frozen codebooks fit the new vectors worse). Returns
     {due, rel_drift, baseline_rel_drift, rel_vs_baseline, threshold};
     runbook: MAINTENANCE.md."""
-    if baseline is None and index_dir is not None:
+    if baseline is None and baseline_rel is None and index_dir is not None:
         baseline = load_cadence_baseline(report.sparkSession, index_dir)
-    return _centroid_retrain_due(report, "qerr_sum_mu", +1, baseline)
+    return _centroid_retrain_due(
+        report, "qerr_sum_mu", +1, baseline, baseline_rel
+    )
 
 
 def lsh_retrain_due(report: DataFrame, ratio: float = 2.0) -> dict:
@@ -3241,17 +3311,24 @@ def lsh_retrain_due(report: DataFrame, ratio: float = 2.0) -> dict:
     # default 2x matches sim_lsh_cadence.due_ratio2 term for term):
     # densities are BIGINT micro-units inside the documented < 2^63
     # envelope, and a double-cast dn/db >= ratio could round-diverge
-    # from the oracle-checked column above 2^53 (r14 advice). Floats
+    # from the oracle-checked column above 2^53 (r14 advice). The
+    # integer form is (dn div db) >= r, NOT dn >= r*db: for db > 0 and
+    # non-negative BIGINTs the two are equivalent (floor monotonicity),
+    # but the product can overflow 2^63 for db >= 2^63/r — INSIDE the
+    # density envelope — where the division form never leaves it (r15
+    # review; the DuckDB oracle keeps the product spelling because its
+    # BIGINT arithmetic widens to HUGEINT). The when() guard is what
+    # keeps ANSI mode from evaluating the div on a db = 0 row. Floats
     # are only used for the REPORTED max_ratio, and for the verdict
     # when a caller passes a non-integer ratio.
     if float(ratio).is_integer():
-        over = F.col("dn") >= F.lit(int(ratio)) * F.col("db")
+        over = F.expr("dn div db") >= F.lit(int(ratio))
     else:
         over = F.col("dn").cast("double") >= F.lit(float(ratio)) * F.col(
             "db"
         ).cast("double")
-    due_band = ((F.col("db") > 0) & over) | (
-        (F.col("db") == 0) & (F.col("dn") >= F.lit(1_000_000))
+    due_band = F.when(F.col("db") > 0, over).otherwise(
+        F.col("dn") >= F.lit(1_000_000)
     )
     m = sel.agg(
         F.max(
@@ -3362,7 +3439,7 @@ def sim_lsh_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = sim_lsh_incremental(spark, sf_dir)
     db = _density_mu("base_pair_sum", "n_base")
     dn = _density_mu("new_pair_sum", "n_new")
-    return rep.select(
+    proj = rep.select(
         "band",
         "n_base",
         "n_new",
@@ -3371,10 +3448,19 @@ def sim_lsh_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drift_num",
         db.cast("bigint").alias("density_base_mu"),
         dn.cast("bigint").alias("density_new_mu"),
-        (
-            ((db > 0) & (dn >= 2 * db))
-            | ((db == 0) & (dn >= 1_000_000))
-        ).alias("due_ratio2"),
+    )
+    # (dn div db) >= 2, not dn >= 2*db: equivalent booleans for db > 0
+    # (floor monotonicity over non-negative BIGINTs), but the product
+    # can overflow 2^63 for db >= 2^62 — inside the density envelope —
+    # where the division never leaves it; the when() guard keeps ANSI
+    # mode off the db = 0 rows (r15 review). The DuckDB oracle keeps
+    # the product spelling (its BIGINT widens to HUGEINT).
+    return proj.withColumn(
+        "due_ratio2",
+        F.when(
+            F.col("density_base_mu") > 0,
+            F.expr("density_new_mu div density_base_mu") >= F.lit(2),
+        ).otherwise(F.col("density_new_mu") >= F.lit(1_000_000)),
     )
 
 

@@ -706,14 +706,20 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
 
     r15: the CADENCE BASELINE artifact joins the modeled state. The
     invariant, held at every checkpoint of the walk: the persisted
-    baseline is exactly the drift report of the FIRST successful
-    append since the last publish (bid-stamped), recomputable from the
-    live stats yardstick + that chunk's assignment; it is ABSENT iff
-    no append landed since (fresh build or just-published retrain);
-    replays and later appends never rotate it (write-once); a fenced
-    refused append never records one; compact never touches it (the
-    yardstick it describes is not refit); every publish — clean
-    retrain or rolled-forward dead swap — clears it."""
+    baseline is exactly the drift report of the first successful
+    append since the last publish whose bid clears the FOLDED
+    HIGH-WATER MARK (bids a retrain folded are training members of the
+    live yardstick — their replayed reports carry no optimism gap and
+    must never calibrate it; _folded_hwm), recomputable from the live
+    stats yardstick + that chunk's assignment; it is ABSENT iff no
+    such append landed since (fresh build, just-published retrain, or
+    only sub-hwm replays since one); replays and later appends never
+    rotate it (write-once); a fenced refused append never records one;
+    compact never touches it and never advances the mark (it folds
+    rows without refitting the yardstick, so its replays remain
+    genuine holdouts); every publish — clean retrain or rolled-forward
+    dead swap — clears the baseline and advances the mark to the
+    fold's highest bid."""
     base_dir = tmp_path_factory.mktemp("resched_base")
     dim = FAMILIES["ivf"]["dim"]
     vecs = []
@@ -783,9 +789,20 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                 out |= assign_pairs(chunk_dfs[c])
             return out
 
-        baseline_bid = [None]  # model: first appended bid since publish
+        # model: first post-publish appended bid above the folded hwm
+        baseline_bid = [None]
+        hwm = [-1]  # model twin of _folded_hwm
+
+        def live_bids() -> set[int]:
+            # the bids currently under appends/ (fresh + replay residue)
+            return (appended - folded) | residue
+
+        def note_append(c: int) -> None:
+            if baseline_bid[0] is None and c > hwm[0]:
+                baseline_bid[0] = c
 
         def check_baseline():
+            assert S._folded_hwm(idx) == hwm[0]
             bl = S.load_cadence_baseline(spark, idx)
             if baseline_bid[0] is None:
                 assert bl is None
@@ -879,8 +896,7 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                         expect_epoch=stream_epoch,
                     )
                     appended.add(c)
-                    if baseline_bid[0] is None:
-                        baseline_bid[0] = c
+                    note_append(c)
                     assert c not in folded  # folds always bump first
                     check()
                 else:
@@ -900,8 +916,7 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                     spark, idx, chunk_dfs[c], batch_id=c, cents=cents_cur
                 )
                 appended.add(c)
-                if baseline_bid[0] is None:
-                    baseline_bid[0] = c
+                note_append(c)
                 if c in folded:
                     residue.add(c)
                 served = check()
@@ -913,12 +928,15 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                 served = check()
                 assert sorted(served) == sorted(expected())
             elif op == "retrain":
+                live = live_bids()
                 if S.ivf_retrain(spark, idx):
+                    hwm[0] = max(hwm[0], max(live))
                     after_publish()
                 else:
                     check()  # no appends: state untouched
             else:  # crash_retrain at publish rename k ∈ {1, 2}
                 k = data.draw(st.integers(min_value=1, max_value=2))
+                live = live_bids()
                 calls = {"n": 0}
 
                 def boom(src, dst, *, _k=k, _calls=calls):
@@ -945,15 +963,20 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
                     # served; the ready snapshot is swept next retrain
                     check()
                 else:
-                    # died between the renames: loud, never stale
+                    # died between the renames: loud, never stale; the
+                    # fully-written snapshot (it will roll forward)
+                    # carries the crashed fold's high-water mark
                     missing = True
+                    hwm[0] = max(hwm[0], max(live))
                     assert not os.path.isdir(idx)
 
         if missing:
             S.ivf_retrain(spark, idx)
             after_publish()
         # final heal: a retrain (or no-op) then exact serving
+        live = live_bids()
         if S.ivf_retrain(spark, idx):
+            hwm[0] = max(hwm[0], max(live))
             after_publish()
         final = _served_pairs(spark, idx, "ivf")
         # residue may remain if the walk ended append-after-fold with

@@ -533,8 +533,10 @@ def test_auto_retrain_stream_closes_the_loop(spark, halves, tmp_path):
     )
     S.run_incremental_ivf_stream(spark, idx, source, auto_retrain=True)
 
-    # exactly ONE retrain fired (each bumps the epoch once)
+    # exactly ONE retrain fired (each bumps the epoch once), and it
+    # stamped the folded high-water mark at the drifted batch's bid
     assert S.compaction_epoch(idx) == 1
+    assert S._folded_hwm(idx) == 2
     # batches 0-2 folded by the in-stream retrain; batch 3 re-appended
     ap = os.path.join(idx, "appends")
     assert {d for d in os.listdir(ap) if d.startswith("bid=")} == {"bid=3"}
@@ -558,3 +560,40 @@ def test_auto_retrain_stream_closes_the_loop(spark, halves, tmp_path):
         index_dir=idx,
     )
     assert verdict["due"] is False
+
+
+def test_cadence_baseline_replay_after_retrain_not_recorded(
+    spark, halves, tmp_path
+):
+    """r15 review: a redelivery of a batch a RETRAIN already folded
+    (the auto-retrain crash window; a restart-AFRESH stream re-reading
+    old files) produces an IN-TRAINING report — its vectors are
+    training members of the refreshed yardstick, no optimism gap — and
+    must NOT become the cadence baseline, or every later genuine
+    holdout would look ~gap worse than baseline and spuriously fire.
+    The folded high-water mark (_folded_hwm, stamped by the retrain
+    swap) fences it; a genuinely new bid above the mark records."""
+    half_dir, odd1, odd3 = halves
+    idx = S.ivf_build(spark, half_dir, index_dir=str(tmp_path / "ivf"))
+    assert S._folded_hwm(idx) == -1  # never retrained: fence inert
+    r0 = S.ivf_append(spark, idx, odd1, batch_id=0)
+    holdout_rel = S.ivf_retrain_due(r0)["rel_drift"]
+    assert S.ivf_retrain(spark, idx) is True
+    assert S._folded_hwm(idx) == 0
+    assert S.load_cadence_baseline(spark, idx) is None
+
+    # crash-window replay of the folded batch: report is ~gapless
+    # (its vectors trained the yardstick), baseline slot stays empty
+    rep_replay = S.ivf_append(spark, idx, odd1, batch_id=0)
+    assert S.load_cadence_baseline(spark, idx) is None
+    replay_rel = S.ivf_retrain_due(rep_replay)["rel_drift"]
+    # the bias the fence blocks, measured: the in-training report sits
+    # far above the genuine holdout's raw drift
+    assert replay_rel > holdout_rel / 2
+
+    # a genuinely new bid above the mark records the baseline
+    S.ivf_append(spark, idx, odd3, batch_id=1)
+    assert {
+        r["baseline_bid"]
+        for r in S.load_cadence_baseline(spark, idx).collect()
+    } == {1}
