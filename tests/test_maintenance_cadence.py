@@ -377,6 +377,15 @@ def test_centroid_trigger_randomized_properties(spark):
         assert both["due"] is False
         assert abs(both["rel_vs_baseline"]) < 1e-3  # rounding of g*nn*mb
 
+        # the caching hook is bit-identical to the DataFrame path: a
+        # precomputed baseline_rel (what the auto-retrain stream caches
+        # across micro-batches) must reproduce the verdict exactly
+        cached = S.ivf_retrain_due(
+            report_df(cells, g),
+            baseline_rel=both["baseline_rel_drift"],
+        )
+        assert cached == both
+
         # (iii) calibrated firing around the returned threshold
         thr = both["threshold"]
         drop = data.draw(st.sampled_from([1.5, 0.4])) * thr
