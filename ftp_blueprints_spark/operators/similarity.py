@@ -46,7 +46,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.vectors import cosine
+from ..functions.vectors import _fold_sum, cosine, cosine_arrow
 from ..plans.registry import query
 from ..session import load_table, table_rows
 
@@ -577,6 +577,43 @@ def _ivf_assign_pandas(
     )
 
 
+def _cos_matrix_arrow(emb_col: str, cents_rows: list) -> F.Column:
+    """array<double> of a row vector's cosines against every centroid,
+    cid-ASCENDING — the Arrow-vectorized EXACT twin of the literal
+    path's per-centroid HOF cosine (r15, guide §4.2).  Arithmetic is
+    bit-identical by construction: the same float->double widening, the
+    same elementwise products, the same left-fold-from-0.0 summation
+    (_fold_sum — cumsum cannot reassociate), the same
+    dot / (sqrt(nx) * sqrt(nc)) expression tree.  The K x dim centroid
+    matrix rides the closure (collected rows; py4j doubles are exact).
+    Rounding and the argmax fold stay JVM-side in the caller, so the
+    assignment's tie surface is untouched.  A zero-norm denominator
+    yields NaN, which Spark's Arrow reader maps to null — the fold then
+    treats it exactly like the HOF path's non-ANSI NULL (no fixture
+    carries zero-norm vectors; under Spark 4 default ANSI the HOF twin
+    would have thrown instead)."""
+    rows = sorted(cents_rows, key=lambda r: int(r["cid"]))
+    C = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+    c_norm = np.sqrt(_fold_sum(C * C))  # per-centroid left-fold norms
+
+    @F.pandas_udf("array<double>")
+    def _cos_k(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        x_norm = np.sqrt(_fold_sum(X * X))
+        g = np.empty((X.shape[0], C.shape[0]), dtype=np.float64)
+        for k in range(C.shape[0]):
+            g[:, k] = _fold_sum(X * C[k])
+        den = x_norm[:, None] * c_norm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g = g / den
+        g[den == 0.0] = np.nan  # -> null, the non-ANSI /0.0 surface
+        return pd.Series(list(g))
+
+    return _cos_k(emb_col)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -642,25 +679,32 @@ def ivf_assign(
     ):
         return _ivf_assign_pandas(emb, cents, round_digits)
     if literal_max_k > 0 and len(cents) <= literal_max_k:
-        # ONE parsed SQL literal, not K x dim F.lit() calls: per-Column
-        # py4j round trips cost ~0.6s for 16x64 at build time. repr()
-        # round-trips doubles exactly; D marks a DOUBLE literal.
-        structs = ", ".join(
-            "struct({}L AS cid, array({}) AS c_emb)".format(
-                int(r["cid"]),  # cid-ascending: strict > keeps lowest cid on ties
-                ", ".join(f"{float(v)!r}D" for v in r["c_emb"]),
+        # r15 (guide §4.2): the K cosines come from the Arrow kernel
+        # (_cos_matrix_arrow — bit-identical left-fold doubles, ~5x the
+        # interpreted per-element HOF fold that used to run here over a
+        # K x dim centroid literal), while ROUND and the argmax fold
+        # stay JVM-side over the K-element array, so the tie surface
+        # (round half-up on the double, strict > keeps the lowest cid)
+        # is byte-for-byte the one every oracle replays.  cid-ascending
+        # literal order as before; one parsed SQL literal for the cids
+        # (the K x dim c_emb literal is gone from the plan entirely).
+        cos_arr = _cos_matrix_arrow("embedding", cents)
+        lit_cids = F.expr(
+            "array({})".format(
+                ", ".join(
+                    f"{int(r['cid'])}L"
+                    for r in sorted(cents, key=lambda r: int(r["cid"]))
+                )
             )
-            for r in cents
         )
-        lit_cents = F.expr(f"array({structs})")
 
-        def _score(c):  # noqa: ANN001 - Catalyst lambda
-            cos = cosine(F.col("embedding"), c["c_emb"])
+        def _score(c, cid):  # noqa: ANN001 - Catalyst lambda
+            cos = c
             if round_digits is not None:
                 cos = F.round(cos, round_digits)
-            return F.struct(cos.alias("cos"), c["cid"].alias("cid"))
+            return F.struct(cos.alias("cos"), cid.alias("cid"))
 
-        scores = F.transform(lit_cents, _score)
+        scores = F.zip_with(cos_arr, lit_cids, _score)
         best = F.aggregate(
             scores,
             F.struct(
@@ -669,7 +713,15 @@ def ivf_assign(
             ),
             lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
         )
-        return emb.select("vec_id", "embedding", best["cid"].alias("cid"))
+        # NULL-embedding parity with the old centroid-literal fold: there
+        # the scores array never depended on the row (transform over a
+        # literal), so a null vector still folded to the seed cid=-1;
+        # here a null cos_arr would propagate NULL through zip_with.
+        return emb.select(
+            "vec_id",
+            "embedding",
+            F.coalesce(best["cid"], F.lit(-1).cast("bigint")).alias("cid"),
+        )
     agg_cos = cosine(F.col("embedding"), F.col("c_emb"))
     if round_digits is not None:
         agg_cos = F.round(agg_cos, round_digits)

@@ -1474,19 +1474,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("deg")
     ).select(F.col("src").alias("od_part"), "deg")
-    ranks = outdeg.select(
-        F.col("od_part").alias("part"),
-        F.lit(1_000_000).cast("bigint").alias("rank_mu"),
+    # LOOP-INVARIANT deg attach (r15): the original loop joined
+    # ranks -> outdeg -> edges EVERY iteration; (edges JOIN outdeg) does
+    # not depend on the iteration, so hoist it — one join per iteration
+    # instead of two, and the hoisted subplan dedups across iterations
+    # via ReusedExchange exactly like the edge list itself. Equivalent
+    # multiset: outdeg covers every edges.src by construction (it is
+    # edges GROUP BY src), so the hoisted inner join keeps every edge
+    # row, same as the original chain.
+    edges_deg = edges.join(
+        outdeg, F.col("src") == F.col("od_part")
+    ).select("src", "dst", "deg")
+    # Iteration 1 folded in: ranks0 is (every src, 1e6), so the first
+    # ranks-join is the identity attach — contrib1 reads straight off
+    # edges_deg with rank_mu = 1e6 (bit-identical shares: 1e6 DIV deg).
+    contrib = edges_deg.select(
+        F.col("dst").alias("part_new"),
+        F.expr("CAST(1000000 AS BIGINT) DIV deg").alias("share"),
     )
-    for _ in range(PAGERANK_ITERS):
-        contrib = (
-            ranks.join(outdeg, F.col("part") == F.col("od_part"))
-            .join(edges, F.col("src") == F.col("part"))
-            .select(
-                F.col("dst").alias("part_new"),
-                F.expr("rank_mu DIV deg").alias("share"),
+    for it in range(PAGERANK_ITERS):
+        if it > 0:
+            contrib = (
+                ranks.join(edges_deg, F.col("src") == F.col("part"))
+                .select(
+                    F.col("dst").alias("part_new"),
+                    F.expr("rank_mu DIV deg").alias("share"),
+                )
             )
-        )
         ranks = contrib.groupBy("part_new").agg(
             (
                 F.lit(_PR_BASE_MU)

@@ -45,12 +45,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
+    import bench
 
     qs = entry_mod.queries()
+    work = None
+    run_counter = [0]
+    if any(n in bench.PIPELINES for n in names):
+        # side-effectful pipeline benches need the same untimed setup
+        # (CSV tree + DataSource session warm) the bench gives them
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="standalone_pipe_")
+        bench._setup_pipelines(spark, sf_dir, work)
 
     def run(name: str) -> float:
+        run_counter[0] += 1
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if name in bench.PIPELINES:
+            bench.PIPELINES[name](spark, sf_dir, work, run_counter[0])
+        else:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     run("q01_pricing_summary")  # untimed warmup, same as bench
@@ -60,6 +74,10 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         first = run(name)
         out[name] = {"first": round(first, 3), "warm": round(min(first, run(name)), 3)}
+    if work is not None:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
     import json
 
     print(json.dumps(out))
