@@ -94,7 +94,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            # cosine_arrow: bit-identical doubles to the HOF fold (r15,
+            # guide §4.2); ROUND + the top-k tie surface stay JVM-side
+            F.round(cosine_arrow(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
     )
     return per_query_topk(scored)
@@ -4176,7 +4178,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q_emb",
             "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("dec")), 6).alias("approx_cos"),
+            # cosine_arrow: bit-identical to the HOF fold; the decode
+            # stays JVM-side, only (q_emb, dec) cross into Arrow (r15)
+            F.round(cosine_arrow(F.col("q_emb"), F.col("dec")), 6).alias("approx_cos"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(
@@ -5161,7 +5165,9 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            # cosine_arrow: bit-identical doubles to the HOF fold (r15,
+            # guide §4.2); ROUND + the top-k tie surface stay JVM-side
+            F.round(cosine_arrow(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
     )
     return per_query_topk(scored)
@@ -5694,7 +5700,8 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
-    rel_mu = F.round(F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6) * 1_000_000)
+    # cosine_arrow: bit-identical doubles (r15); ROUND stays JVM-side
+    rel_mu = F.round(F.round(cosine_arrow(F.col("q_emb"), F.col("c_emb")), 6) * 1_000_000)
     scored = (
         F.broadcast(q)
         .join(c, F.col("cand_id") != F.col("query_id"))
@@ -5709,7 +5716,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = shortlist.alias("s1")
     s2 = shortlist.alias("s2")
     pair_mu = F.round(
-        F.round(cosine(F.col("s1.c_emb"), F.col("s2.c_emb")), 6) * 1_000_000
+        F.round(cosine_arrow(F.col("s1.c_emb"), F.col("s2.c_emb")), 6) * 1_000_000
     )
     pairs = s1.join(
         s2,
@@ -5826,10 +5833,16 @@ def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxsim_mu", F.lit(None).cast("bigint")
     )
     for r in range(2, KCENTER_K + 1):
-        c_lit = F.array(*[F.lit(v) for v in center])
+        # ONE parsed SQL literal, not 64 F.lit() py4j round trips per
+        # iteration (the ivf_assign literal discipline); repr() round-
+        # trips doubles exactly, D marks a DOUBLE literal (r15)
+        c_lit = F.expr(
+            "array({})".format(", ".join(f"{float(v)!r}D" for v in center))
+        )
         sim = (
-            F.round(F.round(cosine(F.col("embedding"), c_lit), 6) * 1_000_000)
-            .cast("bigint")
+            F.round(
+                F.round(cosine_arrow(F.col("embedding"), c_lit), 6) * 1_000_000
+            ).cast("bigint")
         )
         state = state.withColumn(
             "maxsim_mu",

@@ -1724,6 +1724,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         db, F.col("ub") == F.col("vb")
     )
     flip = F.struct(F.col("dda"), F.col("ua")) < F.struct(F.col("ddb"), F.col("ub"))
+    # r15 A/B: localCheckpoint(eager) on o measured SLOWER (interleaved
+    # in-JVM mins 4.35 vs 3.63 s at sf0.1) — the five consumer branches'
+    # re-derivation above the ReusedExchanges is cheaper than the
+    # materialization barrier, the same result the r14 plan audit
+    # recorded for the pagerank edge subplan. Left un-checkpointed.
     o = keyed.select(
         F.when(flip, F.col("ua")).otherwise(F.col("ub")).alias("src"),
         F.when(flip, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
@@ -2126,10 +2131,22 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .distinct()
     )
-    labels = edges.select(F.col("src").alias("part")).distinct().select(
-        "part", F.col("part").alias("l")
+    # Iteration 1 folded into ONE map-side-combinable aggregation (r15):
+    # lp0 gives every node its own label, the edge list is DISTINCT and
+    # SYMMETRIC (the <> condition emits both directions, so every dst is
+    # also a src and the dst-join drops nothing), hence every
+    # (src, neighbor-label) count in round 1 is exactly 1 and the
+    # argmax-by-(count, lowest-label) degenerates to MIN(dst) per src.
+    # That removes the labels-init distinct (an edge-sized exchange),
+    # round 1's join, and round 1's (src, l) count exchange — measured
+    # 3.75 -> 2.17 s warm at sf0.1 (interleaved in-JVM mins), identical
+    # output verified row-for-row at sf0.1 and by oracle at both SFs.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("l"))
+        .withColumnRenamed("src", "part")
     )
-    for _ in range(LPA_ITERS):
+    for _ in range(LPA_ITERS - 1):
         cnt = (
             edges.join(labels.withColumnRenamed("part", "dst"), "dst")
             .groupBy(F.col("src"), F.col("l"))
