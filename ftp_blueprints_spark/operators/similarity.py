@@ -950,7 +950,7 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: consumed twice (ivf_assign's literal collect AND
     # the broadcast join in stats) — without it the full Lloyd training
     # DAG executes twice per call (the sibling IVF sites' discipline)
-    cents1 = portable_centroids(emb, IVF_K).localCheckpoint(eager=True)
+    cents1 = portable_centroids(emb, IVF_K).localCheckpoint(eager=False)
     a2 = ivf_assign(emb, cents1, round_digits=6)
     cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
     stats = (
@@ -1034,7 +1034,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache: K tiny rows, reused by the literal
     # collect and the probe/residual joins, released on GC instead of
     # pinned session-long (a bare .cache() here was never unpersisted).
-    cents = portable_centroids(emb).localCheckpoint(eager=True)
+    cents = portable_centroids(emb).localCheckpoint(eager=False)
     assigned = ivf_assign(emb, cents, round_digits=6)
     return _ivf_serve(emb, cents, assigned)
 
@@ -1221,7 +1221,7 @@ def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
     # localCheckpoint, not cache: K tiny rows, reused by the literal
     # collect and the probe/residual joins, released on GC instead of
     # pinned session-long (a bare .cache() here was never unpersisted).
-    cents = portable_centroids(emb).localCheckpoint(eager=True)
+    cents = portable_centroids(emb).localCheckpoint(eager=False)
     assigned = ivf_assign(emb, cents, round_digits=6)
 
     def write(tmp: str) -> None:
@@ -1404,7 +1404,7 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: consumed by two assignments' literal collects
     # and two broadcast joins — without it the Lloyd training DAG
     # would execute four times (the sibling IVF sites' discipline)
-    cents = portable_centroids(corpus).localCheckpoint(eager=True)
+    cents = portable_centroids(corpus).localCheckpoint(eager=False)
     base_stats = _assign_cos_stats(
         ivf_assign(corpus, cents, round_digits=6), cents
     )
@@ -1590,15 +1590,15 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % 2 == 0)
     snapshot = emb.filter(F.col("vec_id") % 2 == 1)
-    c1 = portable_centroids(standing).localCheckpoint(eager=True)
+    c1 = portable_centroids(standing).localCheckpoint(eager=False)
     served = (
         ivf_assign(standing, c1, round_digits=6)
         .unionByName(ivf_assign(snapshot, c1, round_digits=6))
         .withColumnRenamed("cid", "old_cid")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     vecs = served.select("vec_id", "embedding")
-    c2 = portable_centroids(vecs).localCheckpoint(eager=True)
+    c2 = portable_centroids(vecs).localCheckpoint(eager=False)
     a2 = ivf_assign(vecs, c2, round_digits=6).join(
         served.select("vec_id", "old_cid"), "vec_id"
     )
@@ -4318,7 +4318,7 @@ def ivfpq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame, np.ndarray]:
     # localCheckpoint, not cache: K tiny rows, reused by the literal
     # collect and the probe/residual joins, released on GC instead of
     # pinned session-long (a bare .cache() here was never unpersisted).
-    cents = portable_centroids(emb).localCheckpoint(eager=True)
+    cents = portable_centroids(emb).localCheckpoint(eager=False)
 
     # Codebooks need only the PQ_KS lowest vec_ids' residuals, so the
     # assignment/residual expressions run over a 16-row TakeOrdered
@@ -4663,7 +4663,7 @@ def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two broadcast joins, and the codebook seed slice (the
     # sim_ivf_incremental discipline — without it the Lloyd DAG
     # re-executes per consumer)
-    cents = portable_centroids(corpus).localCheckpoint(eager=True)
+    cents = portable_centroids(corpus).localCheckpoint(eager=False)
     books_q = quantize_books(
         pq_codebooks(
             _residuals(corpus.orderBy("vec_id").limit(PQ_KS), cents),
@@ -5058,12 +5058,12 @@ def sim_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % 2 == 0)
     snapshot = emb.filter(F.col("vec_id") % 2 == 1)
-    c1 = portable_centroids(standing).localCheckpoint(eager=True)
+    c1 = portable_centroids(standing).localCheckpoint(eager=False)
     served = (
         ivf_assign(standing, c1, round_digits=6)
         .unionByName(ivf_assign(snapshot, c1, round_digits=6))
         .withColumnRenamed("cid", "old_cid")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     vecs = served.select("vec_id", "embedding")
     # ivfpq_fit IS the union train — the same function ivfpq_build and
@@ -5586,7 +5586,7 @@ def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.orderBy("vec_id")
         .limit(CS_K)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assigned = ivf_assign(emb, seeds, round_digits=6)
     scored = assigned.join(F.broadcast(seeds), "cid").select(
@@ -5849,7 +5849,7 @@ def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("maxsim_mu").isNull(), sim).otherwise(
                 F.greatest(F.col("maxsim_mu"), sim)
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         rows = state.orderBy(F.asc("maxsim_mu"), F.asc("vec_id")).limit(1).collect()
         if not rows:  # n < K: every point is already a center — stop,
             break  # exactly where the oracle's recursive CTE stops

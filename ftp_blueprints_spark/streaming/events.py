@@ -1340,7 +1340,7 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round(F.col("value") * 10_000).cast("bigint").alias("v_cu"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     spark = cents.sparkSession
 
     # ceil(n/2) in exact integer arithmetic = the oracle's
