@@ -1471,33 +1471,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # faster than .cache() here (9.6s vs 6.9s at sf0.1), the same
         # result operators/dedup.py records for the component loop
     )
-    outdeg = edges.groupBy("src").agg(
-        F.count("*").cast("bigint").alias("deg")
-    ).select(F.col("src").alias("od_part"), "deg")
-    # LOOP-INVARIANT deg attach (r15): the original loop joined
-    # ranks -> outdeg -> edges EVERY iteration; (edges JOIN outdeg) does
-    # not depend on the iteration, so hoist it — one join per iteration
-    # instead of two, and the hoisted subplan dedups across iterations
-    # via ReusedExchange exactly like the edge list itself. Equivalent
-    # multiset: outdeg covers every edges.src by construction (it is
-    # edges GROUP BY src), so the hoisted inner join keeps every edge
-    # row, same as the original chain.
-    edges_deg = edges.join(
-        outdeg, F.col("src") == F.col("od_part")
-    ).select("src", "dst", "deg")
+    # ADJACENCY-LIST iteration (r15, guide §2.3 "shuffle keys instead of
+    # payloads" turned inward): one node-keyed aggregation folds the
+    # edge list into (src, dsts[], deg) — outdeg rides the same agg, so
+    # the old separate outdeg aggregate AND the per-iteration
+    # ranks->outdeg->edges join chain are gone. Each iteration now joins
+    # node-cardinality ranks onto node-cardinality adjacency rows
+    # (AQE broadcasts the 20k-row side at sf0.1; at scale both sides
+    # are node-keyed equi-joins) and explodes to per-edge shares AFTER
+    # the join, feeding the same map-side-combinable dst sum — the per-
+    # iteration 2.4M-row edge-stream join probe becomes a 20k-row one.
+    # Equivalence: collect_list order is irrelevant (the downstream sum
+    # of BIGINT shares is commutative and exact), deg = size of the
+    # list = the old GROUP BY count, shares bit-identical. Measured
+    # 4.2 -> 2.3 s warm (interleaved in-JVM mins, twice), output
+    # row-identical at sf0.1 and oracle-green at sf0.01/sf0.001.
+    adj = edges.groupBy("src").agg(
+        F.collect_list("dst").alias("dsts"),
+        F.count("*").cast("bigint").alias("deg"),
+    )
     # Iteration 1 folded in: ranks0 is (every src, 1e6), so the first
     # ranks-join is the identity attach — contrib1 reads straight off
-    # edges_deg with rank_mu = 1e6 (bit-identical shares: 1e6 DIV deg).
-    contrib = edges_deg.select(
-        F.col("dst").alias("part_new"),
+    # the adjacency with rank_mu = 1e6 (bit-identical: 1e6 DIV deg).
+    contrib = adj.select(
+        F.explode("dsts").alias("part_new"),
         F.expr("CAST(1000000 AS BIGINT) DIV deg").alias("share"),
     )
     for it in range(PAGERANK_ITERS):
         if it > 0:
             contrib = (
-                ranks.join(edges_deg, F.col("src") == F.col("part"))
+                ranks.join(adj, F.col("src") == F.col("part"))
                 .select(
-                    F.col("dst").alias("part_new"),
+                    F.explode("dsts").alias("part_new"),
                     F.expr("rank_mu DIV deg").alias("share"),
                 )
             )
@@ -2134,13 +2139,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iteration 1 folded into ONE map-side-combinable aggregation (r15):
     # lp0 gives every node its own label, the edge list is DISTINCT and
     # SYMMETRIC (the <> condition emits both directions, so every dst is
-    # also a src and the dst-join drops nothing), hence every
-    # (src, neighbor-label) count in round 1 is exactly 1 and the
-    # argmax-by-(count, lowest-label) degenerates to MIN(dst) per src.
-    # That removes the labels-init distinct (an edge-sized exchange),
-    # round 1's join, and round 1's (src, l) count exchange — measured
-    # 3.75 -> 2.17 s warm at sf0.1 (interleaved in-JVM mins), identical
-    # output verified row-for-row at sf0.1 and by oracle at both SFs.
+    # also a src and the dst-join drops nothing), hence every round-1
+    # (src, neighbor-label) count is exactly 1 and the argmax-by-
+    # (count, lowest-label) degenerates to MIN(dst) per src. That
+    # removes the labels-init distinct (an edge-sized exchange), round
+    # 1's join, and round 1's (src, l) count exchange — measured
+    # 3.75 -> 2.00 s warm at sf0.1 (interleaved in-JVM mins), identical
+    # output at sf0.1, oracle-green at sf0.01/sf0.001. (q_pagerank's
+    # adjacency form was ALSO measured here and is slower for LPA —
+    # 2.56 vs 2.00 — a single remaining message round cannot amortize
+    # the collect_list build; left in the flat edge form.)
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("l"))
