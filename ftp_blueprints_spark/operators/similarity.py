@@ -724,7 +724,11 @@ def ivf_assign(
             "embedding",
             F.coalesce(best["cid"], F.lit(-1).cast("bigint")).alias("cid"),
         )
-    agg_cos = cosine(F.col("embedding"), F.col("c_emb"))
+    # r15: the join path scores corpus x K rows (kmeans_centroids'
+    # lazy-chain rounds) — the highest-volume cosine site left after the
+    # literal path moved to the Arrow kernel; same bit-identical swap
+    # (guide §4.2), argmax stays JVM-side (max_by below).
+    agg_cos = cosine_arrow(F.col("embedding"), F.col("c_emb"))
     if round_digits is not None:
         agg_cos = F.round(agg_cos, round_digits)
     scored = emb.join(
@@ -952,6 +956,10 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DAG executes twice per call (the sibling IVF sites' discipline)
     cents1 = portable_centroids(emb, IVF_K).localCheckpoint(eager=False)
     a2 = ivf_assign(emb, cents1, round_digits=6)
+    # r15 A/B: cosine_arrow here measured WORSE (1.93/2.00 vs 1.80/1.86 s
+    # warm, both interleaved rounds) — the n x 1 rescore after the
+    # broadcast join is below the Arrow hop's break-even at this volume
+    # (~5k rows; the winning swaps all score >=50k pairs). HOF kept.
     cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
     stats = (
         a2.join(F.broadcast(cents1), "cid")
@@ -1069,6 +1077,11 @@ def _ivf_serve(emb: DataFrame, cents: DataFrame, lists: DataFrame) -> DataFrame:
     scored = cand.select(
         "query_id",
         "cand_id",
+        # r15 A/B: cosine_arrow here measured WORSE on the pure-serve
+        # caller (sim_ivf_query 1.20/1.38 vs 0.98/0.90 s warm, both
+        # interleaved rounds) — the nprobe-pruned stream is ~12k rows at
+        # sf0.1, under the Arrow hop's break-even. HOF kept; the >=50k
+        # sites (bruteforce, pq decode) carry the kernel.
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
     return per_query_topk(scored)
@@ -1271,6 +1284,8 @@ def _assign_cos_stats(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     integer micro-unit sum of member-to-centroid cosines on the
     ROUND(cos, 6) surface — sim_kmeans' exact cross-engine stats shape,
     reused as the drift yardstick of the incremental index."""
+    # r15 A/B: cosine_arrow measured +0.12 s on sim_ivf_incremental
+    # (corpus-sized n x 1 rescore, under the Arrow break-even) — HOF kept
     cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
     return (
         assigned.join(F.broadcast(cents), "cid")
@@ -1602,6 +1617,9 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = ivf_assign(vecs, c2, round_digits=6).join(
         served.select("vec_id", "old_cid"), "vec_id"
     )
+    # r15 A/B (in-JVM interleaved): cosine_arrow here measured 0.758 vs
+    # 0.581 s min — the n x 1 rescore is under the Arrow break-even
+    # (~50k pairs at sf0.1); HOF kept
     cos_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
     stats = (
         a2.join(F.broadcast(c2), "cid")
@@ -2865,6 +2883,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "cand_id",
+        # r15 A/B: the banded candidate volume (~20k pairs at sf0.1) is
+        # under the Arrow kernel's break-even (in-JVM interleaved mins on
+        # the serve twin: 1.139 vs 0.998 s) — HOF kept
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
     return per_query_topk(scored)
@@ -2983,6 +3004,8 @@ def _ann_lsh_serve(emb: DataFrame, sigs: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
+            # r15 A/B (in-JVM interleaved): cosine_arrow 1.139 vs 0.998 s
+            # min — candidate volume under the Arrow break-even; HOF kept
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
     )
@@ -5282,6 +5305,8 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         "cand_id",
         "cand_label",
+        # r15 A/B: cosine_arrow measured +0.13 s (25k pairs — under the
+        # Arrow break-even; the codegen'd cross join wins). HOF kept.
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
     )
     knn = per_query_topk(scored, KNN_K)
@@ -5488,6 +5513,8 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
+            # r15 A/B: cosine_arrow measured +0.25 s min-of-two (25k
+            # pairs, same break-even physics as sim_knn_label). HOF kept.
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w_vec).cast("bigint"))
@@ -5592,6 +5619,9 @@ def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = assigned.join(F.broadcast(seeds), "cid").select(
         "vec_id",
         "cid",
+        # r15 A/B (in-JVM interleaved): cosine_arrow tied exactly here
+        # (0.520 vs 0.518 s min — n x 1 rescore, break-even volume);
+        # HOF kept to spare the plan a Python boundary it doesn't repay
         F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("c"),
     )
     w = Window.partitionBy("cid").orderBy(F.asc("c"), F.asc("vec_id"))
