@@ -634,19 +634,38 @@ def connected_keepers(
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
-    labels = all_docs.select("doc_id", F.col("doc_id").alias("keeper"))
-    changed = 0
-    for _ in range(max_iters):
+    # Round 1 folded (r15, the q_label_propagation pattern): labels start
+    # as the identity, so the first neighbor-min is just MIN(dst) per src
+    # — the edge x labels join and the identity attach disappear from
+    # round 1. The symmetric edge list guarantees round 1 moves at least
+    # one label whenever e is nonempty (the larger end of any pair gains
+    # a smaller neighbor), and moves none when e is empty — either way
+    # the round-1 changed-count job is redundant and is skipped; the
+    # convergence check resumes from round 2 with identical semantics.
+    # This checkpoint stays EAGER: round 2 consumes labels in two
+    # branches of one job (the nmin join and the stepped attach) and a
+    # lazy block would race them into computing the subtree twice.
+    nmin1 = e.groupBy(F.col("src").alias("doc_id")).agg(F.min("dst").alias("nmin"))
+    labels = all_docs.select("doc_id").join(nmin1, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce("nmin", "doc_id")).alias("keeper"),
+    ).localCheckpoint()
+    changed = None
+    for _ in range(max_iters - 1):
         nmin = (
             e.join(labels, e.dst == labels.doc_id)
             .groupBy(e.src.alias("doc_id"))
             .agg(F.min("keeper").alias("nmin"))
         )
+        # lazy: the changed-count below is the first consumer and fully
+        # materializes the blocks, so the checkpoint rides that job
+        # instead of dispatching its own (the r15 lazy-site discipline);
+        # next round's two branches then read the already-cached blocks.
         stepped = labels.join(nmin, "doc_id", "left").select(
             "doc_id",
             F.col("keeper"),
             F.least(F.col("keeper"), F.coalesce("nmin", "keeper")).alias("new_keeper"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("new_keeper") != F.col("keeper")).count()
         labels = stepped.select("doc_id", F.col("new_keeper").alias("keeper"))
         if changed == 0:
