@@ -1706,6 +1706,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.alias("a")
     b = li.alias("b")
+    # CHECKPOINTED edge list + degrees (r15): the un-checkpointed form
+    # replicated the pair-stream subtree into every consumer branch —
+    # a 310-Exchange / 38-SortMergeJoin initial plan whose planning and
+    # AQE re-optimization dominated execution (the edge list is only
+    # ~3.6k rows at sf0.1). Materializing und once (linear, partition-
+    # distributed — the connected_keepers edge-frame discipline) and
+    # deg once (node-cardinality, one cheap job over the cached edges)
+    # collapses the plan; join strategies stay with AQE, which now sees
+    # EXACT sizes and broadcasts deg while it fits — no pinned
+    # broadcast to blow up when the node count grows with the catalog.
+    # Interleaved in-JVM A/B: 3.24 -> 0.51 s min, output identical.
+    # (The earlier r15 A/B that checkpointed o INSTEAD measured slower,
+    # 4.35 vs 3.63 — orientation is downstream of the deg joins, so the
+    # und/deg duplication survived; checkpointing upstream is what
+    # removes it.)
     und = (
         a.join(
             b,
@@ -1718,22 +1733,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= TRI_SUPPORT)
         .select("ua", "ub")
+        .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("ua").alias("v")).unionAll(
         und.select(F.col("ub").alias("v"))
     )
-    deg = nodes.groupBy("v").agg(F.count("*").alias("d"))
+    deg = nodes.groupBy("v").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     da = deg.select(F.col("v").alias("va"), F.col("d").alias("dda"))
     db = deg.select(F.col("v").alias("vb"), F.col("d").alias("ddb"))
     keyed = und.join(da, F.col("ua") == F.col("va")).join(
         db, F.col("ub") == F.col("vb")
     )
     flip = F.struct(F.col("dda"), F.col("ua")) < F.struct(F.col("ddb"), F.col("ub"))
-    # r15 A/B: localCheckpoint(eager) on o measured SLOWER (interleaved
-    # in-JVM mins 4.35 vs 3.63 s at sf0.1) — the five consumer branches'
-    # re-derivation above the ReusedExchanges is cheaper than the
-    # materialization barrier, the same result the r14 plan audit
-    # recorded for the pagerank edge subplan. Left un-checkpointed.
     o = keyed.select(
         F.when(flip, F.col("ua")).otherwise(F.col("ub")).alias("src"),
         F.when(flip, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
