@@ -912,7 +912,13 @@ def tx_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.least(
         F.floor(F.col("quality_score") * _TOPP_BUCKETS), F.lit(_TOPP_BUCKETS)
     ).cast("int")
-    scored = scored.withColumn("b", b)
+    # r15: lazy localCheckpoint (the tx_lm_bigram item-9 shape) — the
+    # doc-cardinality scored frame's FIRST consumer is the per-bucket
+    # collect, a full-frame agg job the materialization rides; the
+    # final windowed join then reads it back instead of re-running
+    # token_count + quality_score over the corpus.  Interleaved in-JVM
+    # minima: 2.257 -> 1.599 s sf0.1; 5.397 -> 3.502 s at 100x.
+    scored = scored.withColumn("b", b).localCheckpoint(eager=False)
     per_bucket = (
         scored.groupBy("lang", "b").agg(F.sum("n_tokens").alias("bt")).collect()
     )
