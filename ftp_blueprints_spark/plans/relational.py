@@ -1456,21 +1456,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.alias("a")
     b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-        # NOT cached: all iterations run in one job, so Catalyst dedups
-        # the identical edge subplan via ReusedExchange — measured
-        # faster than .cache() here (9.6s vs 6.9s at sf0.1), the same
-        # result operators/dedup.py records for the component loop
-    )
+    # raw pair stream, NOT distinct'd: edge dedup rides the adjacency
+    # aggregate below as collect_set, so the (src,dst)-keyed exchange
+    # the old edges.distinct() paid is gone (r15 follow-up: interleaved
+    # in-JVM A/B 4.94 vs 3.07 s min, new faster in every warmed pair).
+    # All iterations still run in one job, so Catalyst dedups the
+    # identical adjacency subplan via ReusedExchange — an eager
+    # localCheckpoint of adj was A/B'd on top of this and LOST
+    # (2.457 vs 2.554 min): the checkpoint adds a dispatch + array
+    # serialization that ReusedExchange already amortizes.
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     # ADJACENCY-LIST iteration (r15, guide §2.3 "shuffle keys instead of
     # payloads" turned inward): one node-keyed aggregation folds the
     # edge list into (src, dsts[], deg) — outdeg rides the same agg, so
@@ -1486,10 +1485,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list = the old GROUP BY count, shares bit-identical. Measured
     # 4.2 -> 2.3 s warm (interleaved in-JVM mins, twice), output
     # row-identical at sf0.1 and oracle-green at sf0.01/sf0.001.
-    adj = edges.groupBy("src").agg(
-        F.collect_list("dst").alias("dsts"),
-        F.count("*").cast("bigint").alias("deg"),
-    )
+    # collect_set = the old edges.distinct() + collect_list: same dst
+    # set per src (element order irrelevant — every consumer is an
+    # exact commutative BIGINT sum over exploded shares), and
+    # deg = size(set) = the old distinct-edge count, so every share
+    # rank_mu DIV deg is bit-identical. One src-keyed exchange with
+    # map-side partial collect_set replaces distinct's (src,dst)
+    # exchange + the groupBy's src exchange.
+    adj = pairs.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
+    adj = adj.select("src", "dsts", F.size("dsts").cast("bigint").alias("deg"))
     # Iteration 1 folded in: ranks0 is (every src, 1e6), so the first
     # ranks-join is the identity attach — contrib1 reads straight off
     # the adjacency with rank_mu = 1e6 (bit-identical: 1e6 DIV deg).
@@ -2146,6 +2150,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_a") != F.col("part_b"))
         .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .distinct()
+        # an eager localCheckpoint here was A/B'd (r15 follow-up,
+        # interleaved in-JVM): LOSES 5.57 vs 8.09 s min — with one
+        # post-fold round the two edge mentions are already deduped by
+        # ReusedExchange and the checkpoint only adds a dispatch
     )
     # Iteration 1 folded into ONE map-side-combinable aggregation (r15):
     # lp0 gives every node its own label, the edge list is DISTINCT and
