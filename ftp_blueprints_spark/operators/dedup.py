@@ -29,7 +29,7 @@ from ..functions.text import (
     word_grams_prefiltered,
 )
 from ..plans.registry import query
-from ..session import load_table
+from ..session import load_table, local_checkpoint
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
@@ -418,7 +418,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ContextCleaner when this query's references drop — an explicit
     # .cache() here stayed pinned for the whole session (never
     # unpersisted, one leak per invocation).
-    sig = minhash_signatures(sh).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh).transform(local_checkpoint)
     cand = lsh_candidates(sig)
     sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -549,7 +549,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # localCheckpoint for the same leak-free reuse as dd_minhash_lsh's
     # signature table (see comment there).
-    sh = simhash(docs).localCheckpoint(eager=True)
+    sh = simhash(docs).transform(local_checkpoint)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -629,10 +629,9 @@ def connected_keepers(
     unconverged keepers, which would miss-assign every component whose
     diameter exceeds the bound). localCheckpoint truncates each round's
     lineage so the plan does not grow with the iteration count."""
-    e = (
+    e = local_checkpoint(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
     )
     # Round 1 folded (r15, the q_label_propagation pattern): labels start
     # as the identity, so the first neighbor-min is just MIN(dst) per src
@@ -646,10 +645,12 @@ def connected_keepers(
     # branches of one job (the nmin join and the stepped attach) and a
     # lazy block would race them into computing the subtree twice.
     nmin1 = e.groupBy(F.col("src").alias("doc_id")).agg(F.min("dst").alias("nmin"))
-    labels = all_docs.select("doc_id").join(nmin1, "doc_id", "left").select(
-        "doc_id",
-        F.least(F.col("doc_id"), F.coalesce("nmin", "doc_id")).alias("keeper"),
-    ).localCheckpoint()
+    labels = local_checkpoint(
+        all_docs.select("doc_id").join(nmin1, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("nmin", "doc_id")).alias("keeper"),
+        )
+    )
     changed = None
     for _ in range(max_iters - 1):
         nmin = (
@@ -661,11 +662,16 @@ def connected_keepers(
         # materializes the blocks, so the checkpoint rides that job
         # instead of dispatching its own (the r15 lazy-site discipline);
         # next round's two branches then read the already-cached blocks.
-        stepped = labels.join(nmin, "doc_id", "left").select(
-            "doc_id",
-            F.col("keeper"),
-            F.least(F.col("keeper"), F.coalesce("nmin", "keeper")).alias("new_keeper"),
-        ).localCheckpoint(eager=False)
+        stepped = local_checkpoint(
+            labels.join(nmin, "doc_id", "left").select(
+                "doc_id",
+                F.col("keeper"),
+                F.least(
+                    F.col("keeper"), F.coalesce("nmin", "keeper")
+                ).alias("new_keeper"),
+            ),
+            eager=False,
+        )
         changed = stepped.filter(F.col("new_keeper") != F.col("keeper")).count()
         labels = stepped.select("doc_id", F.col("new_keeper").alias("keeper"))
         if changed == 0:
@@ -1365,7 +1371,7 @@ def dd_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize + distinct-ratio projection over the corpus (eager: the
     # branches would race a lazy block). In-JVM interleaved A/B:
     # 0.393 -> 0.216 s min, identical output.
-    cs = comp.join(lex_diversity_mu(docs), "doc_id").localCheckpoint(eager=True)
+    cs = local_checkpoint(comp.join(lex_diversity_mu(docs), "doc_id"))
     return quality_elect(cs)
 
 
@@ -1472,7 +1478,7 @@ def incremental_classify(norm: DataFrame, pairs: DataFrame) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint)
     )
     a_batch = (F.col("a") % INCR_BATCH_MOD) == 0
     b_batch = (F.col("b") % INCR_BATCH_MOD) == 0
@@ -1562,7 +1568,7 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output.
     norm = docs.select(
         "doc_id", F.sha2(norm_text("text"), 256).alias("h")
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint)
     pairs = dd_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return incremental_classify(norm, pairs)
 
@@ -1635,7 +1641,7 @@ def _incremental_microbatch(
             .cast("bigint")
             .alias("dedup_ref"),
         )
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint)
     )
     (
         j.withColumn("bid", F.lit(batch_id).cast("long"))
@@ -1654,7 +1660,7 @@ def _incremental_microbatch(
             F.lit("batch").alias("origin"),
             F.lit(batch_id).cast("long").alias("bid"),
         )
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint)
     )
     (
         new_rows.write.mode("overwrite")

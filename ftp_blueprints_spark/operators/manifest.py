@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..errors import NoMatchesFound  # noqa: F401  (re-export: F7 guard, exit 200)
 from ..functions import paths as P
-from ..session import load_table
+from ..session import load_table, local_checkpoint
 
 MANIFEST_COLUMNS = ("path", "folder", "name", "is_dir", "size")
 
@@ -130,7 +130,7 @@ def with_file_numbers(matches: DataFrame) -> DataFrame:
     ranged = (
         matches.repartitionByRange("path")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint)
     )
     counts = ranged.groupBy("_pid").count().collect()
     offsets, acc = {}, 0

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import query
-from ..session import load_table
+from ..session import load_table, local_checkpoint
 
 MEDIA_SCHEMA = StructType(
     [
@@ -411,8 +411,8 @@ def phash_media(media: DataFrame) -> DataFrame:
         _phash_bit_term(i, 1 << i, corpus_bytes, corpus_cnt)
         for i in range(PHASH_BITS)
     )
-    fp = with_hist.select("media_id", F.expr(bit_terms).alias("fp")).localCheckpoint(
-        eager=True
+    fp = with_hist.select("media_id", F.expr(bit_terms).alias("fp")).transform(
+        local_checkpoint
     )
     with_hist.unpersist()
     return fp
@@ -720,7 +720,7 @@ def phash_media_wide(media: DataFrame, width: int) -> DataFrame:
         band_exprs.append(f"({terms}) AS b{k}")
     out = with_hist.selectExpr("media_id", *band_exprs).select(
         "media_id", F.array(*[f"b{k}" for k in range(PHASH_BANDS)]).alias("bands")
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint)
     with_hist.unpersist()
     return out
 

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.vectors import _fold_sum, cosine, cosine_arrow
 from ..plans.registry import query
-from ..session import load_table, table_rows
+from ..session import load_table, local_checkpoint, table_rows
 
 N_QUERIES = 5  # query set: the N lowest vec_ids
 TOP_K = 10
@@ -954,7 +954,7 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: consumed twice (ivf_assign's literal collect AND
     # the broadcast join in stats) — without it the full Lloyd training
     # DAG executes twice per call (the sibling IVF sites' discipline)
-    cents1 = portable_centroids(emb, IVF_K).localCheckpoint(eager=False)
+    cents1 = portable_centroids(emb, IVF_K).transform(local_checkpoint, eager=False)
     a2 = ivf_assign(emb, cents1, round_digits=6)
     # r15 A/B: cosine_arrow here measured WORSE (1.93/2.00 vs 1.80/1.86 s
     # warm, both interleaved rounds) — the n x 1 rescore after the
@@ -1042,7 +1042,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache: K tiny rows, reused by the literal
     # collect and the probe/residual joins, released on GC instead of
     # pinned session-long (a bare .cache() here was never unpersisted).
-    cents = portable_centroids(emb).localCheckpoint(eager=False)
+    cents = portable_centroids(emb).transform(local_checkpoint, eager=False)
     assigned = ivf_assign(emb, cents, round_digits=6)
     return _ivf_serve(emb, cents, assigned)
 
@@ -1234,7 +1234,7 @@ def ivf_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
     # localCheckpoint, not cache: K tiny rows, reused by the literal
     # collect and the probe/residual joins, released on GC instead of
     # pinned session-long (a bare .cache() here was never unpersisted).
-    cents = portable_centroids(emb).localCheckpoint(eager=False)
+    cents = portable_centroids(emb).transform(local_checkpoint, eager=False)
     assigned = ivf_assign(emb, cents, round_digits=6)
 
     def write(tmp: str) -> None:
@@ -1419,7 +1419,7 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: consumed by two assignments' literal collects
     # and two broadcast joins — without it the Lloyd training DAG
     # would execute four times (the sibling IVF sites' discipline)
-    cents = portable_centroids(corpus).localCheckpoint(eager=False)
+    cents = portable_centroids(corpus).transform(local_checkpoint, eager=False)
     base_stats = _assign_cos_stats(
         ivf_assign(corpus, cents, round_digits=6), cents
     )
@@ -1605,15 +1605,15 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % 2 == 0)
     snapshot = emb.filter(F.col("vec_id") % 2 == 1)
-    c1 = portable_centroids(standing).localCheckpoint(eager=False)
+    c1 = portable_centroids(standing).transform(local_checkpoint, eager=False)
     served = (
         ivf_assign(standing, c1, round_digits=6)
         .unionByName(ivf_assign(snapshot, c1, round_digits=6))
         .withColumnRenamed("cid", "old_cid")
-        .localCheckpoint(eager=False)
+        .transform(local_checkpoint, eager=False)
     )
     vecs = served.select("vec_id", "embedding")
-    c2 = portable_centroids(vecs).localCheckpoint(eager=False)
+    c2 = portable_centroids(vecs).transform(local_checkpoint, eager=False)
     a2 = ivf_assign(vecs, c2, round_digits=6).join(
         served.select("vec_id", "old_cid"), "vec_id"
     )
@@ -1904,7 +1904,7 @@ def ivf_append(
     if cents is None:
         cents = spark.read.parquet(
             os.path.join(index_dir, "centroids")
-        ).localCheckpoint(eager=True)
+        ).transform(local_checkpoint)
     assigned = ivf_assign(new_emb, cents, round_digits=6).withColumn(
         "bid", F.lit(int(batch_id)).cast("bigint")
     )
@@ -2200,7 +2200,7 @@ def run_incremental_ivf_stream(
     snap = {
         "cents": spark.read.parquet(
             os.path.join(index_dir, "centroids")
-        ).localCheckpoint(eager=True),
+        ).transform(local_checkpoint),
         "epoch": compaction_epoch(index_dir),
         # the persisted baseline's rel_drift, cached: it is write-once
         # until a retrain, so re-aggregating it per micro-batch would
@@ -2225,7 +2225,7 @@ def run_incremental_ivf_stream(
             ivf_retrain(spark, index_dir)
             snap["cents"] = spark.read.parquet(
                 os.path.join(index_dir, "centroids")
-            ).localCheckpoint(eager=True)
+            ).transform(local_checkpoint)
             snap["epoch"] = compaction_epoch(index_dir)
             snap["base_rel"] = None  # refreshed by the next append
 
@@ -2772,7 +2772,7 @@ def ivf_retrain(
                 "arbitrate. Heal the index (ivf_compact asserts the "
                 "same invariant) before retraining."
             )
-        cents2 = portable_centroids(served).localCheckpoint(eager=True)
+        cents2 = portable_centroids(served).transform(local_checkpoint)
         assigned = ivf_assign(served, cents2, round_digits=6)
         cents2.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
         assigned.write.mode("overwrite").partitionBy("cid").parquet(
@@ -4341,7 +4341,7 @@ def ivfpq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame, np.ndarray]:
     # localCheckpoint, not cache: K tiny rows, reused by the literal
     # collect and the probe/residual joins, released on GC instead of
     # pinned session-long (a bare .cache() here was never unpersisted).
-    cents = portable_centroids(emb).localCheckpoint(eager=False)
+    cents = portable_centroids(emb).transform(local_checkpoint, eager=False)
 
     # Codebooks need only the PQ_KS lowest vec_ids' residuals, so the
     # assignment/residual expressions run over a 16-row TakeOrdered
@@ -4686,7 +4686,7 @@ def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two broadcast joins, and the codebook seed slice (the
     # sim_ivf_incremental discipline — without it the Lloyd DAG
     # re-executes per consumer)
-    cents = portable_centroids(corpus).localCheckpoint(eager=False)
+    cents = portable_centroids(corpus).transform(local_checkpoint, eager=False)
     books_q = quantize_books(
         pq_codebooks(
             _residuals(corpus.orderBy("vec_id").limit(PQ_KS), cents),
@@ -4799,7 +4799,7 @@ def ivfpq_append(
     if cents is None:
         cents = spark.read.parquet(
             os.path.join(index_dir, "centroids")
-        ).localCheckpoint(eager=True)
+        ).transform(local_checkpoint)
     if books_q is None:
         books_q = _load_books_q(spark, index_dir)
     coded = (
@@ -5169,7 +5169,7 @@ def run_incremental_ivfpq_stream(
     _refuse_fresh_checkpoint(index_dir, "code_appends", ckpt)
     cents = spark.read.parquet(
         os.path.join(index_dir, "centroids")
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint)
     books_q = _load_books_q(spark, index_dir)
     epoch0 = compaction_epoch(index_dir)
 
@@ -5647,7 +5647,7 @@ def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.orderBy("vec_id")
         .limit(CS_K)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
-        .localCheckpoint(eager=False)
+        .transform(local_checkpoint, eager=False)
     )
     assigned = ivf_assign(emb, seeds, round_digits=6)
     scored = assigned.join(F.broadcast(seeds), "cid").select(
@@ -5913,7 +5913,7 @@ def sim_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("maxsim_mu").isNull(), sim).otherwise(
                 F.greatest(F.col("maxsim_mu"), sim)
             ),
-        ).localCheckpoint(eager=False)
+        ).transform(local_checkpoint, eager=False)
         rows = state.orderBy(F.asc("maxsim_mu"), F.asc("vec_id")).limit(1).collect()
         if not rows:  # n < K: every point is already a center — stop,
             break  # exactly where the oracle's recursive CTE stops

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from ..session import load_table
+from ..session import load_table, local_checkpoint
 from .registry import query
 
 
@@ -1442,9 +1442,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, no broadcast of anything rank-sized. Iteration count is
     FIXED, so the lineage stays 3 deep (no checkpoint needed; the
     component-loop operator shows the localCheckpoint pattern for
-    convergence-driven loops). The edge list is reused across
-    iterations — at 100 TB it would be persisted once; here Spark
-    re-reads the (small) shuffle output."""
+    convergence-driven loops). The adjacency list is reused across
+    iterations — at 100 TB it would be persisted once; here Catalyst
+    dedups the identical subplan via ReusedExchange (an explicit
+    checkpoint was A/B'd and lost; numbers below)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1472,26 +1473,45 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     # ADJACENCY-LIST iteration (r15, guide §2.3 "shuffle keys instead of
     # payloads" turned inward): one node-keyed aggregation folds the
-    # edge list into (src, dsts[], deg) — outdeg rides the same agg, so
-    # the old separate outdeg aggregate AND the per-iteration
+    # raw pair stream into (src, dsts[], deg) — outdeg rides the same
+    # agg, so the old separate outdeg aggregate AND the per-iteration
     # ranks->outdeg->edges join chain are gone. Each iteration now joins
     # node-cardinality ranks onto node-cardinality adjacency rows
     # (AQE broadcasts the 20k-row side at sf0.1; at scale both sides
     # are node-keyed equi-joins) and explodes to per-edge shares AFTER
     # the join, feeding the same map-side-combinable dst sum — the per-
     # iteration 2.4M-row edge-stream join probe becomes a 20k-row one.
-    # Equivalence: collect_list order is irrelevant (the downstream sum
-    # of BIGINT shares is commutative and exact), deg = size of the
-    # list = the old GROUP BY count, shares bit-identical. Measured
-    # 4.2 -> 2.3 s warm (interleaved in-JVM mins, twice), output
-    # row-identical at sf0.1 and oracle-green at sf0.01/sf0.001.
-    # collect_set = the old edges.distinct() + collect_list: same dst
-    # set per src (element order irrelevant — every consumer is an
+    # Equivalence of the collect_set form vs the oracle's
+    # DISTINCT-edges + GROUP BY count: collect_set yields the same dst
+    # SET per src (element order irrelevant — every consumer is an
     # exact commutative BIGINT sum over exploded shares), and
-    # deg = size(set) = the old distinct-edge count, so every share
-    # rank_mu DIV deg is bit-identical. One src-keyed exchange with
-    # map-side partial collect_set replaces distinct's (src,dst)
-    # exchange + the groupBy's src exchange.
+    # deg = size(set) = the oracle's distinct-edge count per src, so
+    # every share rank_mu DIV deg is bit-identical. One src-keyed
+    # exchange with map-side partial collect_set replaces the
+    # (src,dst)-keyed distinct exchange + the groupBy's src exchange.
+    # Measured on landing: adjacency iteration 4.2 -> 2.3 s warm
+    # (interleaved in-JVM mins, twice), then the collect_set fold
+    # 4.94 -> 3.07 s min; output row-identical at sf0.1 and
+    # oracle-green at sf0.01/sf0.001.
+    # Hub-skew bound for the per-src collect_set (r16, VERDICT r15 item
+    # 4): the adjacency row for a node is degree-sized and lands on ONE
+    # task, so this shape is safe only if max degree does not grow with
+    # the corpus.  It does not, structurally: deg(p) <= orders(p) x
+    # (max_basket - 1), and the fixture (like TPC-H) scales the part
+    # catalog WITH the fact table, so both factors are SF-constants.
+    # Measured across three decades (DuckDB, distinct co-purchase
+    # degree): max deg 138 @ sf0.001, 206 @ sf0.01, 222 @ sf0.1 while
+    # nodes grew 100x (orders-per-part <= 47/49/53, basket <= 11/13/17)
+    # — flat, so at 100 TB the worst adjacency row stays a few KB.
+    # A synthetic-hub probe at the 100x corpus (OPTIMIZATION_r16.md
+    # item 4) measures the failure mode this bound excludes.  Salting
+    # the collect_set was considered and NOT taken: two-level
+    # aggregation only splits the partial sets — the merged hub row
+    # (and its explode) is degree-sized regardless, so salting adds an
+    # exchange without removing the single-row concentration; a corpus
+    # with true hubs needs a hybrid edge-stream path for the hot keys
+    # (documented, not speculatively built — the fixture class cannot
+    # reach it).
     adj = pairs.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
     adj = adj.select("src", "dsts", F.size("dsts").cast("bigint").alias("deg"))
     # Iteration 1 folded in: ranks0 is (every src, 1e6), so the first
@@ -1725,7 +1745,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.35 vs 3.63 — orientation is downstream of the deg joins, so the
     # und/deg duplication survived; checkpointing upstream is what
     # removes it.)
-    und = (
+    und = local_checkpoint(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -1737,12 +1757,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= TRI_SUPPORT)
         .select("ua", "ub")
-        .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("ua").alias("v")).unionAll(
         und.select(F.col("ub").alias("v"))
     )
-    deg = nodes.groupBy("v").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    deg = local_checkpoint(nodes.groupBy("v").agg(F.count("*").alias("d")))
     da = deg.select(F.col("v").alias("va"), F.col("d").alias("dda"))
     db = deg.select(F.col("v").alias("vb"), F.col("d").alias("ddb"))
     keyed = und.join(da, F.col("ua") == F.col("va")).join(

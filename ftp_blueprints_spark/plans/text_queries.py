@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import text as T
-from ..session import load_table
+from ..session import load_table, local_checkpoint
 from .registry import query
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
@@ -918,7 +918,7 @@ def tx_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final windowed join then reads it back instead of re-running
     # token_count + quality_score over the corpus.  Interleaved in-JVM
     # minima: 2.257 -> 1.599 s sf0.1; 5.397 -> 3.502 s at 100x.
-    scored = scored.withColumn("b", b).localCheckpoint(eager=False)
+    scored = local_checkpoint(scored.withColumn("b", b), eager=False)
     per_bucket = (
         scored.groupBy("lang", "b").agg(F.sum("n_tokens").alias("bt")).collect()
     )
@@ -1275,12 +1275,10 @@ def tx_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays, same byte class as the input text), never the
     # corpus x n-gram bigram stream.  Interleaved in-JVM A/B minima:
     # 3.029 (old) -> 2.198 (scored ckpt only) -> 1.812 s (this + scored).
-    base = (
+    base = local_checkpoint(
         docs.select(
             "doc_id", "lang", T.lower_tokens(F.col("text")).alias("tk")
-        )
-        .filter(F.size("tk") >= 2)
-        .localCheckpoint(eager=True)
+        ).filter(F.size("tk") >= 2)
     )
     bg = base.select(
         "doc_id",
@@ -1307,13 +1305,13 @@ def tx_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "b", (F.col("score_mu") / _LM_BUCKET_WIDTH).cast("int")
         )
-        # r15: lazy localCheckpoint — the doc-cardinality scored frame's
-        # FIRST consumer is the per_bucket collect (a full-frame agg
-        # job), so the materialization rides that job; the final ranked
-        # join then reads it back instead of re-running the whole
-        # tokenize -> bigram -> count -> score pipeline a second time.
-        .localCheckpoint(eager=False)
     )
+    # r15: lazy localCheckpoint — the doc-cardinality scored frame's
+    # FIRST consumer is the per_bucket collect (a full-frame agg
+    # job), so the materialization rides that job; the final ranked
+    # join then reads it back instead of re-running the whole
+    # tokenize -> bigram -> count -> score pipeline a second time.
+    scored = local_checkpoint(scored, eager=False)
     per_bucket = (
         scored.groupBy("lang", "b").agg(F.count("*").alias("cnt")).collect()
     )
@@ -1875,11 +1873,13 @@ def rep_ngram_report(docs: DataFrame) -> DataFrame:
     # eager, not lazy: lazy would race the branches into recomputing the
     # subtree concurrently).  Per-doc token arrays, linear in corpus.
     # Interleaved in-JVM A/B minima: 2.454 -> 1.496 s.
-    toks = docs.select(
-        "doc_id",
-        T.lower_tokens("text").alias("t"),
-        F.length(T.norm_text("text")).alias("nchars"),
-    ).localCheckpoint(eager=True)
+    toks = local_checkpoint(
+        docs.select(
+            "doc_id",
+            T.lower_tokens("text").alias("t"),
+            F.length(T.norm_text("text")).alias("nchars"),
+        )
+    )
     c2 = _rep_grams(toks, 2).groupBy("doc_id", "g").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
@@ -1998,7 +1998,7 @@ def keywords_report(docs: DataFrame) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "tok")
         .agg(F.count("*").cast("bigint").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(local_checkpoint)
     )
     df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     scored = tf.join(df, "tok").withColumn(

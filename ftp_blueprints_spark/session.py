@@ -70,6 +70,45 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_checkpoint(df, eager: bool = True):
+    """Cut lineage by materializing ``df`` — the engine's one choke
+    point for the checkpoint fault-tolerance trade.
+
+    Default backend is ``DataFrame.localCheckpoint``: blocks live
+    UNREPLICATED on the executors that computed them — free of any
+    durable-storage round trip, the right trade on local runs and on
+    clusters where a retried query is acceptable.  The caveat at
+    100 TB: past a localCheckpoint there is no lineage, so an executor
+    loss mid-query FAILS the job instead of recomputing the lost
+    blocks.  Deployments where that matters set
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` (and optionally
+    ``SPARK_GRAFT_CHECKPOINT_DIR=<durable path>``): the same call
+    sites then write a reliable ``checkpoint()`` — replicated,
+    storage-backed, survives executor loss — at the cost of one write
+    to the checkpoint dir.  A config switch, not a code change, per
+    the scale-dependence rule.
+
+    EVERY checkpoint in the engine routes through here (call sites use
+    ``df.transform(local_checkpoint, ...)`` to keep method chains).
+    Each routed frame is a linear, partition-distributed intermediate
+    (edge lists, per-doc token/hash frames, fingerprints, K-row
+    constants) — never a corpus×n-gram or pair-expanded stream — so
+    either backend holds it comfortably; the r15-added sites were each
+    A/B measured cheaper than recomputing their subtree
+    (OPTIMIZATION_r15 items 3, 6-10)."""
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+            if not ckdir:
+                import tempfile
+
+                ckdir = tempfile.mkdtemp(prefix="spark_reliable_ck_")
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def normalize_timestamps(df):
     """Coerce every timestamp-typed column to session-zoned TIMESTAMP.
 

@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..plans.registry import query
-from ..session import load_table
+from ..session import load_table, local_checkpoint
 
 SESSION_GAP = "30 minutes"
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -937,7 +937,7 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounds/types derive from the already-aggregated counts (bucket
     # cardinality), not from ev — reading them off the raw stream cost
     # two EXTRA full corpus scans (3 FileScans in the physical plan)
-    counts = counts.localCheckpoint(eager=True)
+    counts = counts.transform(local_checkpoint)
     bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     types = counts.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
@@ -1340,7 +1340,7 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round(F.col("value") * 10_000).cast("bigint").alias("v_cu"),
-    ).localCheckpoint(eager=False)
+    ).transform(local_checkpoint, eager=False)
     spark = cents.sparkSession
 
     # ceil(n/2) in exact integer arithmetic = the oracle's
@@ -1523,7 +1523,7 @@ def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round(F.col("value") * 10_000).cast("bigint").alias("v_cu"),
-    ).localCheckpoint(eager=True)
+    ).transform(local_checkpoint)
     spark = cents.sparkSession
     lo_pct = int(round(WINSOR_LO * 100))
     hi_pct = int(round(WINSOR_HI * 100))
