@@ -11,9 +11,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # full bench subprocess (up to 20 min + a retry JVM)
 def test_bench_within_budgets():
     out = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py")],
