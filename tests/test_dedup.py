@@ -5,11 +5,14 @@ SimHash sanity, and skew-cap behavior.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from ftp_blueprints_spark.operators import dedup as D
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_oracle):
     """Every exact-Jaccard pair at threshold 0.3 should surface as an
     LSH candidate with high probability: with 8 bands x 4 rows, a pair

@@ -71,6 +71,7 @@ def _served_pairs(spark, idx, family):
 
 
 @pytest.mark.parametrize("family", sorted(FAMILIES))
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_maintained_index_random_schedule_property(
     spark, tmp_path_factory, family
 ):
@@ -325,6 +326,7 @@ READERS = {
 
 
 @pytest.mark.parametrize("family", sorted(FAMILIES))
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_stale_serve_frame_fails_loudly_after_compact(
     spark, tmp_path, family
 ):
@@ -395,6 +397,7 @@ def test_stale_serve_frame_fails_loudly_after_compact(
     assert sorted(_served_pairs(spark, idx, family)) == expected
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_exact_dedup_index_random_schedule_property(spark, tmp_path_factory):
     """Randomized replay/crash schedule for the maintained exact-dedup
     index (r11 VERDICT task 6) — the property backing the written
@@ -600,6 +603,7 @@ TWINS = {
 
 
 @pytest.mark.parametrize("family", sorted(FAMILIES))
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_fresh_checkpoint_refused_on_live_appends(spark, tmp_path, family):
     """r12 (the CMS registry's fresh-checkpoint hazard generalized to
     the index families): a stream twin opened with a FRESH checkpoint
@@ -683,6 +687,7 @@ def test_fresh_checkpoint_refused_on_live_appends(spark, tmp_path, family):
     )
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
     """RETRAIN joins the walk alphabet (r12 VERDICT task 6): starting
     from a built IVF index, for ANY schedule of {append (re-drawing =
@@ -996,6 +1001,7 @@ def test_ivf_retrain_random_schedule_property(spark, tmp_path_factory):
     run()
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_lsh_retrain_random_schedule_property(spark, tmp_path_factory):
     """The corpus-taking, WIDTH-CHANGING retrain joins the walk: for
     ANY schedule of {append/replay, compact, adaptive retrain,
@@ -1231,6 +1237,7 @@ def test_lsh_retrain_random_schedule_property(spark, tmp_path_factory):
     run()
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivfpq_retrain_random_schedule_property(spark, tmp_path_factory):
     """The THIRD family joins the retrain walk (r13 VERDICT task 4):
     for ANY schedule of {append/replay, compact, retrain-on-the-exact-

@@ -203,6 +203,7 @@ def test_ivf_cadence_thresholds_on_sf01(spark, halves, tmp_path):
     assert loud["due"] is True
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivfpq_cadence_thresholds_on_sf01(spark, halves, tmp_path):
     """IVFPQ: a same-distribution batch must not alarm against the
     baseline batch; a scaled batch (3x vectors -> ~9x residual energy
@@ -237,6 +238,7 @@ def test_ivfpq_cadence_thresholds_on_sf01(spark, halves, tmp_path):
     assert loud["due"] is True
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_lsh_cadence_thresholds_on_sf01(spark, halves, tmp_path):
     """LSH: the odd half must not reach the 2x collision-cost ratio; a
     degenerate batch (one vector repeated — every row in one bucket
@@ -298,6 +300,7 @@ def test_lsh_cadence_thresholds_on_sf01(spark, halves, tmp_path):
     assert S.lsh_rows_for(n_served) <= width1  # quiet: width refreshed
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_centroid_trigger_randomized_properties(spark):
     """Randomized invariants of the centroid cadence trigger — the
     property form of the two r14 review bugs, so neither can regress:
@@ -443,6 +446,7 @@ def test_cadence_baseline_persisted_for_restart(spark, halves, tmp_path):
     assert override["rel_vs_baseline"] == 0.0
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_cadence_baseline_ivfpq_and_retrain_refresh(spark, halves, tmp_path):
     """r14 VERDICT task 5 (IVFPQ side + the swap contract): the
     compressed family persists/reads the baseline identically, and a
@@ -481,6 +485,7 @@ def test_cadence_baseline_ivfpq_and_retrain_refresh(spark, halves, tmp_path):
     assert S.ivfpq_retrain_due(r2, index_dir=idx)["rel_vs_baseline"] == 0.0
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_auto_retrain_stream_closes_the_loop(spark, halves, tmp_path):
     """r14 VERDICT task 6: trigger→retrain as ONE path, end-to-end
     with the calibrated thresholds and no manual report plumbing —
@@ -571,6 +576,7 @@ def test_auto_retrain_stream_closes_the_loop(spark, halves, tmp_path):
     assert verdict["due"] is False
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_cadence_baseline_replay_after_retrain_not_recorded(
     spark, halves, tmp_path
 ):

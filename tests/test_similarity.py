@@ -805,6 +805,7 @@ def test_ivf_compact_heals_replay_residue(spark, sf_oracle, tmp_path):
     assert healed == clean
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivfpq_append_serves_new_vectors_idempotently(spark, sf_oracle, tmp_path):
     """The maintained COMPRESSED index end-to-end (ivf_append's proof
     set one level down): build an IVFPQ index on the corpus half only,
@@ -873,6 +874,7 @@ def test_ivfpq_append_serves_new_vectors_idempotently(spark, sf_oracle, tmp_path
     assert drift == want  # (4)
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivfpq_compact_preserves_serving(spark, sf_oracle, tmp_path):
     """ivfpq_compact is pure layout: fold code appends into the base
     codes table and the served code set is identical; appends are
@@ -1012,6 +1014,7 @@ def _ladder_expected(spark, idx):
     }
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivf_compact_crash_ladder_property(spark, sf_oracle, tmp_path, monkeypatch):
     """Fault-injection over EVERY boundary of the compact crash ladder
     (r10 verdict task 6): kill the fold at each os.rename under the
@@ -1286,6 +1289,7 @@ def test_lsh_append_drift_sign_detects_concentration(spark, tmp_path):
     assert all(r["drift_num"] < 0 for r in drift_cold)
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_lsh_compact_preserves_serving(spark, sf_oracle, tmp_path):
     """Compaction of the LSH sig table is pure layout: fold appends
     into the band-partitioned base and the served (vec_id, band, sig)
@@ -1377,6 +1381,7 @@ def test_lsh_append_empty_batch_and_fence(spark, sf_oracle, tmp_path):
     )
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_lsh_drift_report_exact_at_overflow_magnitudes(spark):
     """Property: _lsh_drift_report's split-division density equals the
     Python-bigint reference floor(pair_sum * 1e6 / n) difference for
@@ -1548,6 +1553,7 @@ def test_ivf_retrain_machinery_equals_fresh_build(spark, sf_oracle, tmp_path):
     assert S.ivf_retrain(spark, idx) is False  # no appends: no-op
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivf_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
     """Kill the whole-dir snapshot swap at each rename boundary and
     require the recovery preamble to heal to the exact clean-retrain
@@ -1634,6 +1640,7 @@ def test_ivf_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
         ]
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivf_retrain_refuses_degraded_and_impostor_states(
     spark, sf_oracle, tmp_path, monkeypatch
 ):
@@ -1817,6 +1824,7 @@ def test_ivf_retrain_refuses_late_bid(spark, sf_oracle, tmp_path, monkeypatch):
     } == full
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivfpq_retrain_machinery_equals_fresh_build(spark, sf_oracle, tmp_path):
     """The compressed family's lifecycle loop closes (r12 VERDICT
     task 4): ivfpq_build(standing half) + ivfpq_append(snapshot half)
@@ -1897,6 +1905,7 @@ def test_ivfpq_retrain_machinery_equals_fresh_build(spark, sf_oracle, tmp_path):
     assert S.ivfpq_retrain(spark, idx, emb) is False  # no appends: no-op
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivfpq_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
     """The shared _retrain_swap engine's crash discipline holds for
     the SECOND family riding it: kill the whole-dir swap between the
@@ -1954,6 +1963,7 @@ def test_ivfpq_retrain_crash_ladder(spark, sf_oracle, tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("family", ["ivfpq", "annlsh"])
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_corpus_taking_retrains_refuse_duplicate_and_conflicting_corpus(
     spark, sf_oracle, tmp_path, family
 ):
@@ -2033,6 +2043,7 @@ def test_ivfpq_retrain_matches_oracle_locally(spark, sf_oracle):
     )
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivfpq_retrain_stats_equal_query_surface(spark, sf_oracle, tmp_path):
     """The oracle-checked query IS the persisted retrain's arithmetic:
     the stats table ivfpq_retrain publishes must equal
@@ -2223,6 +2234,7 @@ def test_idempotent_build_refuses_maintained_index(spark, sf_oracle, tmp_path):
     assert S.index_ready(out, "annlsh")
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_ivf_retrain_refuses_withdrawn_bid(spark, sf_oracle, tmp_path, monkeypatch):
     """The symmetric half of the bid-set check (r13 review): a fenced
     append that lands a bid BEFORE the fold listing and then observes

@@ -332,6 +332,7 @@ def test_cms_compact_pins_fold_to_listed_bids(spark, sf_oracle, tmp_path, monkey
     assert _cells(S.cms_registry_sketch(spark, reg)) == whole
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_cms_registry_random_schedule_property(spark, sf_oracle, tmp_path_factory):
     """Randomized-schedule property for the maintained sketch registry
     (the test_index_schedule pattern applied to the exactly-once

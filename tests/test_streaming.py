@@ -5,6 +5,8 @@ hash-checks (the incremental-execution contract).
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from ftp_blueprints_spark.streaming import events as E
@@ -264,6 +266,7 @@ def test_session_windows_multi_microbatch(spark, sf_oracle, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_view_click_join_multi_microbatch(spark, sf_oracle, tmp_path):
     """Stream-stream interval join under real incremental execution: a
     click arriving micro-batches after its view must still pair (the
@@ -311,6 +314,7 @@ def test_late_data_accounting_consistency(spark, sf_oracle):
             assert r.max_lateness_us > 0
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_late_data_matches_live_watermark_drops(spark, sf_oracle, tmp_path):
     """ev_late_data's micro-batch watermark model must be BIT-EXACT
     against the real engine: feed the events table through readStream
@@ -436,6 +440,7 @@ def test_funnel_multi_microbatch(spark, sf_oracle, tmp_path):
     assert got[0] > 0
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_funnel_multi_microbatch_crafted_progression(spark, tmp_path):
     """Cross-batch funnel latching on a CRAFTED event log where stages
     genuinely complete: views early, qualifying clicks ~10 min later,
@@ -747,6 +752,7 @@ def test_markov_transitions_multi_microbatch(spark, sf_oracle, tmp_path):
     )
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_incremental_dedup_index_multi_microbatch(spark, tmp_path):
     """dd_incremental's docstring claims the standing corpus is touched
     only through a MAINTAINED (hash, keeper) index. Prove the
@@ -1098,6 +1104,7 @@ def _conc_drained(df) -> set:
     }
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_concurrency_stream_finalizes_buckets(spark, sf_oracle, tmp_path):
     """The streaming-native concurrency operator under real incremental
     execution: four chronological quartile files plus two flush
@@ -1124,6 +1131,7 @@ def test_concurrency_stream_finalizes_buckets(spark, sf_oracle, tmp_path):
     assert _conc_drained(spark.table("t_conc_mb")) == _conc_expected(ev)
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_concurrency_stream_restart_safe(spark, sf_oracle, tmp_path):
     """Recovery: drain the first three quartile files with a durable
     checkpoint, STOP, then land the fourth file plus the flush
@@ -1220,6 +1228,7 @@ def test_concurrency_bucketed_equals_naive_property():
     check()
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_incremental_ivf_stream_multi_microbatch_and_restart(spark, sf_oracle, tmp_path):
     """The incremental ANN index under REAL streaming maintenance:
     build an IVF index on the corpus half, stream the snapshot half as
@@ -1333,6 +1342,7 @@ def test_incremental_ivf_stream_multi_microbatch_and_restart(spark, sf_oracle, t
     } == direct
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_incremental_ivfpq_stream_multi_microbatch_and_restart(
     spark, sf_oracle, tmp_path
 ):
@@ -1453,6 +1463,7 @@ def test_incremental_ivfpq_stream_multi_microbatch_and_restart(
     } == direct
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_incremental_lsh_stream_multi_microbatch_and_restart(
     spark, sf_oracle, tmp_path
 ):
@@ -1631,6 +1642,7 @@ def test_dwell_group_scan_property_vs_naive():
     check()
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_concurrency_stream_tolerates_out_of_order_within_horizon(
     spark, tmp_path
 ):
@@ -1712,6 +1724,7 @@ def test_concurrency_stream_tolerates_out_of_order_within_horizon(
     assert got == expected
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_concurrency_stream_never_resurrects_finalized_bucket(spark, tmp_path):
     """applyInPandasWithState does not pre-filter sub-watermark rows, so
     without a guard a row arriving AFTER its bucket finalized would
@@ -1811,6 +1824,7 @@ def test_ttl_group_scan_property_vs_naive():
     check()
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_concurrency_stream_drops_straddling_late_event_atomically(
     spark, tmp_path
 ):
@@ -1871,6 +1885,7 @@ def test_concurrency_stream_drops_straddling_late_event_atomically(
     assert ("a", 1, 1, 0, 2) in got      # live bucket balanced: no orphan -1
 
 
+@pytest.mark.slow  # >10 s measured (r16 durations profile)
 def test_incremental_cms_stream_multi_microbatch_and_restart(
     spark, sf_oracle, tmp_path
 ):
