@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for bench queries to plans/r15/<q>_<tag>.txt.
+"""Dump .explain("formatted") for bench queries to plans/<round>/<q>_<tag>.txt
+(round dir from $SPARK_GRAFT_PLANS_ROUND, default r16).
 
 Usage:  python tools/explain_dump.py <tag> <query> [<query> ...]
         python tools/explain_dump.py <tag> --heavy   (the heavy set)
@@ -62,7 +63,7 @@ def main() -> None:
     qs = entry_mod.queries()
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
